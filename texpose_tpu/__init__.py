@@ -1,0 +1,18 @@
+"""texpose_tpu — a TPU-native (JAX/XLA/Pallas) framework for self-supervised
+6D-object-pose texture learning, providing the full capability surface of the
+reference TexPose codebase (CVPR 2023) re-designed for TPU hardware.
+
+Layer map (bottom → top):
+  geometry/   pure-JAX pose algebra, ray generation, AABB intersection
+  ops/        positional encoding, volume compositing, grid-sample, color, SSIM
+  nn/         functional networks: NeRF fields, discriminator, VGG features
+  sampling/   patch/ray samplers (explicit PRNG keys)
+  data/       host-side BOP data pipeline + fixtures
+  raster/     mesh rasterization (JAX soft-raster + native C++ host raster)
+  models/     training engines (pretrain / env / texture-GAN)
+  parallel/   device-mesh sharding of the ray axis and data axis
+  kernels/    Pallas TPU kernels for the hot render path
+  utils/      config, checkpointing, logging, metrics
+"""
+
+__version__ = "0.1.0"
