@@ -1,0 +1,129 @@
+"""Volume rendering: stratified depth sampling + quadrature compositing.
+
+Capability parity with the reference's NeRF.composite
+(/root/reference/layers/nerf.py:117-136) and the static/transient dual-density
+composite (/root/reference/layers/nerf_static_transient_light.py:168-212),
+plus Graph.sample_depth (/root/reference/model/nerf_pretrain.py:707-728).
+
+TPU-first notes: all cumulative products are expressed as exp(cumsum(·))
+exactly like the reference — XLA lowers cumsum to a log-depth scan that
+vectorizes over the ray axis; everything here fuses into the surrounding
+render kernel. f32 accumulation is kept for the transmittance path even when
+the field runs bf16.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_depth(key, depth_min, depth_max, num_samples, stratified=True,
+                 param="metric"):
+    """Stratified depth samples in [depth_min, depth_max].
+
+    depth_min/max: [B, R] → returns [B, R, N, 1].
+    """
+    B, R = depth_min.shape
+    lo = depth_min[:, :, None, None]
+    hi = depth_max[:, :, None, None]
+    if stratified:
+        rand = jax.random.uniform(key, (B, R, num_samples, 1), lo.dtype)
+    else:
+        rand = 0.5
+    grid = jnp.arange(num_samples, dtype=lo.dtype)[None, None, :, None]
+    depth = (rand + grid) / num_samples * (hi - lo) + lo
+    if param == "inverse":
+        depth = 1.0 / (depth + 1e-8)
+    return depth
+
+
+def _dists(depth_samples, ray):
+    """Quadrature interval lengths [B,R,N] = Δdepth · ‖ray‖ (last interval
+    1e10, reference layers/nerf.py:121-124)."""
+    ray_length = jnp.linalg.norm(ray, axis=-1, keepdims=True)       # [B,R,1]
+    d = depth_samples[..., 0]                                       # [B,R,N]
+    intv = jnp.concatenate(
+        [d[..., 1:] - d[..., :-1],
+         jnp.full_like(d[..., :1], 1e10)], axis=-1)
+    return intv * ray_length
+
+
+def _transmittance(sigma_delta):
+    """T_i = exp(-Σ_{j<i} σ_j δ_j), exclusive cumsum."""
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(sigma_delta[..., :1]), sigma_delta[..., :-1]], axis=-1)
+    return jnp.exp(-jnp.cumsum(shifted, axis=-1))
+
+
+def composite(rgb_samples, density_samples, depth_samples, ray,
+              setbg_opaque=False, bgcolor=1.0):
+    """Vanilla NeRF compositing.
+
+    rgb_samples [B,R,N,3], density_samples [B,R,N], depth_samples [B,R,N,1],
+    ray [B,R,3] → dict(rgb [B,R,3], depth [B,R,1], opacity [B,R,1],
+    prob [B,R,N,1]).
+    """
+    sigma_delta = density_samples * _dists(depth_samples, ray)
+    alpha = 1 - jnp.exp(-sigma_delta)
+    T = _transmittance(sigma_delta)
+    prob = (T * alpha)[..., None]                                   # [B,R,N,1]
+    depth = (depth_samples * prob).sum(axis=-2)                     # [B,R,1]
+    rgb = (rgb_samples * prob).sum(axis=-2)                         # [B,R,3]
+    opacity = prob.sum(axis=-2)                                     # [B,R,1]
+    if setbg_opaque:
+        rgb = rgb + bgcolor * (1 - opacity)
+    return dict(rgb=rgb, depth=depth, opacity=opacity, prob=prob)
+
+
+def composite_static_transient(rgb_samples, density_samples, depth_samples,
+                               ray, uncert_samples, min_uncert=0.05):
+    """NeRF-W-style dual-density compositing.
+
+    rgb_samples [B,R,N,3,2] (static, transient), density_samples [B,R,N,2],
+    uncert_samples [B,R,N,1] → dict matching the reference's 11-tuple
+    (layers/nerf_static_transient_light.py:168-212):
+      rgb, rgb_static, rgb_transient [B,R,3];
+      depth, opacity, opacity_static, opacity_transient, uncert [B,R,1];
+      prob [B,R,N,1]; alpha_static, alpha_transient [B,R,N].
+    Semantics notes mirrored from the reference: the combined rgb uses the
+    joint transmittance T with per-branch alphas; rgb_static/transient use
+    their own transmittances; depth integrates against the *static* weights;
+    uncert integrates against prob_transient and floors at min_uncert.
+    """
+    dist = _dists(depth_samples, ray)
+    sd_static = density_samples[..., 0] * dist
+    sd_trans = density_samples[..., 1] * dist
+    sd = sd_static + sd_trans
+
+    alpha_static = 1 - jnp.exp(-sd_static)
+    alpha_trans = 1 - jnp.exp(-sd_trans)
+    alpha = 1 - jnp.exp(-sd)
+
+    T = _transmittance(sd)
+    T_static = _transmittance(sd_static)
+    T_trans = _transmittance(sd_trans)
+
+    prob_static = (T * alpha_static)[..., None]
+    prob_trans = (T * alpha_trans)[..., None]
+    prob = (T * alpha)[..., None]
+
+    w_static_own = (T_static * alpha_static)[..., None]
+    w_trans_own = (T_trans * alpha_trans)[..., None]
+
+    opacity = prob.sum(axis=-2)
+    opacity_static = w_static_own.sum(axis=-2)
+    opacity_transient = w_trans_own.sum(axis=-2)
+
+    rgb = (rgb_samples[..., 0] * prob_static
+           + rgb_samples[..., 1] * prob_trans).sum(axis=-2)
+    rgb_static = (w_static_own * rgb_samples[..., 0]).sum(axis=-2)
+    rgb_transient = (w_trans_own * rgb_samples[..., 1]).sum(axis=-2)
+
+    uncert = (uncert_samples * prob_trans).sum(axis=-2) + min_uncert
+    depth = (depth_samples * w_static_own).sum(axis=-2)
+
+    return dict(rgb=rgb, rgb_static=rgb_static, rgb_transient=rgb_transient,
+                depth=depth, opacity=opacity, opacity_static=opacity_static,
+                opacity_transient=opacity_transient, prob=prob, uncert=uncert,
+                alpha_static=alpha_static, alpha_transient=alpha_trans)
