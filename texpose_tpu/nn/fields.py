@@ -1,0 +1,281 @@
+"""NeRF radiance fields as pure init/apply functions over param pytrees.
+
+Capability parity:
+  * coarse density+RGB field  → reference layers/nerf.py:15-154
+  * static/transient/light field (frozen trunk, light-conditioned RGB head,
+    transient head w/ uncertainty) → layers/nerf_static_transient_light.py
+
+Design deltas (TPU-first, deliberate):
+  * params are pytrees; "freezing" the trunk is jax.lax.stop_gradient on its
+    outputs + an optax mask (models/texture_gan.py), replacing
+    requires_grad=False + torch.no_grad (reference :87-100,236-239).
+  * `progress` is a traced f32 scalar (c2f anneal without recompiles); the
+    reference stores it as an nn.Parameter it mutates from the engine.
+  * density noise uses an explicit PRNG key.
+  * all matmuls route through nn.mlp.dense → MXU with f32 accumulation;
+    compute_dtype=bfloat16 is supported end-to-end.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.posenc import posenc_with_identity, positional_encoding
+from .init import dense_init
+from .mlp import dense, relu, DENSITY_ACTIVATIONS
+
+
+def get_layer_dims(layers):
+    """[None, h1, ..., out] → [(in,out) per layer] (reference util.py:277-279)."""
+    return list(zip(layers[:-1], layers[1:]))
+
+
+def _c2f(cfg):
+    """Normalize the two c2f config shapes to (range, start_freq).
+
+    pretrain yaml uses a flat `c2f: [start, end]`; the adapt-gan yaml uses
+    `c2f: {range: [s,e], start: k}` (reference layers/nerf.py:145 vs
+    layers/nerf_static_transient_light.py:224-229).
+    """
+    c2f = cfg.get("c2f", None)
+    if c2f is None:
+        return None, 0
+    if isinstance(c2f, dict):
+        rng = c2f.get("range", None)
+        start = c2f.get("start", None) or 0
+        return (tuple(rng) if rng is not None else None), start
+    return tuple(c2f), 0
+
+
+def input_3d_dim(cfg):
+    return 3 + 6 * cfg.arch.posenc.L_3D if cfg.arch.get("posenc") else 3
+
+
+def input_view_dim(cfg):
+    if not cfg.arch.get("posenc") or not cfg.arch.posenc.get("L_view"):
+        return 3
+    return 3 + 6 * cfg.arch.posenc.L_view
+
+
+# ----------------------------------------------------------------- trunk MLP
+
+def init_trunk(key, cfg):
+    """Feature/density trunk: layers_feat with skip connections; final layer
+    emits [density, feat...] (reference layers/nerf.py:22-32)."""
+    in3d = input_3d_dim(cfg)
+    dims = get_layer_dims(cfg.arch.layers_feat)
+    layers = []
+    keys = jax.random.split(key, len(dims))
+    for li, (k_in, k_out) in enumerate(dims):
+        if li == 0:
+            k_in = in3d
+        if li in cfg.arch.skip:
+            k_in += in3d
+        if li == len(dims) - 1:
+            k_out += 1
+        mode = "first" if (cfg.arch.tf_init and li == len(dims) - 1) else None
+        layers.append(dense_init(keys[li], k_in, k_out,
+                                 out_mode=mode if cfg.arch.tf_init else None))
+    return layers
+
+
+def apply_trunk(layers, cfg, points_enc, mode=None, density_key=None,
+                compute_dtype=None):
+    """Run the trunk → (feat [..,F], density [..]).  ReLU after every layer
+    including the last (post-split), matching layers/nerf.py:69-80."""
+    feat = points_enc
+    n = len(layers)
+    density = None
+    for li, lp in enumerate(layers):
+        if li in cfg.arch.skip:
+            feat = jnp.concatenate([feat, points_enc], axis=-1)
+        feat = dense(lp, feat, compute_dtype)
+        if li == n - 1:
+            density = feat[..., 0]
+            noise = cfg.nerf.get("density_noise_reg")
+            if noise and mode == "train" and density_key is not None:
+                density = density + jax.random.normal(
+                    density_key, density.shape, density.dtype) * noise
+            density = DENSITY_ACTIVATIONS[cfg.arch.density_activ](density)
+            feat = feat[..., 1:]
+        feat = relu(feat)
+    return feat, density
+
+
+# --------------------------------------------------------- coarse NeRF field
+
+def init_nerf(key, cfg):
+    k_feat, k_rgb = jax.random.split(key)
+    params = {"mlp_feat": init_trunk(k_feat, cfg)}
+    feat_dim = cfg.arch.layers_feat[-1]
+    dims = get_layer_dims(cfg.arch.layers_rgb)
+    rgb_layers = []
+    keys = jax.random.split(k_rgb, len(dims))
+    for li, (k_in, k_out) in enumerate(dims):
+        if li == 0:
+            k_in = feat_dim + (input_view_dim(cfg) if cfg.nerf.view_dep else 0) + 3
+        mode = "all" if (cfg.arch.tf_init and li == len(dims) - 1) else None
+        rgb_layers.append(dense_init(keys[li], k_in, k_out, out_mode=mode))
+    params["mlp_rgb"] = rgb_layers
+    return params
+
+
+def _encode_points(cfg, points, progress):
+    if cfg.arch.get("posenc"):
+        c2f_range, c2f_start = _c2f(cfg)
+        return posenc_with_identity(points, cfg.arch.posenc.L_3D, progress,
+                                    c2f_range, c2f_start)
+    return points
+
+
+def _encode_view(cfg, ray_unit, progress, c2f=False):
+    if cfg.arch.get("posenc") and cfg.arch.posenc.get("L_view"):
+        c2f_range, c2f_start = _c2f(cfg) if c2f else (None, 0)
+        return posenc_with_identity(ray_unit, cfg.arch.posenc.L_view,
+                                    progress, c2f_range, c2f_start)
+    return ray_unit
+
+
+def apply_nerf(params, cfg, points, ray_unit=None, progress=None, mode=None,
+               density_key=None, compute_dtype=None):
+    """points [...,3] (+ ray_unit [...,3] if view_dep) → (rgb [...,3],
+    density [...])."""
+    points_enc = _encode_points(cfg, points, progress)
+    feat, density = apply_trunk(params["mlp_feat"], cfg, points_enc,
+                                mode, density_key, compute_dtype)
+    if cfg.nerf.view_dep:
+        assert ray_unit is not None
+        ray_enc = _encode_view(cfg, ray_unit, progress)
+        feat = jnp.concatenate([feat, ray_enc, points], axis=-1)
+    else:
+        feat = jnp.concatenate([feat, points], axis=-1)
+    n = len(params["mlp_rgb"])
+    for li, lp in enumerate(params["mlp_rgb"]):
+        feat = dense(lp, feat, compute_dtype)
+        if li != n - 1:
+            feat = relu(feat)
+    rgb = jax.nn.sigmoid(feat)
+    return rgb, density
+
+
+def forward_samples_nerf(params, cfg, center, ray, depth_samples, progress=None,
+                         mode=None, density_key=None, compute_dtype=None):
+    """center/ray [B,R,3], depth_samples [B,R,N,1] → rgb [B,R,N,3],
+    density [B,R,N] (reference layers/nerf.py:101-115)."""
+    pts = center[..., None, :] + ray[..., None, :] * depth_samples
+    if cfg.nerf.view_dep:
+        ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+        ray_unit = jnp.broadcast_to(ray_unit[..., None, :], pts.shape)
+    else:
+        ray_unit = None
+    return apply_nerf(params, cfg, pts, ray_unit, progress, mode,
+                      density_key, compute_dtype)
+
+
+# ----------------------------------------- static/transient/light NeRF field
+
+def init_nerf_st(key, cfg):
+    """Texture-stage field: frozen trunk + light-conditioned RGB head +
+    transient head (reference layers/nerf_static_transient_light.py:16-61)."""
+    k_feat, k_rgb, k_trans = jax.random.split(key, 3)
+    params = {"mlp_feat": init_trunk(k_feat, cfg)}
+    feat_dim = cfg.arch.layers_feat[-1]
+
+    dims = get_layer_dims(cfg.arch.layers_rgb)
+    rgb_layers = []
+    keys = jax.random.split(k_rgb, len(dims))
+    for li, (k_in, k_out) in enumerate(dims):
+        if li == 0:
+            k_in = (feat_dim
+                    + (input_view_dim(cfg) if cfg.nerf.view_dep else 0)
+                    + 3 + cfg.nerf.N_latent_light)
+        mode = "all" if (cfg.arch.tf_init and li == len(dims) - 1) else None
+        rgb_layers.append(dense_init(keys[li], k_in, k_out, out_mode=mode))
+    params["mlp_rgb"] = rgb_layers
+
+    if cfg.arch.get("layers_trans"):
+        dims = get_layer_dims(cfg.arch.layers_trans)
+        trans_layers = []
+        keys = jax.random.split(k_trans, len(dims))
+        for li, (k_in, k_out) in enumerate(dims):
+            if li == 0:
+                k_in = feat_dim + cfg.nerf.N_latent_trans
+            mode = "all" if (cfg.arch.tf_init and li == len(dims) - 1) else None
+            trans_layers.append(dense_init(keys[li], k_in, k_out, out_mode=mode))
+        params["mlp_trans"] = trans_layers
+    return params
+
+
+def apply_nerf_st(params, cfg, points, ray_unit, latent_trans, latent_light,
+                  progress=None, mode=None, density_key=None,
+                  compute_dtype=None):
+    """points [B,R,N,3] → (rgb [B,R,N,3,2], density [B,R,N,2],
+    uncert [B,R,N,1]).
+
+    The trunk output is wrapped in stop_gradient — the geometry is frozen and
+    only the RGB/transient heads (+ latents) learn, matching the reference's
+    no_grad trunk (layers/nerf_static_transient_light.py:87-100).
+    """
+    B, R, N, _ = points.shape
+    points_enc = _encode_points(cfg, points, progress)
+    feat, density = apply_trunk(params["mlp_feat"], cfg, points_enc,
+                                mode, density_key, compute_dtype)
+    feat = jax.lax.stop_gradient(feat)
+    density = jax.lax.stop_gradient(density)
+
+    # RGB head conditioned on the 48-d light latent
+    if cfg.nerf.view_dep:
+        assert ray_unit is not None
+        ray_enc = _encode_view(cfg, ray_unit, progress, c2f=True)
+        feat_rgb = jnp.concatenate([feat, ray_enc, points], axis=-1)
+    else:
+        feat_rgb = jnp.concatenate([feat, points], axis=-1)
+    light = jnp.broadcast_to(latent_trans_shape(latent_light, B, R, N),
+                             (B, R, N, latent_light.shape[-1]))
+    feat_rgb = jnp.concatenate([feat_rgb, light], axis=-1)
+    n = len(params["mlp_rgb"])
+    for li, lp in enumerate(params["mlp_rgb"]):
+        feat_rgb = dense(lp, feat_rgb, compute_dtype)
+        if li != n - 1:
+            feat_rgb = relu(feat_rgb)
+    rgb = jax.nn.sigmoid(feat_rgb)
+
+    if "mlp_trans" not in params:
+        return rgb, density, None
+
+    # transient head conditioned on the 16-d transient latent
+    trans = jnp.broadcast_to(latent_trans_shape(latent_trans, B, R, N),
+                             (B, R, N, latent_trans.shape[-1]))
+    feat_trans = jnp.concatenate([feat, trans], axis=-1)
+    n = len(params["mlp_trans"])
+    for li, lp in enumerate(params["mlp_trans"]):
+        feat_trans = dense(lp, feat_trans, compute_dtype)
+        if li != n - 1:
+            feat_trans = relu(feat_trans)
+    rgb_trans = jax.nn.sigmoid(feat_trans[..., :3])
+    density_trans = jax.nn.softplus(feat_trans[..., 3])
+    uncert = jax.nn.softplus(feat_trans[..., 4:5])
+
+    rgb_pair = jnp.stack([rgb, rgb_trans], axis=-1)            # [B,R,N,3,2]
+    density_pair = jnp.stack([density, density_trans], axis=-1)  # [B,R,N,2]
+    return rgb_pair, density_pair, uncert
+
+
+def latent_trans_shape(latent, B, R, N):
+    """[B,D] → [B,1,1,D] for broadcast over rays and samples."""
+    return latent[:, None, None, :]
+
+
+def forward_samples_nerf_st(params, cfg, center, ray, depth_samples,
+                            latent_trans, latent_light, progress=None,
+                            mode=None, density_key=None, compute_dtype=None):
+    pts = center[..., None, :] + ray[..., None, :] * depth_samples
+    if cfg.nerf.view_dep:
+        ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+        ray_unit = jnp.broadcast_to(ray_unit[..., None, :], pts.shape)
+    else:
+        ray_unit = None
+    return apply_nerf_st(params, cfg, pts, ray_unit, latent_trans,
+                         latent_light, progress, mode, density_key,
+                         compute_dtype)
