@@ -1,0 +1,165 @@
+"""Data layer tests: PLY IO, CAD, crops, fixture + LineMOD dataset."""
+
+import os
+
+import numpy as np
+import pytest
+
+from texpose_tpu.data import (load_ply, save_ply, CADModel, crop_by_pad,
+                              preprocess_intrinsics, smooth_geo,
+                              LineMODDataset, generate_fixture)
+from texpose_tpu.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bop"))
+    generate_fixture(root, n_train=4, n_test=2, image_scale=0.25,
+                     crop_res=64)  # 120×160 raw frames, 64×64 syn crops
+    return root
+
+
+def lm_cfg(root, model="nerf_adapt_st_gan"):
+    return Config({
+        "model": model,
+        "H": 64, "W": 64,
+        "data": {"root": os.path.join(root, ""), "dataset": "lm",
+                 "object": "ball", "scene": "scene_all",
+                 "image_size": [64, 64], "pose_source": "predicted",
+                 "pose_loop": "init_calib", "erode_mask": True,
+                 "mask_visib_source": "mask_pred_init",
+                 "scene_info_source": "predicted", "box_format": None,
+                 "erode_mask_loss": None, "bgcolor": None},
+        "nerf": {"depth": {"param": "metric", "range": [0, 3], "scale": 10,
+                           "range_source": "box", "box_mask": False,
+                           "box_source": "pred_box_init_calib"}},
+        "loss_weight": {"feat": -2},
+        "gan": {"type": "standard"},
+    })
+
+
+def test_ply_roundtrip(tmp_path):
+    v = np.random.default_rng(0).normal(size=(20, 3)).astype(np.float32)
+    f = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    c = np.random.default_rng(1).uniform(size=(20, 3)).astype(np.float32)
+    p = str(tmp_path / "m.ply")
+    save_ply(p, v, f, c)
+    mesh = load_ply(p)
+    np.testing.assert_allclose(mesh["vertices"], v, atol=1e-5)
+    np.testing.assert_array_equal(mesh["faces"], f)
+    np.testing.assert_allclose(mesh["colors"], c, atol=1 / 255.0)
+
+
+def test_cad_model(fixture_root):
+    cad = CADModel(os.path.join(fixture_root, "lm", "models", "obj_000001.ply"))
+    assert cad.bb.shape == (8, 3)
+    # icosphere radius 60 → aabb ±60, diameter = cube diagonal
+    np.testing.assert_allclose(cad.aabb[0], [-60, -60, -60], atol=1.0)
+    np.testing.assert_allclose(cad.aabb[1], [60, 60, 60], atol=1.0)
+    assert abs(cad.diameter - np.sqrt(3) * 120) < 2.0
+    assert abs(cad.scale - 120) < 2.0
+
+
+def test_crop_by_pad_centered():
+    img = np.zeros((100, 100, 3))
+    img[40:60, 40:60] = 1.0
+    out = crop_by_pad(img, np.array([50, 50]), 40, 64, channel=3)
+    assert out.shape == (64, 64, 3)
+    # object occupies central half
+    assert out[32, 32, 0] > 0.9 and out[2, 2, 0] == 0.0
+
+
+def test_preprocess_intrinsics_projection_consistency():
+    """A 3D point projected with adjusted K into the crop must match the
+    crop of its full-image projection."""
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    center = np.array([200, 300])   # (y, x)
+    scale, res = 120, 64
+    resize = res / scale
+    K_new = preprocess_intrinsics(K, resize, center, res)
+    X = np.array([0.05, -0.03, 1.0])
+    uv_full = (K @ X)[:2]
+    # pixel-center-aware mapping: full → resized → cropped
+    top_left = center * resize - res / 2
+    u_crop = (uv_full[0] + 0.5) * resize - 0.5 - top_left[1]
+    v_crop = (uv_full[1] + 0.5) * resize - 0.5 - top_left[0]
+    uv_new = (K_new @ X)[:2]
+    np.testing.assert_allclose(uv_new, [u_crop, v_crop], atol=1e-6)
+
+
+def test_smooth_geo_only_touches_edges():
+    x = np.zeros((32, 32, 3), np.float32)
+    x[8:24, 8:24] = 1.0
+    out = smooth_geo(x.copy())
+    # interior unchanged
+    np.testing.assert_allclose(out[12:20, 12:20], 1.0)
+    assert out.shape == x.shape
+
+
+def test_dataset_sample_contract(fixture_root):
+    cfg = lm_cfg(fixture_root)
+    ds = LineMODDataset(cfg, split="train",
+                        splits_root=os.path.join(fixture_root, "splits"))
+    assert len(ds) == 4
+    s = ds[0]
+    H = cfg.H
+    assert s["image"].shape == (3, H, H) and s["image"].dtype == np.float32
+    assert 0.0 <= s["image"].min() and s["image"].max() <= 1.0
+    assert s["intr"].shape == (3, 3)
+    assert s["pose"].shape == (3, 4) and s["pose_init"].shape == (3, 4)
+    assert s["z_near"].shape == (H * H,) and s["z_far"].shape == (H * H,)
+    assert s["obj_mask"].shape == (H, H)
+    assert s["image_syn"].shape == (3, H, H)
+    assert s["nocs_pred"].shape == (3, H, H)
+    assert s["normal_pred"].shape == (3, H, H)
+    # predicted pose differs from gt but is close
+    assert 0 < np.abs(s["pose"] - s["pose_init"]).max() < 0.5
+    # depth range brackets the sphere surface: z_near < depth_gt < z_far on mask
+    m = s["obj_mask"].reshape(-1) > 0
+    zn, zf = s["z_near"][m], s["z_far"][m]
+    assert (zn < zf).all()
+    # object sits ~400mm away → scaled by depth.scale/1000 → ≈4
+    assert 2.0 < np.median(zn) < 4.5 and np.median(zf) < 6.0
+
+
+def test_dataset_depth_consistency(fixture_root):
+    """depth_gt must lie inside [z_near, z_far] on the eroded mask interior."""
+    cfg = lm_cfg(fixture_root)
+    ds = LineMODDataset(cfg, split="train",
+                        splits_root=os.path.join(fixture_root, "splits"))
+    # flip the scene toggle AFTER construction (it only gates depth loading,
+    # not file IO paths)
+    cfg.data.scene = "scene_naive"
+    s = ds.__getitem__(0)
+    m = (s["obj_mask"] > 0) & (s["depth_gt"] > 0)
+    # erode mask to avoid crop-interpolation boundary pixels
+    import cv2
+    m = cv2.erode(m.astype(np.uint8), np.ones((5, 5))).astype(bool)
+    d = s["depth_gt"][m]
+    zn = s["z_near"].reshape(cfg.H, cfg.W)[m]
+    zf = s["z_far"].reshape(cfg.H, cfg.W)[m]
+    frac_ok = ((d >= zn - 0.05) & (d <= zf + 0.05)).mean()
+    assert frac_ok > 0.95
+
+
+def test_prefetch_all_and_poses(fixture_root):
+    cfg = lm_cfg(fixture_root)
+    ds = LineMODDataset(cfg, split="train",
+                        splits_root=os.path.join(fixture_root, "splits"))
+    all_data = ds.prefetch_all(num_threads=2)
+    assert all_data["image"].shape == (4, 3, cfg.H, cfg.W)
+    assert all_data["pose"].shape == (4, 3, 4)
+    poses = ds.get_all_camera_poses("gt")
+    np.testing.assert_allclose(poses, all_data["pose"], atol=1e-6)
+    # rotations are valid
+    RtR = poses[:, :, :3] @ poses[:, :, :3].transpose(0, 2, 1)
+    np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), (4, 3, 3)),
+                               atol=1e-5)
+
+
+def test_test_split_uses_gt_pose(fixture_root):
+    cfg = lm_cfg(fixture_root)
+    ds = LineMODDataset(cfg, split="test",
+                        splits_root=os.path.join(fixture_root, "splits"))
+    s = ds[0]
+    np.testing.assert_allclose(s["pose"], s["pose_init"])
