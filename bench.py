@@ -1,0 +1,89 @@
+"""Benchmark: texture-GAN training throughput (rays/sec/chip) at the
+reference workload envelope (BASELINE.md): 8 x 16x16 patches = 2048 rays/step,
+64 samples/ray, 8x256 trunk + 256-wide heads, generator+discriminator
+updates in one jitted step.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.json
+`"published": {}`); the denominator is an estimated A100 throughput for the
+reference PyTorch step — ~10 it/s x 2048 rays = 20480 rays/s — so
+vs_baseline ≈ speedup over the reference per chip (target ≥10).
+"""
+
+import json
+import os
+import sys
+import time
+import tempfile
+
+import numpy as np
+
+A100_REFERENCE_RAYS_PER_SEC = 20480.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from texpose_tpu.data.fixture import generate_fixture
+    from texpose_tpu.utils.config import load_yaml, process_options
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_yaml(os.path.join(here, "configs", "nerf_lm_adapt_gan.yaml"))
+    cfg.yaml = "configs/nerf_lm_adapt_gan.yaml"
+    cfg = process_options(cfg)
+
+    # fixture data at the production crop size (cached across runs)
+    cache = os.path.join(tempfile.gettempdir(), "texpose_bench_fixture_v1")
+    marker = os.path.join(cache, ".done")
+    if not os.path.exists(marker):
+        os.makedirs(cache, exist_ok=True)
+        generate_fixture(cache, n_train=16, n_test=1, scene="scene_all",
+                         image_scale=1.0, crop_res=128)
+        open(marker, "w").close()
+    cfg.data.root = cache
+    cfg.data.splits_root = os.path.join(cache, "splits")
+    cfg.data.object = "ball"
+    cfg.nerf.depth.box_source = "pred_box_init_calib"
+    cfg.output_root = os.path.join(tempfile.gettempdir(), "texpose_bench_out")
+    cfg = process_options(cfg)
+    cfg.max_iter = 100000
+
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+
+    rays_per_step = int(cfg.batch_size) * int(cfg.patch_size) ** 2
+    key = jax.random.PRNGKey(0)
+
+    # warmup (compile + first steps)
+    for it in range(3):
+        key, sub = jax.random.split(key)
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
+                                      jnp.asarray(it, jnp.int32))
+    jax.block_until_ready(loss["all"])
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "50"))
+    t0 = time.perf_counter()
+    for it in range(3, 3 + n_steps):
+        key, sub = jax.random.split(key)
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
+                                      jnp.asarray(it, jnp.int32))
+    jax.block_until_ready(loss["all"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = rays_per_step * n_steps / dt
+    result = {
+        "metric": "texture_train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / A100_REFERENCE_RAYS_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

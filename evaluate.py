@@ -1,0 +1,28 @@
+"""Evaluation entry point.
+
+Usage parity with the reference (/root/reference/evaluate.py:12-28):
+    python evaluate.py --model=nerf_adapt_st_gan --yaml=configs/nerf_lm_adapt_gan.yaml
+        --data.image_size=[480,640] --resume --syn2real ...
+"""
+
+import sys
+
+from texpose_tpu.utils.config import set_options
+from texpose_tpu.utils.log import log
+from texpose_tpu.models import get_engine
+
+
+def main(argv=None):
+    cfg = set_options(argv)
+    log.title(f"[{' '.join(sys.argv)}]")
+    engine = get_engine(cfg.model)(cfg)
+    engine.load_dataset(eval_split=cfg.get("eval_split", "test"))
+    engine.build_networks()
+    engine.setup_optimizer()
+    engine.restore_checkpoint()
+    engine.evaluate_full()
+    return engine
+
+
+if __name__ == "__main__":
+    main()

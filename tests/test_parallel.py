@@ -1,0 +1,117 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh (SURVEY.md §4e):
+sharded full-frame rendering and DP train steps must match single-device
+results."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from texpose_tpu.utils.config import Config, process_options
+from texpose_tpu.parallel import (make_mesh, render_full_nerf_sharded)
+from texpose_tpu.models.render import render_full_nerf
+from texpose_tpu.nn.fields import init_nerf
+
+
+def small_cfg(H=16, W=16):
+    return process_options(Config({
+        "arch": {
+            "layers_feat": [None, 32, 32, 32],
+            "layers_rgb": [None, 32, 3],
+            "skip": [1],
+            "posenc": {"L_3D": 4, "L_view": None},
+            "density_activ": "softplus", "tf_init": True,
+        },
+        "nerf": {
+            "view_dep": False,
+            "depth": {"param": "metric", "range": [0, 3], "scale": 10},
+            "sample_intvs": 8, "sample_stratified": False,
+            "rand_rays": 64, "density_noise_reg": None,
+            "setbg_opaque": None, "mask_obj": True,
+        },
+        "camera": {"ndc": False},
+        "data": {"image_size": [H, W]},
+    }))
+
+
+def _scene(cfg, key, B=1):
+    k1, k2 = jax.random.split(key)
+    params = init_nerf(k1, cfg)
+    pose = jnp.broadcast_to(
+        jnp.concatenate([jnp.eye(3), jnp.array([[0.], [0.], [4.]])], -1)[None],
+        (B, 3, 4))
+    f = 20.0
+    intr = jnp.broadcast_to(jnp.array(
+        [[f, 0, cfg.W / 2], [0, f, cfg.H / 2], [0, 0, 1.0]])[None], (B, 3, 3))
+    HW = cfg.H * cfg.W
+    z_near = jnp.full((B, HW), 2.0)
+    z_far = jnp.full((B, HW), 6.0)
+    return params, pose, intr, z_near, z_far
+
+
+def test_sharded_full_render_matches_single():
+    cfg = small_cfg()
+    key = jax.random.PRNGKey(0)
+    params, pose, intr, z_near, z_far = _scene(cfg, key)
+    mesh = make_mesh()
+    assert mesh.shape["dp"] == 8, "conftest must fake 8 devices"
+
+    ref = render_full_nerf(params, cfg, pose, intr, z_near, z_far,
+                           jax.random.PRNGKey(0), chunk=32)
+    out = jax.jit(lambda p: render_full_nerf_sharded(
+        mesh, p, cfg, pose, intr, z_near, z_far, jax.random.PRNGKey(0),
+        chunk=32))(params)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("engine_kind", ["pretrain", "gan"])
+def test_dp_step_matches_single_device(engine_kind, tmp_path, tmp_path_factory):
+    """Same PRNG key → DP-sharded step and single-device step produce the
+    same loss within float tolerance."""
+    from texpose_tpu.data.fixture import generate_fixture
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    root = generate_fixture(str(tmp_path_factory.mktemp("bop")),
+                            n_train=8, n_test=1, scene="scene_all",
+                            image_scale=0.25, crop_res=32)
+
+    def build(dp):
+        if engine_kind == "pretrain":
+            from test_pretrain_e2e import tiny_pretrain_cfg
+            from texpose_tpu.models.pretrain import PretrainEngine
+            cfg = tiny_pretrain_cfg(root, tmp_path / f"dp{dp}")
+            cfg.data.scene = "scene_all"
+            cfg.nerf.rand_rays = 256  # 64 rays/image over 4 images → 8 | 64
+            eng_cls = PretrainEngine
+        else:
+            from test_texture_gan_e2e import tiny_gan_cfg
+            from texpose_tpu.models.texture_gan import TextureGANEngine
+            cfg = tiny_gan_cfg(root, tmp_path / f"dp{dp}")
+            cfg.batch_size = 8
+            eng_cls = TextureGANEngine
+        cfg.mesh = {"dp": dp, "n_devices": None}
+        eng = eng_cls(cfg)
+        eng.load_dataset()
+        eng.build_networks()
+        eng.setup_optimizer()
+        return eng
+
+    losses = {}
+    for dp in (False, True):
+        eng = build(dp)
+        key = jax.random.PRNGKey(0)
+        out = []
+        for it in range(2):
+            key, sub = jax.random.split(key)
+            eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
+                                          jnp.asarray(it, jnp.int32))
+            out.append({k: float(np.asarray(v)) for k, v in loss.items()})
+        losses[dp] = out
+
+    for a, b in zip(losses[False], losses[True]):
+        for k in a:
+            assert np.isfinite(b[k])
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-4, atol=1e-5,
+                                       err_msg=k)

@@ -1,0 +1,144 @@
+"""End-to-end geometry pretrain on the procedural sphere fixture
+(SURVEY.md §4d: fit a synthetic scene, assert loss decreases + PSNR)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from texpose_tpu.data.fixture import generate_fixture
+from texpose_tpu.utils.config import Config, process_options
+
+
+def tiny_pretrain_cfg(root, tmp_path, crop=32):
+    cfg = Config({
+        "model": "nerf_pretrain", "seed": 0,
+        "group": "test", "name": "e2e", "output_root": str(tmp_path / "out"),
+        "max_iter": 300, "tb": False, "resume": False,
+        "compute_dtype": "float32",
+        "c2f": None,
+        "arch": {
+            "layers_feat": [None, 64, 64, 64, 64, 64],
+            "layers_rgb": [None, 64, 3],
+            "skip": [2],
+            "posenc": {"L_3D": 6, "L_view": None},
+            "density_activ": "softplus", "tf_init": True,
+        },
+        "nerf": {
+            "view_dep": False,
+            "depth": {"param": "metric", "range": [0, 3], "scale": 10,
+                      "range_source": "box", "box_mask": None,
+                      "box_source": "gt_box"},
+            "sample_intvs": 32, "sample_stratified": True,
+            "rand_rays": 1024, "density_noise_reg": None,
+            "setbg_opaque": None, "mask_obj": True,
+        },
+        "data": {
+            "root": os.path.join(root), "dataset": "lm", "object": "ball",
+            "scene": "scene_naive", "image_size": [crop, crop],
+            "pose_source": "gt", "pose_loop": None, "erode_mask": None,
+            "erode_mask_loss": None, "multi_obj": None,
+            "scene_info_source": None, "box_format": "wh",
+            "mask_visib_source": "mask_visib", "bgcolor": None,
+            "splits_root": os.path.join(root, "splits"),
+            "train_sub": None, "val_sub": None,
+        },
+        "camera": {"model": "perspective", "ndc": False},
+        "loss_weight": {"render": 0, "depth": -1, "mask": -1},
+        "optim": {"lr": 5.e-3, "lr_end": 1.e-3, "algo": "Adam"},
+        "freq": {"scalar": 100, "vis": 10000, "val": 10000, "ckpt": 10000},
+        "gan": None,
+    })
+    return process_options(cfg)
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bop")
+    return generate_fixture(str(root), n_train=10, n_test=1,
+                            scene="scene_naive", fixed_light=True,
+                            image_scale=0.25, crop_res=32)
+
+
+def test_pretrain_e2e(fixture_root, tmp_path):
+    from texpose_tpu.models.pretrain import PretrainEngine
+
+    cfg = tiny_pretrain_cfg(fixture_root, tmp_path)
+    eng = PretrainEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+
+    # capture first/last train losses
+    import jax
+    import jax.numpy as jnp
+    key = jax.random.PRNGKey(0)
+    first = None
+    for it in range(cfg.max_iter):
+        key, sub = jax.random.split(key)
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
+                                      jnp.asarray(it, jnp.int32))
+        if it == 0:
+            first = float(np.asarray(loss["all"]))
+    last = float(np.asarray(loss["all"]))
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first * 0.5, (first, last)
+
+    # validation: full-frame render; PSNR here is from the OBJECT-masked
+    # render MSE (mask_obj=True) — background rays with the open [0,30]
+    # default depth range are unconstrained by design (reference renders
+    # only object rays at eval, model/nerf_adapt_st_gan.py:652-679)
+    mean = eng.validate(cfg.max_iter)
+    assert mean["PSNR"] > 16.0, mean
+
+    # eval export path: pngs + quant.txt
+    res = eng.evaluate_full()
+    assert os.path.exists(os.path.join(cfg.output_path, "quant.txt"))
+    assert np.isfinite(res["psnr"]) and np.isfinite(res["ssim"])
+
+    # checkpoint round-trip incl. partial trunk restore
+    eng.save_checkpoint(cfg.max_iter)
+    from texpose_tpu.utils import checkpoint as ckpt
+    fname = os.path.join(cfg.output_path, "model.ckpt")
+    state2 = ckpt.restore_checkpoint(
+        fname, dict(eng.state, step=np.int64(0)))
+    assert int(state2["step"]) == cfg.max_iter
+    chex_like = jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: np.allclose(a, b),
+                               eng.state["params"], state2["params"]))
+    assert chex_like
+
+    # trunk-only restore into freshly-initialized params
+    import jax.random as jr
+    fresh = {"nerf": PretrainEngine.field_init(jr.PRNGKey(7), cfg)}
+    merged, n = ckpt.restore_subtree(fname, fresh, "mlp_feat")
+    assert n > 0
+    same_trunk = np.allclose(merged["nerf"]["mlp_feat"][0]["w"],
+                             np.asarray(eng.state["params"]["nerf"]["mlp_feat"][0]["w"]))
+    diff_rgb = not np.allclose(merged["nerf"]["mlp_rgb"][0]["w"],
+                               np.asarray(eng.state["params"]["nerf"]["mlp_rgb"][0]["w"]))
+    assert same_trunk and diff_rgb
+
+
+def test_pretrain_resume(fixture_root, tmp_path):
+    from texpose_tpu.models.pretrain import PretrainEngine
+
+    cfg = tiny_pretrain_cfg(fixture_root, tmp_path)
+    cfg.max_iter = 4
+    cfg.freq.val = 1000
+    cfg.freq.ckpt = 1000
+    eng = PretrainEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+    eng.train()
+
+    cfg2 = tiny_pretrain_cfg(fixture_root, tmp_path)
+    cfg2.max_iter = 4
+    cfg2.resume = True
+    eng2 = PretrainEngine(cfg2)
+    eng2.load_dataset()
+    eng2.build_networks()
+    eng2.setup_optimizer()
+    assert eng2.restore_checkpoint()
+    assert eng2.start_step == 4

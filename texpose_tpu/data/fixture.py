@@ -140,7 +140,8 @@ def _icosphere(radius, subdiv=2):
 def generate_fixture(root, n_train=6, n_test=2, radius_mm=60.0,
                      dist_mm=400.0, obj="ball", scene="scene_all",
                      pose_loop="init_calib", pose_noise=0.01, seed=0,
-                     H=RAW_H, W=RAW_W, image_scale=1.0, crop_res=128):
+                     H=RAW_H, W=RAW_W, image_scale=1.0, crop_res=128,
+                     fixed_light=False):
     """Write the fake BOP tree under `root`.  Returns the data root path.
 
     image_scale < 1 shrinks frames (and K) for fast tests.  crop_res is the
@@ -169,8 +170,14 @@ def generate_fixture(root, n_train=6, n_test=2, radius_mm=60.0,
         theta = 2 * np.pi * i / n
         phi = 0.35 + 0.25 * np.sin(3 * theta)
         pose = _orbit_pose(theta, phi, dist_mm)
-        light_gain = 0.8 + 0.4 * rng.random()
-        light_dir = None
+        if fixed_light:
+            # view-consistent lighting (models the synthetic scene_naive
+            # renders a view-independent NeRF can actually fit)
+            light_gain = 1.0
+            light_dir = np.array([0.5, 0.5, -np.sqrt(0.5)])
+        else:
+            light_gain = 0.8 + 0.4 * rng.random()
+            light_dir = None
         r = _render_sphere(pose, K, H, W, radius_mm, light_dir, light_gain)
 
         bg = 0.15 + 0.1 * rng.random(3)

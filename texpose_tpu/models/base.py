@@ -1,0 +1,176 @@
+"""Engine base: the training/eval driver contract shared by all stages.
+
+Capability parity with /root/reference/model/base.py:19-239 — every engine
+exposes load_dataset / build_networks / setup_optimizer / restore_checkpoint
+/ train / validate / evaluate_full, and the same periodic-frequency hooks
+(freq.scalar / freq.val / freq.ckpt).
+
+TPU-first design deltas (deliberate):
+  * state is a pytree dict {step, params, opt_state, ...} threaded through a
+    single jitted train_step (donated) — not mutable nn.Modules.
+  * the whole training split is prefetched once and device_put as one pytree
+    (the reference already trains from an all-in-memory batch:
+    model/nerf_pretrain.py:91-92); there are no DataLoader workers.
+  * `progress`/`iteration` enter the step as traced scalars so annealing
+    never recompiles.
+  * losses are NaN-checked on host every freq.scalar steps (non-blocking
+    otherwise) instead of asserting on every iteration.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.lm import LineMODDataset
+from ..utils.log import log
+from ..utils.metrics import MetricsWriter, StepTimer
+from ..utils import checkpoint as ckpt
+
+
+class Engine:
+    """Base engine; subclasses implement build_networks/_make_train_step and
+    the loss/eval specifics."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        os.makedirs(cfg.output_path, exist_ok=True)
+        self.writer = MetricsWriter(cfg.output_path, use_tb=cfg.get("tb", False))
+        self.timer = StepTimer()
+        self.state = None
+        self.step_fn = None
+        self.start_step = 0
+        # opt-in data parallelism over the device mesh (cfg.mesh.dp);
+        # the reference is single-device by assertion (options.py:112-113)
+        self.mesh = None
+        mesh_cfg = cfg.get("mesh") or {}
+        if mesh_cfg.get("dp") and len(jax.devices()) > 1:
+            from ..parallel import make_mesh
+            self.mesh = make_mesh(mesh_cfg.get("n_devices"))
+            log.info(f"data-parallel over mesh {self.mesh}")
+
+    # ------------------------------------------------------------------ data
+
+    def make_dataset(self, split):
+        return LineMODDataset(self.cfg, split=split,
+                              subset=self.cfg.data.get(f"{split}_sub"),
+                              multi_obj=self.cfg.data.get("multi_obj", False),
+                              splits_root=self.cfg.data.get("splits_root",
+                                                            "splits"))
+
+    def load_dataset(self, eval_split="val"):
+        cfg = self.cfg
+        log.info(f"loading dataset {cfg.data.dataset}/{cfg.data.object} "
+                 f"scene={cfg.data.scene}...")
+        self.train_data = self.make_dataset("train")
+        self.train_batch = jax.device_put(self.train_data.prefetch_all())
+        self.eval_data = self.make_dataset(eval_split)
+        self.eval_batch = jax.device_put(self.eval_data.prefetch_all())
+        log.info(f"train={len(self.train_data)} {eval_split}="
+                 f"{len(self.eval_data)} frames prefetched to device")
+
+    # ------------------------------------------------------- persist/restore
+
+    def save_checkpoint(self, it):
+        state = dict(self.state)
+        state["step"] = np.int64(it)
+        fname = ckpt.save_checkpoint(self.cfg.output_path, state, it=it,
+                                     keep_numbered=True)
+        log.info(f"saved checkpoint {fname} @ step {it}")
+
+    def restore_checkpoint(self):
+        """Resume from <output_path>/model.ckpt if present."""
+        fname = os.path.join(self.cfg.output_path, "model.ckpt")
+        if not (self.cfg.get("resume") and os.path.exists(fname)):
+            return False
+        template = dict(self.state)
+        template["step"] = np.int64(0)
+        restored = ckpt.restore_checkpoint(fname, template)
+        self.start_step = int(restored.pop("step"))
+        self.state = restored
+        log.info(f"resumed from {fname} @ step {self.start_step}")
+        return True
+
+    def restore_pretrained_checkpoint(self):
+        """Load ONLY the geometry trunk (mlp_feat) from the group-level
+        pretrain checkpoint (reference util.py:202-222, --resume_pretrain)."""
+        cfg = self.cfg
+        fname = cfg.get("pretrain_ckpt") or os.path.join(
+            str(cfg.output_root), str(cfg.group), "pretrain_model.ckpt")
+        params, n = ckpt.restore_subtree(fname, self.state["params"],
+                                         "mlp_feat")
+        self.state["params"] = params
+        log.info(f"restored geometry trunk ({n} leaves) from {fname}")
+
+    def restore_field_checkpoint(self):
+        """Load only the nerf-field subtree (reference util.py:225-242,
+        --resume_real)."""
+        cfg = self.cfg
+        fname = cfg.get("field_ckpt") or os.path.join(
+            str(cfg.output_root), str(cfg.group), "pretrain_model.ckpt")
+        params, n = ckpt.restore_subtree(fname, self.state["params"], "nerf")
+        self.state["params"] = params
+        log.info(f"restored nerf field ({n} leaves) from {fname}")
+
+    # ------------------------------------------------------------- training
+
+    def max_iter(self):
+        return int(self.cfg.max_iter)
+
+    def rays_per_step(self):
+        return int(self.cfg.nerf.rand_rays)
+
+    def train(self):
+        cfg = self.cfg
+        max_iter = self.max_iter()
+        log.title(f"TRAINING START ({type(self).__name__}, "
+                  f"{max_iter} steps)")
+        key = jax.random.PRNGKey(cfg.get("seed", 0))
+        if self.start_step == 0:
+            self.validate(0)
+        t_start = time.time()
+        for it in range(self.start_step, max_iter):
+            key, sub = jax.random.split(key)
+            self.state, loss = self.step_fn(self.state, self.train_batch,
+                                            sub, jnp.asarray(it, jnp.int32))
+            self.timer.tick()
+            if (it + 1) % cfg.freq.scalar == 0 or it == 0:
+                self.log_scalars(it + 1, loss)
+            if (it + 1) % cfg.freq.val == 0:
+                self.validate(it + 1)
+            if (it + 1) % cfg.freq.ckpt == 0:
+                self.save_checkpoint(it + 1)
+        self.save_checkpoint(max_iter)
+        wall = time.time() - t_start
+        log.title(f"TRAINING DONE in {wall:.1f}s "
+                  f"({(max_iter - self.start_step) / max(wall, 1e-9):.2f} it/s)")
+
+    def log_scalars(self, it, loss, split="train"):
+        host = {k: float(np.asarray(v)) for k, v in loss.items()}
+        bad = [k for k, v in host.items() if not np.isfinite(v)]
+        if bad:
+            raise FloatingPointError(
+                f"non-finite loss at step {it}: {bad} ({host})")
+        host["it_per_sec"] = 1.0 / self.timer.it_time if self.timer.it_time else 0.0
+        host["rays_per_sec"] = self.timer.rays_per_sec(self.rays_per_step())
+        self.writer.scalars(it, host, split=split)
+        items = " ".join(f"{k}={v:.4g}" for k, v in host.items())
+        log.info(f"[{split} {it}] {items}")
+
+    # ------------------------------------------------------------ interface
+
+    def build_networks(self, key=None):
+        raise NotImplementedError
+
+    def setup_optimizer(self):
+        raise NotImplementedError
+
+    def validate(self, it):
+        raise NotImplementedError
+
+    def evaluate_full(self):
+        raise NotImplementedError

@@ -1,0 +1,172 @@
+"""Shared rendering paths for the training engines.
+
+Capability parity:
+  * random-ray render → reference model/nerf_pretrain.py:588-627 (gather
+    center/ray/bounds at ray_idx, stratified sampling, field, composite)
+  * chunked full-frame render → render_by_slices
+    (model/nerf_pretrain.py:629-663, model/nerf_adapt_st_gan.py:633-680)
+  * patch render for the GAN stage → model/nerf_adapt_st_gan.py:547-631
+
+TPU-first design:
+  * `render_rays_*` is one fused XLA program: gathers + posenc + MLP +
+    composite all jit together; no NaN-retry loops (the reference's
+    `while ray.isnan()` spin, model/nerf_pretrain.py:599-600, re-calls a
+    deterministic function — dropped deliberately).
+  * full-frame rendering replaces the Python chunk loop with `lax.map` over
+    a statically-shaped [num_chunks, chunk] ray-index array — one compile,
+    sequential chunks on-chip, no host round-trips.  The object-mask subset
+    optimization of the reference is handled by rendering ALL rays and
+    compositing defaults afterwards (mask-fill), which keeps shapes static;
+    with the ray axis sharded across devices (parallel/), whole frames are
+    rendered in a single pass anyway.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.rays import (get_center_and_ray, convert_NDC, pixel_grid,
+                             img2cam, cam2world, to_hom)
+from ..nn.fields import forward_samples_nerf, forward_samples_nerf_st
+from ..ops.render import sample_depth, composite, composite_static_transient
+
+
+def ray_batch_sample(values, ray_idx):
+    """Gather per-ray values: values [B,HW,C], ray_idx [B,R] → [B,R,C]
+    (reference model/nerf_pretrain.py:457-465)."""
+    return jnp.take_along_axis(values, ray_idx[..., None], axis=1)
+
+
+def gather_rays(pose, intr, ray_idx, z_near, z_far, H, W, ndc=False):
+    """Centers/rays/bounds for the selected pixels.
+
+    pose [B,3,4], intr [B,3,3], ray_idx [B,R], z_near/z_far [B,HW] →
+    (center [B,R,3], ray [B,R,3], near [B,R], far [B,R]).
+
+    TPU note: instead of materializing the full [B,HW,3] grid and gathering
+    (reference model/nerf_pretrain.py:601-606), the selected pixel coords are
+    gathered first and only R pixels are unprojected — same math (the
+    unprojection is linear per pixel), R/HW× less work and memory.
+    """
+    B, R = ray_idx.shape
+    xy = pixel_grid(H, W, pose.dtype)                           # [HW,2]
+    xy = jnp.take(xy, ray_idx.reshape(-1), axis=0).reshape(B, R, 2)
+    grid_3D = img2cam(to_hom(xy), intr)                         # [B,R,3]
+    center = cam2world(jnp.zeros_like(grid_3D), pose)
+    ray = cam2world(grid_3D, pose) - center
+    near = ray_batch_sample(z_near[..., None], ray_idx)[..., 0]
+    far = ray_batch_sample(z_far[..., None], ray_idx)[..., 0]
+    if ndc:
+        center, ray = convert_NDC(center, ray, intr)
+    return center, ray, near, far
+
+
+def render_rays_nerf(params, cfg, pose, intr, ray_idx, z_near, z_far, key,
+                     progress=None, mode=None, compute_dtype=None):
+    """Coarse-NeRF render of the selected rays →
+    dict(rgb [B,R,3], depth [B,R,1], opacity [B,R,1])."""
+    center, ray, near, far = gather_rays(
+        pose, intr, ray_idx, z_near, z_far, cfg.H, cfg.W,
+        ndc=cfg.camera.get("ndc", False))
+    k_depth, k_density = jax.random.split(key)
+    depth_samples = sample_depth(
+        k_depth, near, far, cfg.nerf.sample_intvs,
+        stratified=cfg.nerf.sample_stratified and mode == "train",
+        param=cfg.nerf.depth.param)
+    rgb_samples, density_samples = forward_samples_nerf(
+        params, cfg, center, ray, depth_samples, progress=progress,
+        mode=mode, density_key=k_density, compute_dtype=compute_dtype)
+    out = composite(rgb_samples, density_samples, depth_samples, ray,
+                    setbg_opaque=cfg.nerf.get("setbg_opaque", False))
+    return dict(rgb=out["rgb"], depth=out["depth"], opacity=out["opacity"])
+
+
+def render_rays_nerf_st(params, cfg, pose, intr, ray_idx, z_near, z_far,
+                        latent_trans, latent_light, key, progress=None,
+                        mode=None, compute_dtype=None):
+    """Static/transient/light render of selected rays → the full composite
+    dict (rgb, rgb_static, rgb_transient, uncert, depth, opacities...)."""
+    center, ray, near, far = gather_rays(
+        pose, intr, ray_idx, z_near, z_far, cfg.H, cfg.W,
+        ndc=cfg.camera.get("ndc", False))
+    k_depth, k_density = jax.random.split(key)
+    depth_samples = sample_depth(
+        k_depth, near, far, cfg.nerf.sample_intvs,
+        stratified=cfg.nerf.sample_stratified and mode == "train",
+        param=cfg.nerf.depth.param)
+    rgb_samples, density_samples, uncert_samples = forward_samples_nerf_st(
+        params, cfg, center, ray, depth_samples, latent_trans, latent_light,
+        progress=progress, mode=mode, density_key=k_density,
+        compute_dtype=compute_dtype)
+    return composite_static_transient(
+        rgb_samples, density_samples, depth_samples, ray, uncert_samples,
+        min_uncert=cfg.nerf.get("min_uncert", 0.05))
+
+
+def _chunk_indices(HW, chunk):
+    """[num_chunks, chunk] int32 ray indices covering 0..HW-1, last chunk
+    padded by repeating the final index (harmless overdraw)."""
+    num_chunks = -(-HW // chunk)
+    idx = jnp.arange(num_chunks * chunk, dtype=jnp.int32)
+    return jnp.minimum(idx, HW - 1).reshape(num_chunks, chunk)
+
+
+def render_full_nerf(params, cfg, pose, intr, z_near, z_far, key,
+                     progress=None, compute_dtype=None, chunk=None):
+    """Full-frame coarse-NeRF render via lax.map over ray chunks.
+
+    Returns dict with [B,HW,C] leaves.  Deterministic (mid-bin samples).
+    """
+    B = pose.shape[0]
+    HW = cfg.H * cfg.W
+    chunk = chunk or cfg.nerf.rand_rays
+    chunks = _chunk_indices(HW, chunk)                          # [NC,chunk]
+
+    def body(ray_idx):
+        idx = jnp.broadcast_to(ray_idx[None], (B, ray_idx.shape[0]))
+        return render_rays_nerf(params, cfg, pose, intr, idx, z_near, z_far,
+                                key, progress, mode="eval",
+                                compute_dtype=compute_dtype)
+
+    out = jax.lax.map(body, chunks)                             # [NC,B,chunk,C]
+    out = {k: jnp.moveaxis(v, 0, 1).reshape(B, -1, v.shape[-1])[:, :HW]
+           for k, v in out.items()}
+    return out
+
+
+def render_full_nerf_st(params, cfg, pose, intr, z_near, z_far, latent_trans,
+                        latent_light, key, progress=None, compute_dtype=None,
+                        chunk=None, obj_mask=None):
+    """Full-frame static/transient render via lax.map over ray chunks.
+
+    If obj_mask [B,HW] is given, non-object pixels are composited to the
+    reference's defaults after the fact (rgb_static ← 1 white bg,
+    uncert ← min_uncert, opacity ← 0; model/nerf_adapt_st_gan.py:652-679).
+    """
+    B = pose.shape[0]
+    HW = cfg.H * cfg.W
+    chunk = chunk or cfg.nerf.rand_rays
+    chunks = _chunk_indices(HW, chunk)
+
+    def body(ray_idx):
+        idx = jnp.broadcast_to(ray_idx[None], (B, ray_idx.shape[0]))
+        return render_rays_nerf_st(params, cfg, pose, intr, idx, z_near,
+                                   z_far, latent_trans, latent_light, key,
+                                   progress, mode="eval",
+                                   compute_dtype=compute_dtype)
+
+    out = jax.lax.map(body, chunks)
+    out = {k: jnp.moveaxis(v, 0, 1).reshape(B, -1, v.shape[-1])[:, :HW]
+           if v.ndim == 4 else
+           jnp.moveaxis(v, 0, 1).reshape(B, -1, *v.shape[3:])[:, :HW]
+           for k, v in out.items()}
+    if obj_mask is not None:
+        m = obj_mask[..., None]
+        min_u = cfg.nerf.get("min_uncert", 0.05)
+        out["rgb_static"] = out["rgb_static"] * m + (1 - m)
+        out["rgb"] = out["rgb"] * m + (1 - m)
+        out["uncert"] = out["uncert"] * m + (1 - m) * min_u
+        for k in ("opacity", "opacity_static", "opacity_transient", "depth"):
+            out[k] = out[k] * m
+    return out

@@ -1,0 +1,480 @@
+"""Texture-GAN learner: the flagship engine.
+
+Capability parity with /root/reference/model/nerf_adapt_st_gan.py:
+  * static/transient/light NeRF on real crops under predicted poses, frozen
+    geometry trunk (:54-60, layers/nerf_static_transient_light.py)
+  * per-image trainable latent tables: transient 16-d, light 48-d (:56-60)
+  * FlexPatchSampler patch rays (:430-434) + grid-sampled supervision
+  * patch GAN with scale+geometry conditioning (:505-513), alternating
+    generator/discriminator steps with R1-style grad penalty (:108-171)
+  * losses: uncertainty-weighted render, uncert reg, transient reg,
+    VGG perceptual, Lab, GAN (:712-792)
+  * eval-time light-latent selection by top-k rotation distance (:487-502)
+  * full-frame synthesis w/ white-bg mask fill + PSNR/SSIM(+LPIPS) and
+    PNG export (:319-383)
+
+TPU-first design (deliberate deltas):
+  * ONE jitted train step contains the generator update AND the
+    discriminator update (two optax states) — replacing two .backward()
+    passes + toggle_grad; "freezing" is structural: each loss_fn only
+    receives the params it trains, the other side enters via closure with
+    stop_gradient semantics (jax.grad w.r.t. the first arg only).
+  * the per-step batch is gathered on-device from the prefetched whole-split
+    pytree with a random choice — no DataLoader processes.
+  * spectral-norm power-iteration vectors are explicit state threaded
+    through the step.
+  * patch-scale anneal + discriminator c2f progress are traced scalars.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+import optax
+
+from .base import Engine
+from .render import render_rays_nerf_st, render_full_nerf_st
+from .losses import (gan_loss, lab_loss, mse_loss, summarize_loss,
+                     uncertainty_reg_loss)
+from ..geometry.pose import rotation_distance
+from ..nn.fields import init_nerf_st
+from ..nn.discriminator import init_discriminator, apply_discriminator
+from ..nn.vgg import init_vgg19, load_vgg19_npz, perceptual_loss
+from ..ops.grid_sample import grid_sample
+from ..ops.ssim import ssim
+from ..sampling.patch import flex_patch_coords, current_scale_bounds
+from ..sampling.ray_sampler import get_rays, get_bounds
+from ..ops.render import sample_depth
+from ..nn.fields import forward_samples_nerf_st
+from ..ops.render import composite_static_transient
+from ..utils.log import log
+from ..utils.metrics import mse_to_psnr, write_quant
+from .pretrain import _compute_dtype
+
+
+def render_patch(nerf_params, cfg, pose, intr, coords, z_near, z_far,
+                 latent_trans, latent_light, key, progress, mode,
+                 compute_dtype=None):
+    """Patch-coordinate render (reference render() train path :547-631).
+
+    coords [B,h,w,2] in [-1,1] → composite dict with [B,hw,C] leaves plus
+    'density' [B,hw,N,2].
+    """
+    B, h, w, _ = coords.shape
+    center, ray = get_rays(intr, coords, pose, cfg.H, cfg.W)
+    center = center.reshape(B, h * w, 3)
+    ray = ray.reshape(B, h * w, 3)
+    near, far = get_bounds(coords, z_near, z_far, cfg.H, cfg.W)
+    near = near.reshape(B, h * w)
+    far = far.reshape(B, h * w)
+    k_depth, k_density = jax.random.split(key)
+    depth_samples = sample_depth(
+        k_depth, near, far, cfg.nerf.sample_intvs,
+        stratified=cfg.nerf.sample_stratified and mode == "train",
+        param=cfg.nerf.depth.param)
+    rgb_s, density_s, uncert_s = forward_samples_nerf_st(
+        nerf_params, cfg, center, ray, depth_samples, latent_trans,
+        latent_light, progress=progress, mode=mode, density_key=k_density,
+        compute_dtype=compute_dtype)
+    out = composite_static_transient(
+        rgb_s, density_s, depth_samples, ray, uncert_s,
+        min_uncert=cfg.nerf.get("min_uncert", 0.05))
+    out["density"] = density_s
+    return out
+
+
+def sample_patch_images(cfg, batch, coords):
+    """Grid-sample supervision signals at patch coords
+    (reference compute_loss :726-731 + sample_geometry :444-461).
+
+    Returns dict of [B,C,h,w]: image, image_syn (bilinear, align=True);
+    mask, mask_syn (nearest); nocs/normal (bilinear·mask_syn).
+    """
+    B = coords.shape[0]
+    H, W = cfg.H, cfg.W
+    image = batch["image"]
+    obj_mask = (batch["obj_mask"] > 0).astype(jnp.float32).reshape(B, 1, H, W)
+    out = {
+        "image": grid_sample(image, coords, "bilinear", align_corners=True),
+        "mask": grid_sample(obj_mask, coords, "nearest"),
+    }
+    if "image_syn" in batch:
+        mask_syn = (batch["mask_syn"] > 0).astype(jnp.float32).reshape(B, 1, H, W)
+        out["image_syn"] = grid_sample(batch["image_syn"], coords, "bilinear",
+                                       align_corners=True)
+        out["mask_syn"] = grid_sample(mask_syn, coords, "nearest")
+    else:
+        out["image_syn"] = out["image"]
+        out["mask_syn"] = out["mask"]
+    if "nocs_pred" in batch:
+        nocs = grid_sample(batch["nocs_pred"], coords, "bilinear",
+                           align_corners=True)
+        normal = grid_sample(batch["normal_pred"], coords, "bilinear",
+                             align_corners=True)
+        out["nocs"] = nocs * out["mask_syn"]
+        out["normal"] = normal * out["mask_syn"]
+    return out
+
+
+class TextureGANEngine(Engine):
+    """model=nerf_adapt_st_gan equivalent."""
+
+    # ------------------------------------------------------------------ data
+
+    def make_dataset(self, split):
+        if self.cfg.get("syn2real") and split != "train":
+            from ..data.lmsyn2real import LineMODSyn2RealDataset
+            return LineMODSyn2RealDataset(
+                self.cfg, split=split,
+                subset=self.cfg.data.get(f"{split}_sub"),
+                splits_root=self.cfg.data.get("splits_root", "splits"))
+        return super().make_dataset(split)
+
+    def load_dataset(self, eval_split="val"):
+        super().load_dataset(eval_split=eval_split)
+        self.pose_anchor = np.asarray(
+            self.train_data.get_all_camera_poses(source="gt"))
+
+    # ------------------------------------------------------------- networks
+
+    def build_networks(self, key=None):
+        cfg = self.cfg
+        key = key if key is not None else jax.random.PRNGKey(cfg.get("seed", 0))
+        k_nerf, k_disc, k_lt, k_ll, k_vgg = jax.random.split(key, 5)
+        log.info("building networks (st-nerf + discriminator + latents)...")
+        params = {"nerf": init_nerf_st(k_nerf, cfg)}
+        sn_state = None
+        if cfg.get("gan") is not None:
+            params["disc"], sn_state = init_discriminator(k_disc, cfg)
+        N = len(self.train_data)
+        latents = {
+            "trans": jax.random.normal(k_lt, (N, cfg.nerf.N_latent_trans)),
+            "light": jax.random.normal(k_ll, (N, cfg.nerf.N_latent_light)),
+        }
+        vgg_path = cfg.get("vgg_weights")
+        if vgg_path and os.path.exists(str(vgg_path)):
+            self.vgg_params = load_vgg19_npz(str(vgg_path))
+            log.info(f"loaded VGG19 weights from {vgg_path}")
+        else:
+            self.vgg_params = init_vgg19(k_vgg)
+            if self.cfg.loss_weight.get("feat") is not None:
+                log.warn("no vgg_weights provided — perceptual loss uses "
+                         "random (fixed) features")
+        self.state = dict(params=params, latents=latents, sn_state=sn_state)
+        return self.state
+
+    def max_iter(self):
+        cfg = self.cfg
+        if cfg.get("max_iter"):
+            return int(cfg.max_iter)
+        return int(cfg.max_epoch * len(self.train_data) // cfg.batch_size)
+
+    def setup_optimizer(self):
+        cfg = self.cfg
+        max_iter = self.max_iter()
+        steps_per_epoch = max(len(self.train_data) // cfg.batch_size, 1)
+        lr, lr_end = cfg.optim.lr, cfg.optim.get("lr_end")
+        if lr_end:
+            # reference: ExponentialLR stepped per-epoch with
+            # gamma=(lr_end/lr)^(1/max_epoch) (:72-82) → staircase decay
+            n_epochs = max(max_iter // steps_per_epoch, 1)
+            sched = optax.exponential_decay(
+                lr, transition_steps=steps_per_epoch,
+                decay_rate=(lr_end / lr) ** (1.0 / n_epochs), staircase=True)
+        else:
+            sched = lr
+        self.opt_nerf = optax.adam(sched)
+        gen_params = {"nerf": self.state["params"]["nerf"],
+                      "latents": self.state["latents"]}
+        self.state["opt_nerf"] = self.opt_nerf.init(gen_params)
+        if cfg.get("gan") is not None:
+            # torch RMSprop defaults: alpha=0.99, eps=1e-8
+            self.opt_disc = optax.rmsprop(cfg.optim_disc.lr, decay=0.99,
+                                          eps=1e-8)
+            self.state["opt_disc"] = self.opt_disc.init(
+                self.state["params"]["disc"])
+        self.step_fn = self._make_train_step()
+
+    # ------------------------------------------------------------ train step
+
+    def _make_train_step(self):
+        cfg = self.cfg
+        max_iter = self.max_iter()
+        B = int(cfg.batch_size)
+        N = len(self.train_data)
+        lw = cfg.loss_weight
+        use_gan = cfg.get("gan") is not None
+        dtype = _compute_dtype(cfg)
+        vgg_params = self.vgg_params
+        patch_cfg = cfg.get("patch", {})
+
+        def gen_forward(gen_params, disc_params, sn_state, batch, idx,
+                        coords, scales, key, progress):
+            latent_trans = gen_params["latents"]["trans"][idx]
+            latent_light = gen_params["latents"]["light"][idx]
+            pose = batch["pose_init"] if cfg.data.pose_source == "predicted" \
+                else batch["pose"]
+            out = render_patch(
+                gen_params["nerf"], cfg, pose, batch["intr"], coords,
+                batch["z_near"], batch["z_far"], latent_trans, latent_light,
+                key, progress, mode="train", compute_dtype=dtype)
+            h = w = int(cfg.patch_size)
+            rgb = out["rgb"].reshape(B, h, w, 3).transpose(0, 3, 1, 2)
+            uncert = out["uncert"].reshape(B, h, w, 1).transpose(0, 3, 1, 2)
+            sup = sample_patch_images(cfg, batch, coords)
+
+            loss = {}
+            mask, image = sup["mask"], sup["image"]
+            if lw.get("render") is not None:
+                if cfg.nerf.get("mask_obj"):
+                    loss["render"] = (mask * ((image - rgb) ** 2
+                                              / uncert ** 2)).sum() \
+                        / (mask.sum() + 1e-5)
+                else:
+                    loss["render"] = mse_loss(rgb, image)
+            if lw.get("mask") is not None:
+                opac = out["opacity"].reshape(B, h, w, 1).transpose(0, 3, 1, 2)
+                loss["mask"] = mse_loss(opac, mask)
+            if lw.get("uncert") is not None:
+                loss["uncert"] = uncertainty_reg_loss(out["uncert"])
+            if lw.get("trans_reg") is not None:
+                loss["trans_reg"] = out["density"][..., -1].mean()
+            if lw.get("feat") is not None:
+                mask_pad = ((sup["mask_syn"] == 1) & (mask == 0)).astype(
+                    rgb.dtype)
+                loss["feat"] = (
+                    perceptual_loss(vgg_params, rgb,
+                                    image * mask + sup["image_syn"] * mask_pad)
+                    + 5 * perceptual_loss(
+                        vgg_params, rgb * mask + image * (1 - mask), image))
+            if lw.get("lab") is not None:
+                loss["lab"], _, _ = lab_loss(rgb, sup["image_syn"],
+                                             mask=sup["mask_syn"])
+            if use_gan and lw.get("gan_nerf") is not None:
+                patch_fake = rgb
+                if cfg.gan.geo_conditional:
+                    patch_fake = jnp.concatenate(
+                        [rgb, sup["nocs"], sup["normal"]], axis=1)
+                d_fake, _ = apply_discriminator(
+                    jax.lax.stop_gradient(disc_params), sn_state, cfg,
+                    patch_fake, scales, progress, training=False)
+                loss["gan_nerf"] = gan_loss(d_fake, 1, cfg.gan.type)
+            total, loss = summarize_loss(loss, lw)
+            return total, (loss, rgb, sup)
+
+        def disc_loss_fn(disc_params, sn_state, patch_real, patch_fake,
+                         scales, progress):
+            d_real, sn1 = apply_discriminator(disc_params, sn_state, cfg,
+                                              patch_real, scales, progress)
+            d_fake, sn2 = apply_discriminator(disc_params, sn1, cfg,
+                                              patch_fake, scales, progress)
+            loss = {
+                "gan_disc_real": gan_loss(d_real, 1, cfg.gan.type),
+                "gan_disc_fake": gan_loss(d_fake, 0, cfg.gan.type),
+            }
+            total = (10.0 ** float(lw.gan_disc_real) * loss["gan_disc_real"]
+                     + 10.0 ** float(lw.gan_disc_fake) * loss["gan_disc_fake"])
+            # R1-style penalties: ∇ of D(x).sum() w.r.t. the input patch
+            # (reference compute_grad2 :794-807, applied in disc_trainstep)
+            if lw.get("gan_reg_real") is not None:
+                g = jax.grad(lambda x: apply_discriminator(
+                    disc_params, sn_state, cfg, x, scales, progress)[0].sum()
+                )(patch_real)
+                reg = (g ** 2).reshape(B, -1).sum(axis=1).mean()
+                loss["gan_reg_real"] = reg
+                total = total + 10.0 ** float(lw.gan_reg_real) * reg
+            if lw.get("gan_reg_fake") is not None:
+                g = jax.grad(lambda x: apply_discriminator(
+                    disc_params, sn_state, cfg, x, scales, progress)[0].sum()
+                )(patch_fake)
+                reg = (g ** 2).reshape(B, -1).sum(axis=1).mean()
+                loss["gan_reg_fake"] = reg
+                total = total + 10.0 ** float(lw.gan_reg_fake) * reg
+            return total, (loss, sn2)
+
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dp = NamedSharding(mesh, P("dp"))
+            assert B % mesh.shape["dp"] == 0, \
+                f"batch_size {B} must divide the mesh ({mesh.shape})"
+
+        @jax.jit
+        def step(state, batch_all, key, it):
+            k_batch, k_patch, k_render = jax.random.split(key, 3)
+            progress = it.astype(jnp.float32) / max_iter
+            idx = jax.random.choice(k_batch, N, (B,), replace=B > N)
+            batch = jax.tree_util.tree_map(lambda x: x[idx], batch_all)
+            if mesh is not None:
+                # DP over the patch-batch axis: one patch render + disc
+                # column per chip; grads psum over ICI
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.lax.with_sharding_constraint(x, dp), batch)
+            coords, scales = flex_patch_coords(
+                k_patch, B, int(cfg.patch_size), iteration=it,
+                min_scale=patch_cfg.get("min_scale", 0.25),
+                max_scale=patch_cfg.get("max_scale", 1.0),
+                scale_anneal=patch_cfg.get("scale_anneal", 0.0002))
+            if mesh is not None:
+                coords = jax.lax.with_sharding_constraint(coords, dp)
+                scales = jax.lax.with_sharding_constraint(scales, dp)
+
+            # ---- generator (nerf + latents) step ----
+            gen_params = {"nerf": state["params"]["nerf"],
+                          "latents": state["latents"]}
+            grads, (gloss, rgb, sup) = jax.grad(
+                gen_forward, has_aux=True)(
+                gen_params, state["params"].get("disc"), state["sn_state"],
+                batch, idx, coords, scales, k_render, progress)
+            updates, opt_nerf = self.opt_nerf.update(
+                grads, state["opt_nerf"], gen_params)
+            gen_params = optax.apply_updates(gen_params, updates)
+            new_state = dict(state)
+            new_state["params"] = dict(state["params"],
+                                       nerf=gen_params["nerf"])
+            new_state["latents"] = gen_params["latents"]
+            new_state["opt_nerf"] = opt_nerf
+
+            # ---- discriminator step (reuses the pre-update render) ----
+            dloss = {}
+            if use_gan:
+                rgb_d = jax.lax.stop_gradient(rgb)
+                mask, mask_syn = sup["mask"], sup["mask_syn"]
+                mask_pad = ((mask_syn == 1) & (mask == 0)).astype(rgb_d.dtype)
+                patch_real = sup["image"] * mask + rgb_d * mask_pad
+                patch_fake = rgb_d
+                if cfg.gan.geo_conditional:
+                    patch_real = jnp.concatenate(
+                        [patch_real, sup["nocs"], sup["normal"]], axis=1)
+                    patch_fake = jnp.concatenate(
+                        [patch_fake, sup["nocs"], sup["normal"]], axis=1)
+                dgrads, (dloss, sn2) = jax.grad(
+                    disc_loss_fn, has_aux=True)(
+                    state["params"]["disc"], state["sn_state"], patch_real,
+                    patch_fake, scales, progress)
+                dupd, opt_disc = self.opt_disc.update(
+                    dgrads, state["opt_disc"], state["params"]["disc"])
+                new_state["params"]["disc"] = optax.apply_updates(
+                    state["params"]["disc"], dupd)
+                new_state["opt_disc"] = opt_disc
+                new_state["sn_state"] = sn2
+                dloss = {f"{k}": v for k, v in dloss.items()}
+
+            loss_out = dict(gloss)
+            loss_out.update(dloss)
+            return new_state, loss_out
+
+        return step
+
+    def rays_per_step(self):
+        return int(self.cfg.batch_size) * int(self.cfg.patch_size) ** 2
+
+    # -------------------------------------------------------------- val/eval
+
+    def _select_light_latent(self, pose, k=None, rng=None):
+        """Top-k rotation-distance anchor poses → random pick among them
+        (reference :487-502)."""
+        k = k or int(self.cfg.render.N_candidate)
+        rd = np.asarray(rotation_distance(
+            jnp.asarray(pose[None, :, :3]),
+            jnp.asarray(self.pose_anchor[:, :, :3])))
+        cand = np.argsort(rd)[:k]
+        rng = rng or np.random.default_rng(0)
+        return int(cand[rng.integers(len(cand))])
+
+    def _render_frame_st(self, frame, latent_trans, latent_light,
+                         masked=True):
+        cfg = self.cfg
+        if not hasattr(self, "_render_jit"):
+            @jax.jit
+            def fn(params, pose, intr, z_near, z_far, lt, ll, obj_mask):
+                return render_full_nerf_st(
+                    params, cfg, pose, intr, z_near, z_far, lt, ll,
+                    jax.random.PRNGKey(0), progress=jnp.asarray(1.0),
+                    compute_dtype=_compute_dtype(cfg),
+                    obj_mask=obj_mask)
+            self._render_jit = fn
+        obj_mask = (frame["obj_mask"].reshape(1, -1) > 0).astype(jnp.float32) \
+            if masked else jnp.ones((1, cfg.H * cfg.W), jnp.float32)
+        return self._render_jit(self.state["params"]["nerf"], frame["pose"],
+                                frame["intr"], frame["z_near"],
+                                frame["z_far"], latent_trans, latent_light,
+                                obj_mask)
+
+    def _frame(self, batch, i):
+        return {k: v[i:i + 1] for k, v in batch.items()}
+
+    def validate(self, it):
+        cfg = self.cfg
+        n = min(len(self.eval_data), cfg.data.get("val_sub") or 1)
+        lt = self.state["latents"]["trans"][0:1]
+        ll = self.state["latents"]["light"][0:1]
+        psnrs = []
+        for i in range(n):
+            frame = self._frame(self.eval_batch, i)
+            out = self._render_frame_st(frame, lt, ll)
+            mask = frame["obj_mask"].reshape(1, -1, 1)
+            image = frame["image"].reshape(1, 3, -1).transpose(0, 2, 1)
+            mse = mse_loss(out["rgb"], image * mask)
+            psnrs.append(float(mse_to_psnr(mse)))
+        mean = {"PSNR": float(np.mean(psnrs))}
+        self.writer.scalars(it, mean, split="val")
+        log.info(f"[val {it}] PSNR={mean['PSNR']:.2f}")
+        return mean
+
+    def evaluate_full(self):
+        """Novel-view synthesis over the test split + BOP-format export
+        (reference :319-383)."""
+        cfg = self.cfg
+        ckpt_num = "last"
+        test_path = cfg.render.get("save_path") or os.path.join(
+            cfg.output_path, f"test_view_{ckpt_num}")
+        os.makedirs(test_path, exist_ok=True)
+        rng = np.random.default_rng(0)
+        rows = []
+        raw_hw = getattr(self.eval_data, "raw_hw", None)
+        for i in range(len(self.eval_data)):
+            frame = self._frame(self.eval_batch, i)
+            pose_gt = np.asarray(frame["pose"])[0]
+            li = self._select_light_latent(pose_gt, rng=rng)
+            ll = self.state["latents"]["light"][li:li + 1]
+            if cfg.render.transient == "zero":
+                lt = jnp.zeros((1, cfg.nerf.N_latent_trans))
+            else:
+                lt = self.state["latents"]["trans"][li:li + 1]
+            out = self._render_frame_st(frame, lt, ll)
+            rgb = np.asarray(out["rgb_static"]).reshape(cfg.H, cfg.W, 3)
+            mask = np.asarray(frame["obj_mask"]).reshape(cfg.H, cfg.W, 1)
+            image = np.asarray(frame["image"])[0].transpose(1, 2, 0) * mask
+            if raw_hw is not None and tuple(raw_hw) != (cfg.H, cfg.W):
+                rgb = cv2.resize(rgb, (raw_hw[1], raw_hw[0]),
+                                 interpolation=cv2.INTER_LINEAR)
+                image = cv2.resize(image, (raw_hw[1], raw_hw[0]),
+                                   interpolation=cv2.INTER_LINEAR)
+            p = float(mse_to_psnr(jnp.mean((jnp.asarray(rgb) -
+                                            jnp.asarray(image)) ** 2)))
+            s = float(ssim(jnp.asarray(rgb.transpose(2, 0, 1))[None],
+                           jnp.asarray(image.transpose(2, 0, 1))[None]))
+            rows.append(dict(psnr=p, ssim=s, lpips=float("nan")))
+            fi = int(np.asarray(frame["frame_index"])[0])
+            cv2.imwrite(os.path.join(test_path, f"{fi:06d}.png"),
+                        (np.clip(rgb, 0, 1) * 255)[..., ::-1].astype(np.uint8))
+        mean_psnr = float(np.mean([r["psnr"] for r in rows]))
+        mean_ssim = float(np.mean([r["ssim"] for r in rows]))
+        log.info(f"PSNR:  {mean_psnr:8.2f}")
+        log.info(f"SSIM:  {mean_ssim:8.2f}")
+        write_quant(cfg.output_path, rows)
+        return dict(psnr=mean_psnr, ssim=mean_ssim)
+
+    def log_scalars(self, it, loss, split="train"):
+        super().log_scalars(it, loss, split=split)
+        lo, hi = current_scale_bounds(
+            it, self.cfg.get("patch", {}).get("min_scale", 0.25),
+            self.cfg.get("patch", {}).get("max_scale", 1.0),
+            self.cfg.get("patch", {}).get("scale_anneal", 0.0002))
+        self.writer.scalars(it, {"patch_scale_min": lo,
+                                 "patch_scale_max": hi}, split=split)
