@@ -101,7 +101,7 @@ def test_pretrain_e2e(fixture_root, tmp_path):
     from texpose_tpu.utils import checkpoint as ckpt
     fname = os.path.join(cfg.output_path, "model.ckpt")
     state2 = ckpt.restore_checkpoint(
-        fname, dict(eng.state, step=np.int64(0)))
+        fname, dict(eng.state, step=np.int32(0)))
     assert int(state2["step"]) == cfg.max_iter
     chex_like = jax.tree_util.tree_all(
         jax.tree_util.tree_map(lambda a, b: np.allclose(a, b),

@@ -1,0 +1,83 @@
+"""syn2real full-frame dataset + texture-GAN eval/export path."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from texpose_tpu.data.fixture import generate_fixture
+from texpose_tpu.data.lmsyn2real import LineMODSyn2RealDataset
+from test_texture_gan_e2e import tiny_gan_cfg
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    return generate_fixture(str(tmp_path_factory.mktemp("bop")),
+                            n_train=4, n_test=2, scene="scene_all",
+                            image_scale=0.25, crop_res=32)
+
+
+def test_syn2real_dataset(root, tmp_path):
+    cfg = tiny_gan_cfg(root, tmp_path)
+    cfg.data.image_size = [60, 80]
+    cfg.data.raw_size = [120, 160]
+    cfg.H, cfg.W = 60, 80
+    ds = LineMODSyn2RealDataset(cfg, split="test",
+                                splits_root=cfg.data.splits_root)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["image"].shape == (3, 60, 80)
+    assert s["z_near"].shape == (60 * 80,)
+    assert s["obj_mask"].shape == (60, 80)
+    # intrinsics rescaled by H ratio with the +0.5 convention
+    K, _, _ = ds.get_camera(0)
+    assert abs(K[0, 0] / (572.4114 * 0.25) - 0.5) < 0.01
+    # bounds bracket the object depth where the mask hits
+    m = s["obj_mask"].reshape(-1) > 0
+    assert (s["z_near"][m] < 4.5).all() and (s["z_far"][m] > 3.5).all()
+
+
+def test_syn2real_eval_export(root, tmp_path):
+    """Train briefly at crop size, then evaluate syn2real full-frame with a
+    fresh engine sharing the checkpoint-free state (reference runs this as
+    evaluate.py --syn2real with image_size=[480,640])."""
+    import jax
+    import jax.numpy as jnp
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    cfg = tiny_gan_cfg(root, tmp_path)
+    cfg.max_iter = 3
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+    key = jax.random.PRNGKey(0)
+    for it in range(3):
+        key, sub = jax.random.split(key)
+        eng.state, _ = eng.step_fn(eng.state, eng.train_batch, sub,
+                                   jnp.asarray(it, jnp.int32))
+    eng.save_checkpoint(3)
+
+    cfg2 = tiny_gan_cfg(root, tmp_path)
+    cfg2.syn2real = True
+    cfg2.resume = True
+    cfg2.data.image_size = [60, 80]
+    cfg2.data.raw_size = [120, 160]
+    cfg2.H, cfg2.W = 60, 80
+    eng2 = TextureGANEngine(cfg2)
+    eng2.load_dataset(eval_split="test")
+    eng2.build_networks()
+    eng2.setup_optimizer()
+    assert eng2.restore_checkpoint()
+    res = eng2.evaluate_full()
+    assert np.isfinite(res["psnr"])
+    out_dir = os.path.join(cfg2.output_path, "test_view_last")
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == 2
+    import cv2
+    img = cv2.imread(os.path.join(out_dir, files[0]))
+    # export upsampled to the raw full-frame size (reference :341-349)
+    assert img.shape == (120, 160, 3)

@@ -37,6 +37,8 @@ class LineMODDataset:
         self.split = split
         self.multi_obj = multi_obj
         self.H, self.W = cfg.H, cfg.W
+        if cfg.data.get("raw_size"):
+            self.raw_H, self.raw_W = cfg.data.raw_size
         self.data_path = os.path.join(cfg.data.root, cfg.data.dataset)
         split_path = os.path.join(splits_root, cfg.data.dataset,
                                   str(cfg.data.object), cfg.data.scene,

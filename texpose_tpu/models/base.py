@@ -77,7 +77,7 @@ class Engine:
 
     def save_checkpoint(self, it):
         state = dict(self.state)
-        state["step"] = np.int64(it)
+        state["step"] = np.int32(it)
         fname = ckpt.save_checkpoint(self.cfg.output_path, state, it=it,
                                      keep_numbered=True)
         log.info(f"saved checkpoint {fname} @ step {it}")
@@ -88,7 +88,7 @@ class Engine:
         if not (self.cfg.get("resume") and os.path.exists(fname)):
             return False
         template = dict(self.state)
-        template["step"] = np.int64(0)
+        template["step"] = np.int32(0)
         restored = ckpt.restore_checkpoint(fname, template)
         self.start_step = int(restored.pop("step"))
         self.state = restored

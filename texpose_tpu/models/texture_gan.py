@@ -126,11 +126,14 @@ class TextureGANEngine(Engine):
     # ------------------------------------------------------------------ data
 
     def make_dataset(self, split):
-        if self.cfg.get("syn2real") and split != "train":
+        if self.cfg.get("syn2real"):
+            # full-frame dataset for BOTH splits, like the reference's
+            # dataset_name = dataset + 'syn2real' (:34-38)
             from ..data.lmsyn2real import LineMODSyn2RealDataset
             return LineMODSyn2RealDataset(
                 self.cfg, split=split,
                 subset=self.cfg.data.get(f"{split}_sub"),
+                multi_obj=self.cfg.data.get("multi_obj", False),
                 splits_root=self.cfg.data.get("splits_root", "splits"))
         return super().make_dataset(split)
 
