@@ -161,6 +161,31 @@ class Engine:
         items = " ".join(f"{k}={v:.4g}" for k, v in host.items())
         log.info(f"[{split} {it}] {items}")
 
+    # --------------------------------------------------------------- metrics
+
+    def lpips(self, rgb, image):
+        """LPIPS(alex) on [B,3,H,W] images in [0,1] (reference evaluates
+        lpips on 2x-1 scaled tensors, model/nerf_adapt_st_gan.py:363).
+
+        Uses ported weights when cfg.lpips_weights points at an npz;
+        otherwise deterministic random features (calibration pending —
+        flagged once via log).
+        """
+        if not hasattr(self, "_lpips_params"):
+            from ..nn.lpips import init_lpips, load_lpips_npz, lpips_distance
+            path = self.cfg.get("lpips_weights")
+            if path and os.path.exists(str(path)):
+                self._lpips_params = load_lpips_npz(str(path))
+                log.info(f"loaded LPIPS weights from {path}")
+            else:
+                self._lpips_params = init_lpips(jax.random.PRNGKey(0))
+                log.warn("no lpips_weights provided — LPIPS uses random "
+                         "(fixed) AlexNet features")
+            self._lpips_fn = jax.jit(
+                lambda x, y: lpips_distance(self._lpips_params, x, y))
+        return float(np.asarray(
+            self._lpips_fn(rgb * 2 - 1, image * 2 - 1)).mean())
+
     # ------------------------------------------------------------ interface
 
     def build_networks(self, key=None):

@@ -217,9 +217,10 @@ class PretrainEngine(Engine):
             mask = np.asarray(frame["obj_mask"]).reshape(cfg.H, cfg.W, 1)
             image = np.asarray(frame["image"])[0].transpose(1, 2, 0) * mask
             p = float(mse_to_psnr(jnp.mean((rgb - image) ** 2)))
-            s = float(ssim(jnp.asarray(rgb.transpose(2, 0, 1))[None],
-                           jnp.asarray(image.transpose(2, 0, 1))[None]))
-            rows.append(dict(psnr=p, ssim=s, lpips=float("nan")))
+            rgb_t = jnp.asarray(rgb.transpose(2, 0, 1))[None]
+            img_t = jnp.asarray(image.transpose(2, 0, 1))[None]
+            s = float(ssim(rgb_t, img_t))
+            rows.append(dict(psnr=p, ssim=s, lpips=self.lpips(rgb_t, img_t)))
             fi = int(np.asarray(frame["frame_index"])[0])
             cv2.imwrite(os.path.join(rgb_dir, f"{fi:06d}.png"),
                         (np.clip(rgb, 0, 1) * 255)[..., ::-1].astype(np.uint8))

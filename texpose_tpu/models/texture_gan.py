@@ -460,9 +460,10 @@ class TextureGANEngine(Engine):
                                    interpolation=cv2.INTER_LINEAR)
             p = float(mse_to_psnr(jnp.mean((jnp.asarray(rgb) -
                                             jnp.asarray(image)) ** 2)))
-            s = float(ssim(jnp.asarray(rgb.transpose(2, 0, 1))[None],
-                           jnp.asarray(image.transpose(2, 0, 1))[None]))
-            rows.append(dict(psnr=p, ssim=s, lpips=float("nan")))
+            rgb_t = jnp.asarray(rgb.transpose(2, 0, 1))[None]
+            img_t = jnp.asarray(image.transpose(2, 0, 1))[None]
+            s = float(ssim(rgb_t, img_t))
+            rows.append(dict(psnr=p, ssim=s, lpips=self.lpips(rgb_t, img_t)))
             fi = int(np.asarray(frame["frame_index"])[0])
             cv2.imwrite(os.path.join(test_path, f"{fi:06d}.png"),
                         (np.clip(rgb, 0, 1) * 255)[..., ::-1].astype(np.uint8))
