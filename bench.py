@@ -59,15 +59,16 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # warmup (compile + first steps)
-    for it in range(3):
+    warmup = 10
+    for it in range(warmup):
         key, sub = jax.random.split(key)
         eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
                                       jnp.asarray(it, jnp.int32))
     jax.block_until_ready(loss["all"])
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "50"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "100"))
     t0 = time.perf_counter()
-    for it in range(3, 3 + n_steps):
+    for it in range(warmup, warmup + n_steps):
         key, sub = jax.random.split(key)
         eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
                                       jnp.asarray(it, jnp.int32))

@@ -1,0 +1,87 @@
+"""Pallas fused-trunk kernel tests (interpreter mode on the CPU backend)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from texpose_tpu.kernels.fused_trunk import (fused_trunk_forward,
+                                             plain_trunk_forward,
+                                             fused_trunk_available)
+from texpose_tpu.nn.init import dense_init
+from texpose_tpu.nn.fields import init_trunk, apply_trunk, _encode_points
+from texpose_tpu.utils.config import Config, process_options
+
+
+def _params(key, dims):
+    ws, bs = [], []
+    for i, (a, b) in enumerate(dims):
+        p = dense_init(jax.random.fold_in(key, i), a, b)
+        ws.append(p["w"])
+        bs.append(p["b"])
+    return ws, bs
+
+
+@pytest.mark.skipif(not fused_trunk_available(), reason="no pallas")
+def test_fused_matches_plain_and_grads(key):
+    L, skip = 6, (2,)
+    enc = 3 + 6 * L
+    dims = [(enc, 64), (64, 64), (64 + enc, 64), (64, 65)]
+    ws, bs = _params(key, dims)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (777, 3))
+    c2f = jnp.array([1.0, 1.0, 0.8, 0.3, 0.0, 0.0])
+
+    f1, d1 = plain_trunk_forward(pts, c2f, ws, bs, skip, L)
+    f2, d2 = fused_trunk_forward(pts, c2f, ws, bs, skip, L, tile=256,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+
+    def loss(fn):
+        def inner(ws_, pts_):
+            f, d = fn(pts_, c2f, ws_, bs, skip, L)
+            return (f ** 2).mean() + (jnp.tanh(d) ** 2).mean()
+        return inner
+
+    g1 = jax.grad(loss(lambda *a: plain_trunk_forward(*a)),
+                  argnums=(0, 1))(tuple(ws), pts)
+    g2 = jax.grad(loss(lambda *a: fused_trunk_forward(*a, tile=256,
+                                                      interpret=True)),
+                  argnums=(0, 1))(tuple(ws), pts)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.skipif(not fused_trunk_available(), reason="no pallas")
+def test_fused_matches_field_apply_trunk(key):
+    """The kernel's math must equal nn.fields.apply_trunk (posenc included,
+    c2f window, density split)."""
+    cfg = process_options(Config({
+        "arch": {"layers_feat": [None, 32, 32, 32], "skip": [1],
+                 "posenc": {"L_3D": 4}, "density_activ": "softplus",
+                 "tf_init": True},
+        "nerf": {"view_dep": False, "density_noise_reg": None,
+                 "depth": {"scale": 10, "range": [0, 3]}},
+        "c2f": [0.1, 0.5],
+        "data": {"image_size": [8, 8]},
+    }))
+    layers = init_trunk(key, cfg)
+    pts = jax.random.normal(jax.random.PRNGKey(2), (50, 3))
+    progress = jnp.asarray(0.3)
+
+    enc = _encode_points(cfg, pts, progress)
+    feat_ref, dens_ref = apply_trunk(layers, cfg, enc)
+
+    from texpose_tpu.nn.fields import _c2f_band_weights
+    c2f_w = _c2f_band_weights(cfg, 4, progress)
+    ws = [lp["w"] for lp in layers]
+    bs = [lp["b"] for lp in layers]
+    feat, dens_raw = fused_trunk_forward(pts, c2f_w, ws, bs,
+                                         tuple(cfg.arch.skip), 4,
+                                         tile=64, interpret=True)
+    dens = jax.nn.softplus(dens_raw)
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(feat_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dens), np.asarray(dens_ref),
+                               atol=1e-5)

@@ -1,0 +1,179 @@
+"""Pallas TPU kernel: fused positional-encoding + trunk MLP forward.
+
+The hot loop of every stage is the 8x256 feature/density trunk evaluated on
+B*R*N ray samples (SURVEY.md §3, hot loops #1).  The plain XLA path writes
+each [M,256] activation to HBM between layers (~13 matmul round-trips);
+this kernel keeps the whole pipeline in VMEM per row-tile:
+
+    points [T,3] -> c2f-windowed posenc [T,63] -> L dense layers (+skip,
+    ReLU) -> (feat [T,256], density_raw [T])
+
+Weights stay resident in VMEM across the row grid (~2 MB for 8x256 f32).
+Matmuls hit the MXU via jnp.dot with f32 accumulation (bf16 inputs).
+
+Gradients: the op carries a custom_vjp whose backward is XLA autodiff of
+the numerically-identical plain implementation (rematerialized) — the
+texture stage never differentiates the trunk (frozen, stop_gradient), so
+its step sees pure kernel speed; pretrain gets the fast forward plus the
+standard XLA backward.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+
+def fused_trunk_available():
+    return _PALLAS_OK
+
+
+def _posenc_rows(pts, L, freq, c2f_w):
+    """[T,3] → [T, 3+6L] identity+sin/cos encoding with per-band window
+    c2f_w [L] (matches ops/posenc.py layout: per dim [sin_0..sin_{L-1},
+    cos_0..cos_{L-1}], dims stacked then flattened dim-major).  freq [L] is
+    passed in (π·2^k) — Pallas kernels can't capture array constants."""
+    spec = pts[:, :, None] * freq[None, None, :]                 # [T,3,L]
+    enc = jnp.stack([jnp.sin(spec), jnp.cos(spec)], axis=2)      # [T,3,2,L]
+    enc = enc * c2f_w[None, None, None, :]
+    enc = enc.reshape(pts.shape[0], 6 * L)
+    return jnp.concatenate([pts, enc], axis=-1)                  # [T,3+6L]
+
+
+def _freq(L, dtype=jnp.float32):
+    return jnp.asarray((2.0 ** np.arange(L)) * np.pi, dtype)
+
+
+def _plain_forward(pts, c2f_w, weights, biases, skip, L, compute_dtype):
+    """Reference implementation (same math as nn.fields.apply_trunk)."""
+    x = _posenc_rows(pts, L, _freq(L, pts.dtype), c2f_w)
+    h = x
+    n = len(weights)
+    density_raw = None
+    for li in range(n):
+        if li in skip:
+            h = jnp.concatenate([h, x], axis=-1)
+        hc = h.astype(compute_dtype) if compute_dtype else h
+        wc = weights[li].astype(compute_dtype) if compute_dtype else weights[li]
+        h = jax.lax.dot_general(hc, wc, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        h = h + biases[li]
+        if li == n - 1:
+            density_raw = h[:, 0]
+            h = h[:, 1:]
+        h = jnp.maximum(h, 0.0)
+    return h, density_raw
+
+
+def _kernel(L, skip, n_layers, compute_dtype,
+            pts_ref, aux_ref, *refs):
+    w_refs = refs[:n_layers]
+    b_refs = refs[n_layers:2 * n_layers]
+    feat_ref, dens_ref = refs[2 * n_layers:]
+    pts = pts_ref[...]
+    x = _posenc_rows(pts, L, aux_ref[0], aux_ref[1])
+    h = x
+    for li in range(n_layers):
+        if li in skip:
+            h = jnp.concatenate([h, x], axis=-1)
+        hc = h.astype(compute_dtype)
+        wc = w_refs[li][...].astype(compute_dtype)
+        h = jax.lax.dot_general(hc, wc, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        h = h + b_refs[li][...]
+        if li == n_layers - 1:
+            dens_ref[...] = h[:, 0]
+            h = h[:, 1:]
+        h = jnp.maximum(h, 0.0)
+    feat_ref[...] = h
+
+
+def _pallas_forward(pts, c2f_w, weights, biases, skip, L, compute_dtype,
+                    tile=512, interpret=False):
+    M = pts.shape[0]
+    pad = (-M) % tile
+    pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
+    n = len(weights)
+    feat_dim = weights[-1].shape[1] - 1
+    grid = ((M + pad) // tile,)
+
+    kernel = functools.partial(_kernel, L, skip, n,
+                               compute_dtype or jnp.float32)
+    aux = jnp.stack([_freq(L, pts.dtype), c2f_w.astype(pts.dtype)])  # [2,L]
+    in_specs = [pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM)]       # aux [2,L]
+    for w in weights:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    for b in biases:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    out_specs = (pl.BlockSpec((tile, feat_dim), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((tile,), lambda i: (i,),
+                              memory_space=pltpu.VMEM))
+    feat, dens = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=(jax.ShapeDtypeStruct((M + pad, feat_dim), jnp.float32),
+                   jax.ShapeDtypeStruct((M + pad,), jnp.float32)),
+        interpret=interpret,
+    )(pts_p, aux, *weights, *biases)
+    return feat[:M], dens[:M]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _fused_trunk(pts, c2f_w, weights, biases, skip, L, compute_dtype,
+                 tile, interpret):
+    return _pallas_forward(pts, c2f_w, list(weights), list(biases), skip, L,
+                           compute_dtype, tile, interpret)
+
+
+def _fwd(pts, c2f_w, weights, biases, skip, L, compute_dtype, tile,
+         interpret):
+    out = _pallas_forward(pts, c2f_w, list(weights), list(biases), skip, L,
+                          compute_dtype, tile, interpret)
+    return out, (pts, c2f_w, weights, biases)
+
+
+def _bwd(skip, L, compute_dtype, tile, interpret, res, g):
+    pts, c2f_w, weights, biases = res
+    _, vjp = jax.vjp(
+        lambda p, c, w, b: _plain_forward(p, c, list(w), list(b), skip, L,
+                                          compute_dtype), pts, c2f_w,
+        weights, biases)
+    return vjp(g)
+
+
+_fused_trunk.defvjp(_fwd, _bwd)
+
+
+def fused_trunk_forward(pts, c2f_w, weights, biases, skip, L,
+                        compute_dtype=None, tile=512, interpret=False):
+    """Fused trunk: pts [M,3], c2f_w [L] band window (ones = no anneal),
+    weights/biases tuples per layer → (feat [M,F], density_raw [M]).
+
+    Differentiable (backward = XLA autodiff of the identical plain path).
+    """
+    return _fused_trunk(pts, c2f_w, tuple(weights), tuple(biases),
+                        tuple(sorted(skip)), int(L), compute_dtype, int(tile),
+                        bool(interpret))
+
+
+def plain_trunk_forward(pts, c2f_w, weights, biases, skip, L,
+                        compute_dtype=None):
+    """Reference path (used for parity tests and as the CPU fallback)."""
+    return _plain_forward(pts, c2f_w, list(weights), list(biases),
+                          tuple(sorted(skip)), int(L), compute_dtype)

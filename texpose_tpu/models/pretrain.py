@@ -146,7 +146,9 @@ class PretrainEngine(Engine):
             total, loss = summarize_loss(loss, cfg.loss_weight)
             return total, loss
 
-        @jax.jit
+        from functools import partial
+
+        @partial(jax.jit, donate_argnums=0)
         def step(state, batch, key, it):
             (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state["params"], batch, key, it)

@@ -306,7 +306,9 @@ class TextureGANEngine(Engine):
             assert B % mesh.shape["dp"] == 0, \
                 f"batch_size {B} must divide the mesh ({mesh.shape})"
 
-        @jax.jit
+        from functools import partial
+
+        @partial(jax.jit, donate_argnums=0)
         def step(state, batch_all, key, it):
             k_batch, k_patch, k_render = jax.random.split(key, 3)
             progress = it.astype(jnp.float32) / max_iter

@@ -80,6 +80,62 @@ def init_trunk(key, cfg):
     return layers
 
 
+def _c2f_band_weights(cfg, L, progress):
+    """Per-frequency window w_k as a traced [L] vector (ops/posenc.py
+    semantics); ones when c2f disabled or progress absent."""
+    c2f_range, c2f_start = _c2f(cfg)
+    if c2f_range is None or progress is None:
+        return jnp.ones((L,), jnp.float32)
+    import numpy as np
+    start, end = c2f_range
+    alpha = (progress - start) / (end - start) * L
+    k = jnp.arange(L, dtype=jnp.float32) - c2f_start
+    return (1 - jnp.cos(np.pi * jnp.clip(alpha - k, 0.0, 1.0))) / 2
+
+
+def _use_fused_trunk(cfg):
+    if not cfg.arch.get("posenc"):
+        return False
+    if not cfg.get("kernels", {}).get("fused_trunk", True):
+        return False
+    try:
+        from ..kernels.fused_trunk import fused_trunk_available
+        if not fused_trunk_available():
+            return False
+        import jax as _jax
+        return _jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def run_trunk(layers, cfg, points, progress=None, mode=None, density_key=None,
+              compute_dtype=None):
+    """posenc + trunk with backend selection: fused Pallas kernel on TPU
+    (kernels/fused_trunk.py), plain XLA elsewhere.  points are RAW [...,3].
+    Returns (feat [...,F], density [...]) with noise/activation applied."""
+    if _use_fused_trunk(cfg):
+        from ..kernels.fused_trunk import fused_trunk_forward
+        L = cfg.arch.posenc.L_3D
+        shape = points.shape[:-1]
+        flat = points.reshape(-1, 3)
+        c2f_w = _c2f_band_weights(cfg, L, progress)
+        ws = [lp["w"] for lp in layers]
+        bs = [lp["b"] for lp in layers]
+        feat, density = fused_trunk_forward(
+            flat, c2f_w, ws, bs, tuple(cfg.arch.skip), L,
+            compute_dtype=compute_dtype)
+        noise = cfg.nerf.get("density_noise_reg")
+        if noise and mode == "train" and density_key is not None:
+            density = density + jax.random.normal(
+                density_key, density.shape, density.dtype) * noise
+        density = DENSITY_ACTIVATIONS[cfg.arch.density_activ](density)
+        return (feat.reshape(*shape, feat.shape[-1]),
+                density.reshape(shape))
+    points_enc = _encode_points(cfg, points, progress)
+    return apply_trunk(layers, cfg, points_enc, mode, density_key,
+                       compute_dtype)
+
+
 def apply_trunk(layers, cfg, points_enc, mode=None, density_key=None,
                 compute_dtype=None):
     """Run the trunk → (feat [..,F], density [..]).  ReLU after every layer
@@ -141,9 +197,8 @@ def apply_nerf(params, cfg, points, ray_unit=None, progress=None, mode=None,
                density_key=None, compute_dtype=None):
     """points [...,3] (+ ray_unit [...,3] if view_dep) → (rgb [...,3],
     density [...])."""
-    points_enc = _encode_points(cfg, points, progress)
-    feat, density = apply_trunk(params["mlp_feat"], cfg, points_enc,
-                                mode, density_key, compute_dtype)
+    feat, density = run_trunk(params["mlp_feat"], cfg, points, progress,
+                              mode, density_key, compute_dtype)
     if cfg.nerf.view_dep:
         assert ray_unit is not None
         ray_enc = _encode_view(cfg, ray_unit, progress)
@@ -218,9 +273,8 @@ def apply_nerf_st(params, cfg, points, ray_unit, latent_trans, latent_light,
     no_grad trunk (layers/nerf_static_transient_light.py:87-100).
     """
     B, R, N, _ = points.shape
-    points_enc = _encode_points(cfg, points, progress)
-    feat, density = apply_trunk(params["mlp_feat"], cfg, points_enc,
-                                mode, density_key, compute_dtype)
+    feat, density = run_trunk(params["mlp_feat"], cfg, points, progress,
+                              mode, density_key, compute_dtype)
     feat = jax.lax.stop_gradient(feat)
     density = jax.lax.stop_gradient(density)
 
