@@ -91,6 +91,11 @@ def test_pretrain_e2e(fixture_root, tmp_path):
     mean = eng.validate(cfg.max_iter)
     assert mean["PSNR"] > 16.0, mean
 
+    # visualization hook writes panel PNGs
+    eng.visualize(cfg.max_iter)
+    assert os.path.exists(os.path.join(cfg.output_path, "vis",
+                                       f"{cfg.max_iter:06d}_rgb.png"))
+
     # eval export path: pngs + quant.txt
     res = eng.evaluate_full()
     assert os.path.exists(os.path.join(cfg.output_path, "quant.txt"))

@@ -114,6 +114,11 @@ def test_texture_gan_e2e(fixture_root, tmp_path):
     mean = eng.validate(cfg.max_iter)
     assert np.isfinite(mean["PSNR"])
 
+    eng.visualize(cfg.max_iter)
+    assert os.path.exists(os.path.join(cfg.output_path, "vis",
+                                       f"{cfg.max_iter:06d}_rgb_static.png"))
+    assert os.path.exists(os.path.join(cfg.output_path, "vis", "cameras.png"))
+
     res = eng.evaluate_full()
     assert np.isfinite(res["psnr"])
     out_dir = os.path.join(cfg.output_path, "test_view_last")

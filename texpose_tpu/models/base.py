@@ -140,6 +140,8 @@ class Engine:
             self.timer.tick()
             if (it + 1) % cfg.freq.scalar == 0 or it == 0:
                 self.log_scalars(it + 1, loss)
+            if cfg.freq.get("vis") and (it + 1) % cfg.freq.vis == 0:
+                self.visualize(it + 1)
             if (it + 1) % cfg.freq.val == 0:
                 self.validate(it + 1)
             if (it + 1) % cfg.freq.ckpt == 0:
@@ -187,6 +189,10 @@ class Engine:
             self._lpips_fn(rgb * 2 - 1, image * 2 - 1)).mean())
 
     # ------------------------------------------------------------ interface
+
+    def visualize(self, it, split="train"):
+        """Periodic visual QA hook (reference model/*.visualize TB panels);
+        engines override. Default: no-op."""
 
     def build_networks(self, key=None):
         raise NotImplementedError

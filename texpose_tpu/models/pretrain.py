@@ -200,6 +200,38 @@ class PretrainEngine(Engine):
                                            for k, v in mean.items()))
         return mean
 
+    def visualize(self, it, split="train"):
+        """Render the first eval frame and dump rgb/depth/opacity panels
+        (reference model/nerf_pretrain.py:125-164 TB images, produced as
+        PNGs + optional TB here)."""
+        from ..utils import vis
+        cfg = self.cfg
+        frame = self._frame(self.eval_batch, 0)
+        progress = it / self.max_iter() if cfg.get("c2f") is not None else 1.0
+        out = self._render_frame(self.state["params"]["nerf"], frame,
+                                 progress)
+        H, W = cfg.H, cfg.W
+        rgb = np.asarray(out["rgb"]).reshape(1, H, W, 3).transpose(0, 3, 1, 2)
+        depth = np.asarray(out["depth"]).reshape(1, 1, H, W)
+        opac = np.asarray(out["opacity"]).reshape(1, 1, H, W)
+        image = np.asarray(frame["image"])
+        mask = np.asarray(frame["obj_mask"]).reshape(1, 1, H, W)
+        vis_dir = os.path.join(cfg.output_path, "vis")
+        zs = cfg.nerf.depth.scale
+        panels = {
+            "rgb": (rgb, (0, 1), None),
+            "image_masked": (image * mask + (1 - mask), (0, 1), None),
+            "pred_mask": (opac, (0, 1), None),
+            "gt_mask": (mask, (0, 1), None),
+            "depth": (depth * mask, (0.7 * zs, max(float(depth.max()), 1e-6)),
+                      "plasma"),
+        }
+        for name, (img, rng, cmap) in panels.items():
+            vis.tb_image(self.writer, it, split, name,
+                         vis.preprocess_vis_image(img, rng, cmap))
+            vis.dump_image_grid(
+                os.path.join(vis_dir, f"{it:06d}_{name}.png"), img, rng, cmap)
+
     # ------------------------------------------------------------ evaluation
 
     def evaluate_full(self):
@@ -234,6 +266,44 @@ class PretrainEngine(Engine):
         log.info(f"SSIM: {mean_ssim:8.2f}")
         write_quant(cfg.output_path, rows)
         return dict(psnr=mean_psnr, ssim=mean_ssim)
+
+
+    def generate_videos_synthesis(self, N=60, fps=30):
+        """Render an N-frame novel-view orbit around the first eval pose and
+        write rgb_%d.png / depth_%d.png + optional mp4s via ffmpeg
+        (reference model/nerf_pretrain.py:241-305 novel-view path)."""
+        import subprocess
+        from ..geometry.pose import get_novel_view_poses
+        cfg = self.cfg
+        novel_path = os.path.join(cfg.output_path, "novel_view")
+        os.makedirs(novel_path, exist_ok=True)
+        frame = self._frame(self.eval_batch, 0)
+        pose_novel = np.asarray(get_novel_view_poses(
+            jnp.asarray(frame["pose"][0]), N=N,
+            scale=cfg.nerf.depth.scale * 0.03, motion="gentle"))
+        zs = cfg.nerf.depth.scale
+        for i in range(N):
+            f = dict(frame, pose=jnp.asarray(pose_novel[i:i + 1]))
+            out = self._render_frame(self.state["params"]["nerf"], f)
+            rgb = np.asarray(out["rgb"]).reshape(cfg.H, cfg.W, 3)
+            depth = np.asarray(out["depth"]).reshape(cfg.H, cfg.W)
+            cv2.imwrite(os.path.join(novel_path, f"rgb_{i}.png"),
+                        (np.clip(rgb, 0, 1) * 255)[..., ::-1].astype(np.uint8))
+            dvis = np.clip((depth - 0.7 * zs) / (0.6 * zs), 0, 1)
+            cv2.imwrite(os.path.join(novel_path, f"depth_{i}.png"),
+                        (dvis * 255).astype(np.uint8))
+        for kind in ("rgb", "depth"):
+            try:
+                subprocess.run(
+                    ["ffmpeg", "-y", "-framerate", str(fps), "-i",
+                     os.path.join(novel_path, f"{kind}_%d.png"),
+                     "-pix_fmt", "yuv420p",
+                     os.path.join(cfg.output_path,
+                                  f"novel_view_{kind}.mp4")],
+                    check=True, capture_output=True, timeout=300)
+            except (FileNotFoundError, subprocess.SubprocessError):
+                log.warn(f"ffmpeg unavailable — kept {kind} PNG frames only")
+        return novel_path
 
 
 class PretrainEnvEngine(PretrainEngine):

@@ -431,6 +431,43 @@ class TextureGANEngine(Engine):
         log.info(f"[val {it}] PSNR={mean['PSNR']:.2f}")
         return mean
 
+    def visualize(self, it, split="train"):
+        """Full-frame panels of the first eval frame: rgb / rgb_static /
+        rgb_transient / uncert / depth, plus a one-time camera-pose plot
+        (reference model/nerf_adapt_st_gan.py:250-311 TB images)."""
+        from ..utils import vis
+        cfg = self.cfg
+        frame = self._frame(self.eval_batch, 0)
+        lt = self.state["latents"]["trans"][0:1]
+        ll = self.state["latents"]["light"][0:1]
+        out = self._render_frame_st(frame, lt, ll)
+        H, W = cfg.H, cfg.W
+        vis_dir = os.path.join(cfg.output_path, "vis")
+
+        def img(key, c):
+            return np.asarray(out[key]).reshape(1, H, W, c).transpose(0, 3, 1, 2)
+
+        zs = cfg.nerf.depth.scale
+        panels = {
+            "rgb": (img("rgb", 3), (0, 1), None),
+            "rgb_static": (img("rgb_static", 3), (0, 1), None),
+            "rgb_transient": (img("rgb_transient", 3), (0, 1), None),
+            "pred_mask": (img("opacity_static", 1), (0, 1), None),
+            "depth": (img("depth", 1), (0.8 * zs, 1.1 * zs), "plasma"),
+            "uncert": (img("uncert", 1),
+                       (float(np.asarray(out["uncert"]).min()),
+                        float(np.quantile(np.asarray(out["uncert"]), 0.99))),
+                       "viridis"),
+        }
+        for name, (im, rng, cmap) in panels.items():
+            vis.tb_image(self.writer, it, split, name,
+                         vis.preprocess_vis_image(im, rng, cmap))
+            vis.dump_image_grid(
+                os.path.join(vis_dir, f"{it:06d}_{name}.png"), im, rng, cmap)
+        cam_png = os.path.join(vis_dir, "cameras.png")
+        if not os.path.exists(cam_png):
+            vis.plot_cameras(self.pose_anchor, cam_png)
+
     def evaluate_full(self):
         """Novel-view synthesis over the test split + BOP-format export
         (reference :319-383)."""

@@ -228,6 +228,34 @@ def forward_samples_nerf(params, cfg, center, ray, depth_samples, progress=None,
                       density_key, compute_dtype)
 
 
+# ------------------------------------------------------- density-only field
+
+def init_nerf_density(key, cfg):
+    """Trunk-only field returning σ (reference layers/nerf_density.py:15-109:
+    geometry-only utility variant)."""
+    return {"mlp_feat": init_trunk(key, cfg)}
+
+
+def forward_samples_density(params, cfg, center, ray, depth_samples,
+                            progress=None, mode=None, density_key=None,
+                            compute_dtype=None):
+    """center/ray [B,R,3], depth_samples [B,R,N,1] → density [B,R,N]."""
+    pts = center[..., None, :] + ray[..., None, :] * depth_samples
+    _, density = run_trunk(params["mlp_feat"], cfg, pts, progress, mode,
+                           density_key, compute_dtype)
+    return density
+
+
+def composite_density(density_samples, depth_samples, ray):
+    """Depth/opacity-only compositing (reference layers/nerf_density.py
+    composite: no RGB head)."""
+    from ..ops.render import composite
+    out = composite(jnp.zeros(density_samples.shape + (3,)),
+                    density_samples, depth_samples, ray)
+    return dict(depth=out["depth"], opacity=out["opacity"],
+                prob=out["prob"])
+
+
 # ----------------------------------------- static/transient/light NeRF field
 
 def init_nerf_st(key, cfg):
