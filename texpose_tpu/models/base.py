@@ -132,6 +132,12 @@ class Engine:
         key = jax.random.PRNGKey(cfg.get("seed", 0))
         if self.start_step == 0:
             self.validate(0)
+        if cfg.get("profile"):
+            # first-class tracing (the reference only has an EMA wall-clock
+            # timer, util.py:133-140; SURVEY.md §5 mandates jax.profiler)
+            prof_dir = os.path.join(cfg.output_path, "profile")
+            jax.profiler.start_trace(prof_dir)
+            log.info(f"jax.profiler trace → {prof_dir}")
         t_start = time.time()
         for it in range(self.start_step, max_iter):
             key, sub = jax.random.split(key)
@@ -146,6 +152,8 @@ class Engine:
                 self.validate(it + 1)
             if (it + 1) % cfg.freq.ckpt == 0:
                 self.save_checkpoint(it + 1)
+        if cfg.get("profile"):
+            jax.profiler.stop_trace()
         self.save_checkpoint(max_iter)
         wall = time.time() - t_start
         log.title(f"TRAINING DONE in {wall:.1f}s "

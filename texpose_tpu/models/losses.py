@@ -107,6 +107,17 @@ def gan_loss(d_out, target, gan_type="standard"):
     raise NotImplementedError(gan_type)
 
 
+def wgan_gp_reg(disc_fn, key, patch_real, patch_fake, center=1.0):
+    """WGAN-GP: gradient penalty at random interpolates
+    (reference model/nerf_adapt_st_gan.py:828-835)."""
+    B = patch_real.shape[0]
+    eps = jax.random.uniform(key, (B, 1, 1, 1))
+    x = jax.lax.stop_gradient((1 - eps) * patch_real + eps * patch_fake)
+    grad = jax.grad(lambda z: disc_fn(z).sum())(x)
+    norm2 = (grad ** 2).reshape(B, -1).sum(axis=1)
+    return ((jnp.sqrt(norm2 + 1e-12) - center) ** 2).mean()
+
+
 def r1_penalty(disc_fn, patch):
     """E[‖∇_x D(x)‖²] per batch mean; disc_fn maps patch → [B] logits.
 

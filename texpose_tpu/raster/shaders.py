@@ -116,9 +116,14 @@ class MeshRenderer:
             jnp.asarray(self.faces), jnp.asarray(face_id),
             jnp.asarray(bary), jnp.asarray(attrs)))
 
-    def render(self, pose, K, mode="color", return_depth=True):
+    def render(self, pose, K, mode="color", return_depth=True,
+               features=None):
         """pose [B,3,4] (world→cam, mesh units), K [B,3,3] or [3,3] →
-        images [B,H,W,C] (+ depth [B,H,W])."""
+        images [B,H,W,C] (+ depth [B,H,W]).
+
+        mode='feature' interpolates caller-provided per-vertex `features`
+        [V,C] (the reference's SoftPhongFeatureShader role,
+        tools/mvrenderer.py:927-956)."""
         pose = np.asarray(pose, np.float32)
         K = np.asarray(K, np.float32)
         if K.ndim == 2:
@@ -139,6 +144,11 @@ class MeshRenderer:
                 img = n / np.maximum(norm, 1e-12) * (face_id >= 0)[..., None]
             elif mode == "mask":
                 img = (face_id >= 0).astype(np.float32)[..., None]
+            elif mode == "feature":
+                if features is None:
+                    raise ValueError("mode='feature' needs per-vertex features")
+                img = self._interp(face_id, bary,
+                                   np.asarray(features, np.float32))
             else:
                 raise NotImplementedError(mode)
             imgs.append(img)

@@ -24,6 +24,8 @@ def main(argv=None):
     engine.setup_optimizer()
     if cfg.get("resume_pretrain"):
         engine.restore_pretrained_checkpoint()
+    elif cfg.get("resume_real"):
+        engine.restore_field_checkpoint()
     engine.restore_checkpoint()
     if cfg.get("save_config_mode", True):
         save_options_file(cfg)
