@@ -43,12 +43,16 @@ def _posenc_rows(pts, L, freq, c2f_w):
     """[T,3] → [T, 3+6L] identity+sin/cos encoding with per-band window
     c2f_w [L] (matches ops/posenc.py layout: per dim [sin_0..sin_{L-1},
     cos_0..cos_{L-1}], dims stacked then flattened dim-major).  freq [L] is
-    passed in (π·2^k) — Pallas kernels can't capture array constants."""
-    spec = pts[:, :, None] * freq[None, None, :]                 # [T,3,L]
-    enc = jnp.stack([jnp.sin(spec), jnp.cos(spec)], axis=2)      # [T,3,2,L]
-    enc = enc * c2f_w[None, None, None, :]
-    enc = enc.reshape(pts.shape[0], 6 * L)
-    return jnp.concatenate([pts, enc], axis=-1)                  # [T,3+6L]
+    passed in (π·2^k) — Pallas kernels can't capture array constants.
+
+    Built as pure 2-D lane concats (no >2-D reshapes — Mosaic-friendly)."""
+    parts = [pts]
+    w = c2f_w[None, :]                                          # [1,L]
+    for d in range(pts.shape[1]):
+        spec = pts[:, d:d + 1] * freq[None, :]                  # [T,L]
+        parts.append(jnp.sin(spec) * w)
+        parts.append(jnp.cos(spec) * w)
+    return jnp.concatenate(parts, axis=-1)                      # [T,3+6L]
 
 
 def _freq(L, dtype=jnp.float32):
@@ -93,7 +97,7 @@ def _kernel(L, skip, n_layers, compute_dtype,
                                 preferred_element_type=jnp.float32)
         h = h + b_refs[li][...]
         if li == n_layers - 1:
-            dens_ref[...] = h[:, 0]
+            dens_ref[...] = h[:, 0:1]
             h = h[:, 1:]
         h = jnp.maximum(h, 0.0)
     feat_ref[...] = h
@@ -120,7 +124,7 @@ def _pallas_forward(pts, c2f_w, weights, biases, skip, L, compute_dtype,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     out_specs = (pl.BlockSpec((tile, feat_dim), lambda i: (i, 0),
                               memory_space=pltpu.VMEM),
-                 pl.BlockSpec((tile,), lambda i: (i,),
+                 pl.BlockSpec((tile, 1), lambda i: (i, 0),
                               memory_space=pltpu.VMEM))
     feat, dens = pl.pallas_call(
         kernel,
@@ -128,10 +132,10 @@ def _pallas_forward(pts, c2f_w, weights, biases, skip, L, compute_dtype,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=(jax.ShapeDtypeStruct((M + pad, feat_dim), jnp.float32),
-                   jax.ShapeDtypeStruct((M + pad,), jnp.float32)),
+                   jax.ShapeDtypeStruct((M + pad, 1), jnp.float32)),
         interpret=interpret,
     )(pts_p, aux, *weights, *biases)
-    return feat[:M], dens[:M]
+    return feat[:M], dens[:M, 0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
@@ -161,7 +165,7 @@ _fused_trunk.defvjp(_fwd, _bwd)
 
 
 def fused_trunk_forward(pts, c2f_w, weights, biases, skip, L,
-                        compute_dtype=None, tile=512, interpret=False):
+                        compute_dtype=None, tile=1024, interpret=False):
     """Fused trunk: pts [M,3], c2f_w [L] band window (ones = no anneal),
     weights/biases tuples per layer → (feat [M,F], density_raw [M]).
 

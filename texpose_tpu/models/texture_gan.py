@@ -43,7 +43,8 @@ from .losses import (gan_loss, lab_loss, mse_loss, summarize_loss,
 from ..geometry.pose import rotation_distance
 from ..nn.fields import init_nerf_st
 from ..nn.discriminator import init_discriminator, apply_discriminator
-from ..nn.vgg import init_vgg19, load_vgg19_npz, perceptual_loss
+from ..nn.vgg import (init_vgg19, load_vgg19_npz, perceptual_loss,
+                      perceptual_loss_pairs)
 from ..ops.grid_sample import grid_sample
 from ..ops.ssim import ssim
 from ..sampling.patch import flex_patch_coords, current_scale_bounds
@@ -249,11 +250,9 @@ class TextureGANEngine(Engine):
             if lw.get("feat") is not None:
                 mask_pad = ((sup["mask_syn"] == 1) & (mask == 0)).astype(
                     rgb.dtype)
-                loss["feat"] = (
-                    perceptual_loss(vgg_params, rgb,
-                                    image * mask + sup["image_syn"] * mask_pad)
-                    + 5 * perceptual_loss(
-                        vgg_params, rgb * mask + image * (1 - mask), image))
+                loss["feat"] = perceptual_loss_pairs(vgg_params, [
+                    (rgb, image * mask + sup["image_syn"] * mask_pad, 1.0),
+                    (rgb * mask + image * (1 - mask), image, 5.0)])
             if lw.get("lab") is not None:
                 loss["lab"], _, _ = lab_loss(rgb, sup["image_syn"],
                                              mask=sup["mask_syn"])
@@ -271,10 +270,16 @@ class TextureGANEngine(Engine):
 
         def disc_loss_fn(disc_params, sn_state, patch_real, patch_fake,
                          scales, progress):
-            d_real, sn1 = apply_discriminator(disc_params, sn_state, cfg,
-                                              patch_real, scales, progress)
-            d_fake, sn2 = apply_discriminator(disc_params, sn1, cfg,
-                                              patch_fake, scales, progress)
+            # ONE discriminator pass over [real; fake] (the standalone
+            # 16×16-patch conv stack is dispatch-bound — batching halves the
+            # launches; spectral norm sees a single power iteration, exactly
+            # like the reference's per-step double forward would after one
+            # update)
+            both = jnp.concatenate([patch_real, patch_fake], axis=0)
+            scales2 = jnp.concatenate([scales, scales], axis=0)
+            d_both, sn2 = apply_discriminator(disc_params, sn_state, cfg,
+                                              both, scales2, progress)
+            d_real, d_fake = d_both[:B], d_both[B:]
             loss = {
                 "gan_disc_real": gan_loss(d_real, 1, cfg.gan.type),
                 "gan_disc_fake": gan_loss(d_fake, 0, cfg.gan.type),
@@ -282,21 +287,25 @@ class TextureGANEngine(Engine):
             total = (10.0 ** float(lw.gan_disc_real) * loss["gan_disc_real"]
                      + 10.0 ** float(lw.gan_disc_fake) * loss["gan_disc_fake"])
             # R1-style penalties: ∇ of D(x).sum() w.r.t. the input patch
-            # (reference compute_grad2 :794-807, applied in disc_trainstep)
-            if lw.get("gan_reg_real") is not None:
-                g = jax.grad(lambda x: apply_discriminator(
-                    disc_params, sn_state, cfg, x, scales, progress)[0].sum()
-                )(patch_real)
-                reg = (g ** 2).reshape(B, -1).sum(axis=1).mean()
-                loss["gan_reg_real"] = reg
-                total = total + 10.0 ** float(lw.gan_reg_real) * reg
-            if lw.get("gan_reg_fake") is not None:
-                g = jax.grad(lambda x: apply_discriminator(
-                    disc_params, sn_state, cfg, x, scales, progress)[0].sum()
-                )(patch_fake)
-                reg = (g ** 2).reshape(B, -1).sum(axis=1).mean()
-                loss["gan_reg_fake"] = reg
-                total = total + 10.0 ** float(lw.gan_reg_fake) * reg
+            # (reference compute_grad2 :794-807, applied in disc_trainstep).
+            # One input-grad over the concatenated batch serves both halves.
+            need_r = lw.get("gan_reg_real") is not None
+            need_f = lw.get("gan_reg_fake") is not None
+            if need_r or need_f:
+                sel = jnp.concatenate([
+                    jnp.full((B,), 1.0 if need_r else 0.0),
+                    jnp.full((B,), 1.0 if need_f else 0.0)])
+                g = jax.grad(lambda x: (apply_discriminator(
+                    disc_params, sn_state, cfg, x, scales2, progress)[0]
+                    * sel).sum())(both)
+                if need_r:
+                    reg = (g[:B] ** 2).reshape(B, -1).sum(axis=1).mean()
+                    loss["gan_reg_real"] = reg
+                    total = total + 10.0 ** float(lw.gan_reg_real) * reg
+                if need_f:
+                    reg = (g[B:] ** 2).reshape(B, -1).sum(axis=1).mean()
+                    loss["gan_reg_fake"] = reg
+                    total = total + 10.0 ** float(lw.gan_reg_fake) * reg
             return total, (loss, sn2)
 
         mesh = self.mesh

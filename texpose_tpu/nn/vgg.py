@@ -80,6 +80,32 @@ def vgg19_features(params, x):
     return x
 
 
+def perceptual_loss_pairs(params, pairs, loss_type="l2"):
+    """Batched perceptual loss: pairs = [(fake_i, real_i, weight_i), ...]
+    all [B,3,H,W].  ONE VGG forward over the concatenated batch instead of
+    2·len(pairs) separate feature passes — on TPU the standalone 16×16-patch
+    convs are dispatch-bound, so this is a ~4× reduction in small-kernel
+    launches for the texture stage's two-term loss
+    (reference model/nerf_adapt_st_gan.py:766-769)."""
+    stacked = jnp.concatenate(
+        [x for f, r, _ in pairs for x in (f, r)], axis=0)
+    feats = vgg19_features(params, stacked)
+    B = pairs[0][0].shape[0]
+    total = 0.0
+    for i, (_, _, w) in enumerate(pairs):
+        f_fake = feats[2 * i * B:(2 * i + 1) * B]
+        f_real = jax.lax.stop_gradient(feats[(2 * i + 1) * B:(2 * i + 2) * B])
+        if loss_type == "l1":
+            d = jnp.abs(f_fake - f_real).mean()
+        elif loss_type == "l2":
+            d = ((f_fake - f_real) ** 2).mean()
+        else:
+            d = (jnp.abs(f_fake - f_real).mean()
+                 + ((f_fake - f_real) ** 2).mean())
+        total = total + w * d
+    return total
+
+
 def perceptual_loss(params, fake, real, loss_type="l2"):
     """Feature-space distance; `real` features are stop-gradiented
     (reference perceptual_loss.py:38-45)."""
