@@ -16,7 +16,8 @@ def main(argv=None):
     cfg = set_options(argv)
     log.title(f"[{' '.join(sys.argv)}]")
     engine = get_engine(cfg.model)(cfg)
-    engine.load_dataset(eval_split=cfg.get("eval_split", "test"))
+    engine.load_dataset(eval_split=cfg.get("eval_split", "test"),
+                        prefetch_train=False)
     engine.build_networks()
     engine.setup_optimizer()
     engine.restore_checkpoint()

@@ -87,13 +87,16 @@ def _kernel(L, skip, n_layers, compute_dtype,
     feat_ref, dens_ref = refs[2 * n_layers:]
     pts = pts_ref[...]
     x = _posenc_rows(pts, L, aux_ref[0], aux_ref[1])
+    x = x.astype(compute_dtype)
     h = x
     for li in range(n_layers):
         if li in skip:
             h = jnp.concatenate([h, x], axis=-1)
         hc = h.astype(compute_dtype)
-        wc = w_refs[li][...].astype(compute_dtype)
-        h = jax.lax.dot_general(hc, wc, (((1,), (0,)), ((), ())),
+        # weights arrive pre-cast to compute_dtype (done once outside the
+        # grid — casting here would re-convert every tile)
+        h = jax.lax.dot_general(hc, w_refs[li][...],
+                                (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         h = h + b_refs[li][...]
         if li == n_layers - 1:
@@ -126,6 +129,8 @@ def _pallas_forward(pts, c2f_w, weights, biases, skip, L, compute_dtype,
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((tile, 1), lambda i: (i, 0),
                               memory_space=pltpu.VMEM))
+    cdtype = compute_dtype or jnp.float32
+    weights_c = [w.astype(cdtype) for w in weights]
     feat, dens = pl.pallas_call(
         kernel,
         grid=grid,
@@ -134,7 +139,7 @@ def _pallas_forward(pts, c2f_w, weights, biases, skip, L, compute_dtype,
         out_shape=(jax.ShapeDtypeStruct((M + pad, feat_dim), jnp.float32),
                    jax.ShapeDtypeStruct((M + pad, 1), jnp.float32)),
         interpret=interpret,
-    )(pts_p, aux, *weights, *biases)
+    )(pts_p, aux, *weights_c, *biases)
     return feat[:M], dens[:M, 0]
 
 

@@ -62,12 +62,16 @@ class Engine:
                               splits_root=self.cfg.data.get("splits_root",
                                                             "splits"))
 
-    def load_dataset(self, eval_split="val"):
+    def load_dataset(self, eval_split="val", prefetch_train=True):
+        """prefetch_train=False skips the train-split device prefetch —
+        evaluation only needs the train split's length (latent tables) and
+        camera poses (light-latent anchors)."""
         cfg = self.cfg
         log.info(f"loading dataset {cfg.data.dataset}/{cfg.data.object} "
                  f"scene={cfg.data.scene}...")
         self.train_data = self.make_dataset("train")
-        self.train_batch = jax.device_put(self.train_data.prefetch_all())
+        self.train_batch = jax.device_put(self.train_data.prefetch_all()) \
+            if prefetch_train else None
         self.eval_data = self.make_dataset(eval_split)
         self.eval_batch = jax.device_put(self.eval_data.prefetch_all())
         log.info(f"train={len(self.train_data)} {eval_split}="

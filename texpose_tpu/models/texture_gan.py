@@ -192,7 +192,11 @@ class TextureGANEngine(Engine):
         else:
             sched = lr
         self.opt_nerf = optax.adam(sched)
-        gen_params = {"nerf": self.state["params"]["nerf"],
+        # only the heads + latents train — the trunk is frozen (reference
+        # freezes via requires_grad=False + no_grad; here it is excluded
+        # from BOTH the grad computation and the optimizer, so its vjp is
+        # never even built)
+        gen_params = {"heads": self._trainable_heads(),
                       "latents": self.state["latents"]}
         self.state["opt_nerf"] = self.opt_nerf.init(gen_params)
         if cfg.get("gan") is not None:
@@ -205,6 +209,10 @@ class TextureGANEngine(Engine):
 
     # ------------------------------------------------------------ train step
 
+    def _trainable_heads(self):
+        return {k: v for k, v in self.state["params"]["nerf"].items()
+                if k != "mlp_feat"}
+
     def _make_train_step(self):
         cfg = self.cfg
         max_iter = self.max_iter()
@@ -216,14 +224,15 @@ class TextureGANEngine(Engine):
         vgg_params = self.vgg_params
         patch_cfg = cfg.get("patch", {})
 
-        def gen_forward(gen_params, disc_params, sn_state, batch, idx,
+        def gen_forward(gen_params, trunk, disc_params, sn_state, batch, idx,
                         coords, scales, key, progress):
             latent_trans = gen_params["latents"]["trans"][idx]
             latent_light = gen_params["latents"]["light"][idx]
+            nerf_params = dict(gen_params["heads"], mlp_feat=trunk)
             pose = batch["pose_init"] if cfg.data.pose_source == "predicted" \
                 else batch["pose"]
             out = render_patch(
-                gen_params["nerf"], cfg, pose, batch["intr"], coords,
+                nerf_params, cfg, pose, batch["intr"], coords,
                 batch["z_near"], batch["z_far"], latent_trans, latent_light,
                 key, progress, mode="train", compute_dtype=dtype)
             h = w = int(cfg.patch_size)
@@ -337,19 +346,24 @@ class TextureGANEngine(Engine):
                 coords = jax.lax.with_sharding_constraint(coords, dp)
                 scales = jax.lax.with_sharding_constraint(scales, dp)
 
-            # ---- generator (nerf + latents) step ----
-            gen_params = {"nerf": state["params"]["nerf"],
+            # ---- generator (heads + latents) step; trunk frozen ----
+            trunk = state["params"]["nerf"]["mlp_feat"]
+            gen_params = {"heads": {k: v for k, v in
+                                    state["params"]["nerf"].items()
+                                    if k != "mlp_feat"},
                           "latents": state["latents"]}
             grads, (gloss, rgb, sup) = jax.grad(
                 gen_forward, has_aux=True)(
-                gen_params, state["params"].get("disc"), state["sn_state"],
-                batch, idx, coords, scales, k_render, progress)
+                gen_params, trunk, state["params"].get("disc"),
+                state["sn_state"], batch, idx, coords, scales, k_render,
+                progress)
             updates, opt_nerf = self.opt_nerf.update(
                 grads, state["opt_nerf"], gen_params)
             gen_params = optax.apply_updates(gen_params, updates)
             new_state = dict(state)
             new_state["params"] = dict(state["params"],
-                                       nerf=gen_params["nerf"])
+                                       nerf=dict(gen_params["heads"],
+                                                 mlp_feat=trunk))
             new_state["latents"] = gen_params["latents"]
             new_state["opt_nerf"] = opt_nerf
 
