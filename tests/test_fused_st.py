@@ -1,0 +1,85 @@
+"""Fused ST-field kernel parity (interpreter mode): outputs and gradients
+must match the plain apply_nerf_st path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from texpose_tpu.kernels.fused_st_field import fused_st_available
+from texpose_tpu.nn.fields import (init_nerf_st, apply_nerf_st,
+                                   apply_nerf_st_fused)
+from texpose_tpu.utils.config import Config, process_options
+
+
+def st_cfg():
+    return process_options(Config({
+        "arch": {
+            "layers_feat": [None, 32, 32, 32],
+            "layers_rgb": [None, 32, 3],
+            "layers_trans": [None, 32, 5],
+            "skip": [1],
+            "posenc": {"L_3D": 4, "L_view": 2},
+            "density_activ": "softplus", "tf_init": True,
+        },
+        "nerf": {"view_dep": True, "density_noise_reg": None,
+                 "N_latent_trans": 8, "N_latent_light": 12,
+                 "min_uncert": 0.05,
+                 "depth": {"scale": 10, "range": [0, 3]}},
+        "c2f": {"range": [0.1, 0.6], "start": 1},
+        "data": {"image_size": [8, 8]},
+        "kernels": {"fused_trunk": False},
+    }))
+
+
+@pytest.mark.skipif(not fused_st_available(), reason="no pallas")
+def test_fused_st_matches_plain(key):
+    cfg = st_cfg()
+    params = init_nerf_st(key, cfg)
+    B, R, N = 2, 4, 16          # rows/img = 64, tile 32 → 2 tiles/img
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    pts = jax.random.normal(k1, (B, R, N, 3))
+    ray = jax.random.normal(k2, (B, R, N, 3))
+    ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    lt = jax.random.normal(k3, (B, 8))
+    ll = jax.random.normal(k4, (B, 12))
+    progress = jnp.asarray(0.4)
+
+    rgb_p, dens_p, unc_p = apply_nerf_st(params, cfg, pts, ray, lt, ll,
+                                         progress=progress)
+    rgb_f, dens_f, unc_f = apply_nerf_st_fused(
+        params, cfg, pts, ray, lt, ll, progress=progress,
+        compute_dtype=jnp.float32, tile=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_p),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dens_f), np.asarray(dens_p),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(unc_f), np.asarray(unc_p),
+                               atol=2e-5)
+
+    # gradients: heads + latents must match; trunk grads must be zero
+    heads_keys = ("mlp_rgb", "mlp_trans")
+
+    def loss(fn, p, lt_, ll_, **kw):
+        rgb, dens, unc = fn(p, cfg, pts, ray, lt_, ll_, progress=progress,
+                            **kw)
+        return ((rgb ** 2).mean() + unc.mean()
+                + dens[..., 1].mean())
+
+    g_p = jax.grad(lambda p, a, b: loss(apply_nerf_st, p, a, b),
+                   argnums=(0, 1, 2))(params, lt, ll)
+    g_f = jax.grad(lambda p, a, b: loss(
+        apply_nerf_st_fused, p, a, b, compute_dtype=jnp.float32, tile=32,
+        interpret=True), argnums=(0, 1, 2))(params, lt, ll)
+
+    for hk in heads_keys:
+        for a, b in zip(jax.tree_util.tree_leaves(g_p[0][hk]),
+                        jax.tree_util.tree_leaves(g_f[0][hk])):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=3e-5)
+    np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_p[1]),
+                               atol=3e-5)   # d latent_trans
+    np.testing.assert_allclose(np.asarray(g_f[2]), np.asarray(g_p[2]),
+                               atol=3e-5)   # d latent_light
+    for leaf in jax.tree_util.tree_leaves(g_f[0]["mlp_feat"]):
+        assert float(jnp.abs(leaf).max()) == 0.0

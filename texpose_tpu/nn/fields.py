@@ -290,6 +290,61 @@ def init_nerf_st(key, cfg):
     return params
 
 
+def _use_fused_st(cfg, B, R, N, tile=512):
+    """Route the full ST-field through the fused Pallas fwd+bwd kernels
+    (kernels/fused_st_field.py) when the layout contract holds."""
+    if not cfg.get("kernels", {}).get("fused_st", True):
+        return False
+    if not (cfg.arch.get("posenc") and cfg.arch.posenc.get("L_view")
+            and cfg.nerf.view_dep and cfg.arch.get("layers_trans")):
+        return False
+    if cfg.nerf.get("density_noise_reg"):
+        return False
+    if (R * N) % tile != 0:
+        return False
+    try:
+        from ..kernels.fused_st_field import fused_st_available
+        if not fused_st_available():
+            return False
+        import jax as _jax
+        return _jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def apply_nerf_st_fused(params, cfg, points, ray_unit, latent_trans,
+                        latent_light, progress=None, compute_dtype=None,
+                        tile=512, interpret=False):
+    """Fused-kernel ST-field path; same outputs as apply_nerf_st."""
+    from ..kernels.fused_st_field import fused_st_field
+    from .mlp import DENSITY_ACTIVATIONS
+    B, R, N, _ = points.shape
+    L3 = cfg.arch.posenc.L_3D
+    pts = points.reshape(-1, 3)
+    ray_enc = _encode_view(cfg, ray_unit, progress, c2f=True)
+    ray_enc = ray_enc.reshape(pts.shape[0], -1)
+    from ..kernels.fused_trunk import _freq
+    aux3 = jnp.stack([_freq(L3, pts.dtype),
+                      _c2f_band_weights(cfg, L3, progress).astype(pts.dtype)])
+    heads = {"mlp_rgb": params["mlp_rgb"], "mlp_trans": params["mlp_trans"]}
+    rgb_raw, dens_raw, trans_raw = fused_st_field(
+        pts, ray_enc, latent_light, latent_trans, params["mlp_feat"], heads,
+        aux3, tuple(cfg.arch.skip), L3, tile, (R * N) // tile,
+        compute_dtype=compute_dtype or jnp.bfloat16, interpret=interpret)
+    density = DENSITY_ACTIVATIONS[cfg.arch.density_activ](
+        jax.lax.stop_gradient(dens_raw[:, 0]))
+    rgb = jax.nn.sigmoid(rgb_raw)
+    rgb_trans = jax.nn.sigmoid(trans_raw[:, :3])
+    density_trans = jax.nn.softplus(trans_raw[:, 3])
+    uncert = jax.nn.softplus(trans_raw[:, 4:5])
+    sh = (B, R, N)
+    rgb_pair = jnp.stack([rgb.reshape(*sh, 3), rgb_trans.reshape(*sh, 3)],
+                         axis=-1)
+    density_pair = jnp.stack([density.reshape(sh),
+                              density_trans.reshape(sh)], axis=-1)
+    return rgb_pair, density_pair, uncert.reshape(*sh, 1)
+
+
 def apply_nerf_st(params, cfg, points, ray_unit, latent_trans, latent_light,
                   progress=None, mode=None, density_key=None,
                   compute_dtype=None):
@@ -301,6 +356,10 @@ def apply_nerf_st(params, cfg, points, ray_unit, latent_trans, latent_light,
     no_grad trunk (layers/nerf_static_transient_light.py:87-100).
     """
     B, R, N, _ = points.shape
+    if "mlp_trans" in params and _use_fused_st(cfg, B, R, N):
+        return apply_nerf_st_fused(params, cfg, points, ray_unit,
+                                   latent_trans, latent_light, progress,
+                                   compute_dtype)
     feat, density = run_trunk(params["mlp_feat"], cfg, points, progress,
                               mode, density_key, compute_dtype)
     feat = jax.lax.stop_gradient(feat)
