@@ -135,6 +135,71 @@ def render_full_nerf(params, cfg, pose, intr, z_near, z_far, key,
     return out
 
 
+def masked_ray_indices(obj_mask, chunk):
+    """Host-side: object-pixel ray indices padded to a power-of-two multiple
+    of `chunk` (bucketing keeps the jit cache small while staying static —
+    the reference's dynamic `nonzero` subset, model/nerf_adapt_st_gan.py:
+    652-679, is not jit-compilable).
+
+    obj_mask: [HW] numpy bool/float → (idx [P] int32, n_valid).
+    """
+    import numpy as np
+    import math
+    mask = np.asarray(obj_mask).reshape(-1) > 0
+    idx = np.nonzero(mask)[0].astype(np.int32)
+    n = max(len(idx), 1)
+    buckets = chunk * (2 ** max(0, math.ceil(math.log2(n / chunk)))) \
+        if n > chunk else chunk
+    pad = buckets - len(idx)
+    idx_p = np.pad(idx, (0, pad), mode="edge" if len(idx) else "constant")
+    return idx_p, len(idx)
+
+
+def render_rays_masked_st(params, cfg, pose, intr, ray_idx, z_near, z_far,
+                          latent_trans, latent_light, key, progress=None,
+                          compute_dtype=None, chunk=None):
+    """Render an arbitrary padded index set [P] in chunks via lax.map;
+    returns dict of [B,P,C]."""
+    B = pose.shape[0]
+    chunk = chunk or cfg.nerf.rand_rays
+    P = ray_idx.shape[0]
+    chunks = ray_idx.reshape(P // chunk, chunk)
+
+    def body(ci):
+        idx = jnp.broadcast_to(ci[None], (B, chunk))
+        out = render_rays_nerf_st(params, cfg, pose, intr, idx, z_near,
+                                  z_far, latent_trans, latent_light, key,
+                                  progress, mode="eval",
+                                  compute_dtype=compute_dtype)
+        return {k: v for k, v in out.items() if v.ndim == 3}
+
+    out = jax.lax.map(body, chunks)
+    return {k: jnp.moveaxis(v, 0, 1).reshape(B, P, v.shape[-1])
+            for k, v in out.items()}
+
+
+def scatter_masked_st(cfg, out, ray_idx, n_valid, obj_mask):
+    """Scatter masked-render results [B,P,C] into full [B,HW,C] buffers with
+    the reference's defaults (rgb* ← 1 white bg outside the object,
+    uncert ← min_uncert, opacities/depth ← 0)."""
+    B = next(iter(out.values())).shape[0]
+    HW = cfg.H * cfg.W
+    min_u = cfg.nerf.get("min_uncert", 0.05)
+    m = obj_mask.reshape(1, HW, 1)
+    full = {}
+    for k, v in out.items():
+        C = v.shape[-1]
+        if "rgb" in k:
+            default = jnp.ones((B, HW, C))
+        elif k == "uncert":
+            default = jnp.full((B, HW, C), min_u)
+        else:
+            default = jnp.zeros((B, HW, C))
+        buf = default.at[:, ray_idx].set(v)
+        full[k] = jnp.where(m > 0, buf, default)
+    return full
+
+
 def render_full_nerf_st(params, cfg, pose, intr, z_near, z_far, latent_trans,
                         latent_light, key, progress=None, compute_dtype=None,
                         chunk=None, obj_mask=None):

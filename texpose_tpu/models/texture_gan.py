@@ -416,7 +416,36 @@ class TextureGANEngine(Engine):
 
     def _render_frame_st(self, frame, latent_trans, latent_light,
                          masked=True):
+        """Full-frame render.  With masked=True and sparse object coverage,
+        only object rays render (bucketed static shapes) and defaults fill
+        the rest — the reference's mask-prior acceleration
+        (model/nerf_adapt_st_gan.py:652-679) made jit-static."""
         cfg = self.cfg
+        obj = np.asarray(frame["obj_mask"]).reshape(-1)
+        coverage = float((obj > 0).mean())
+        chunk = int(cfg.nerf.rand_rays)
+        if masked and 0 < coverage < 0.5:
+            from .render import (masked_ray_indices, render_rays_masked_st,
+                                 scatter_masked_st)
+            idx_p, _n = masked_ray_indices(obj, chunk)
+            cachekey = ("masked", len(idx_p))
+            if not hasattr(self, "_render_jits"):
+                self._render_jits = {}
+            if cachekey not in self._render_jits:
+                @jax.jit
+                def fn(params, pose, intr, z_near, z_far, lt, ll, idx):
+                    return render_rays_masked_st(
+                        params, cfg, pose, intr, idx, z_near, z_far, lt, ll,
+                        jax.random.PRNGKey(0), progress=jnp.asarray(1.0),
+                        compute_dtype=_compute_dtype(cfg), chunk=chunk)
+                self._render_jits[cachekey] = fn
+            out = self._render_jits[cachekey](
+                self.state["params"]["nerf"], frame["pose"], frame["intr"],
+                frame["z_near"], frame["z_far"], latent_trans, latent_light,
+                jnp.asarray(idx_p))
+            return scatter_masked_st(cfg, out, jnp.asarray(idx_p), _n,
+                                     (frame["obj_mask"] > 0).astype(
+                                         jnp.float32))
         if not hasattr(self, "_render_jit"):
             @jax.jit
             def fn(params, pose, intr, z_near, z_far, lt, ll, obj_mask):

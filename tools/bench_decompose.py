@@ -90,13 +90,17 @@ def main():
     g2 = jax.jit(jax.grad(rloss2))
     print("uncert-render grad(heads):", timeit(g2, heads), "ms", flush=True)
 
-    # full gen loss grad via the engine internals: time engine step minus parts
-    st = eng.state
+    # full step: the state is DONATED, so thread the returned state through
+    holder = {"st": eng.state}
     k2 = jax.random.PRNGKey(1)
     it0 = jnp.asarray(5, jnp.int32)
-    print("full step:", timeit(lambda: eng.step_fn(st, eng.train_batch, k2,
-                                                   it0)[1]["all"]),
-          "ms", flush=True)
+
+    def stepper():
+        st2, loss = eng.step_fn(holder["st"], eng.train_batch, k2, it0)
+        holder["st"] = st2
+        return loss["all"]
+
+    print("full step:", timeit(stepper), "ms", flush=True)
 
 
 if __name__ == "__main__":
