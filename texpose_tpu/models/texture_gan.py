@@ -466,21 +466,32 @@ class TextureGANEngine(Engine):
         return {k: v[i:i + 1] for k, v in batch.items()}
 
     def validate(self, it):
+        """Full-frame validation with the main loss suite (reference
+        validate → compute_loss(mode='val') :712-777 + val PSNR :241-245;
+        latents of image 0, like the reference's render val path :595)."""
         cfg = self.cfg
         n = min(len(self.eval_data), cfg.data.get("val_sub") or 1)
         lt = self.state["latents"]["trans"][0:1]
         ll = self.state["latents"]["light"][0:1]
-        psnrs = []
+        rows = []
         for i in range(n):
             frame = self._frame(self.eval_batch, i)
             out = self._render_frame_st(frame, lt, ll)
-            mask = frame["obj_mask"].reshape(1, -1, 1)
+            mask = (frame["obj_mask"] > 0).astype(jnp.float32).reshape(1, -1, 1)
             image = frame["image"].reshape(1, 3, -1).transpose(0, 2, 1)
             mse = mse_loss(out["rgb"], image * mask)
-            psnrs.append(float(mse_to_psnr(mse)))
-        mean = {"PSNR": float(np.mean(psnrs))}
+            row = {"PSNR": float(mse_to_psnr(mse))}
+            if cfg.loss_weight.get("render") is not None:
+                row["render"] = float(
+                    (mask * ((image - out["rgb"]) ** 2 / out["uncert"] ** 2)
+                     ).sum() / (mask.sum() + 1e-5))
+            if cfg.loss_weight.get("uncert") is not None:
+                row["uncert"] = float(uncertainty_reg_loss(out["uncert"]))
+            rows.append(row)
+        mean = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
         self.writer.scalars(it, mean, split="val")
-        log.info(f"[val {it}] PSNR={mean['PSNR']:.2f}")
+        log.info("[val %d] %s" % (it, " ".join(f"{k}={v:.4g}"
+                                               for k, v in mean.items())))
         return mean
 
     def visualize(self, it, split="train"):
