@@ -115,7 +115,7 @@ def _heads_forward(feat, ray_enc, pts, light, trans, wr, br, wt, bt, cdtype,
 
 # ------------------------------------------------------------------ forward
 
-def _fwd_kernel(L3, skip, nr, nt, n_trunk, cdtype,
+def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype,
                 pts_ref, enc_ref, aux3_ref, light_ref, trans_ref, *refs):
     wf = refs[:n_trunk]
     bf = refs[n_trunk:2 * n_trunk]
@@ -125,11 +125,14 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, cdtype,
     bt = refs[2 * n_trunk + 2 * nr + nt:2 * n_trunk + 2 * nr + 2 * nt]
     rgb_ref, dens_ref, transr_ref, feat_ref = refs[-4:]
 
+    # latent tables live whole in VMEM (tiny); slice this tile's image row
+    img = pl.program_id(0) // tiles_per_img
+    light = light_ref[pl.ds(img, 1), :]
+    trans = trans_ref[pl.ds(img, 1), :]
     pts = pts_ref[...]
     feat, dens = _trunk_feat(pts, aux3_ref, wf, bf, skip, L3, cdtype)
     rgb_raw, trans_raw = _heads_forward(
-        feat, enc_ref[...], pts, light_ref[...], trans_ref[...],
-        wr, br, wt, bt, cdtype)
+        feat, enc_ref[...], pts, light, trans, wr, br, wt, bt, cdtype)
     rgb_ref[...] = rgb_raw
     dens_ref[...] = dens
     transr_ref[...] = trans_raw
@@ -157,16 +160,16 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype,
         for s in scratch:
             s[...] = jnp.zeros_like(s)
 
+    img = i // tiles_per_img
     feat = feat_ref[...].astype(jnp.float32)
     pts = pts_ref[...]
     rayenc = enc_ref[...]
-    light = light_ref[...]
-    trans = trans_ref[...]
+    light = light_ref[pl.ds(img, 1), :]
+    trans = trans_ref[pl.ds(img, 1), :]
 
     _, _, acts = _heads_forward(feat, rayenc, pts, light, trans,
                                 wr, br, wt, bt, cdtype, want_acts=True)
 
-    img = i // tiles_per_img
     row = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
 
     # ---- rgb head backward ----
@@ -212,10 +215,6 @@ def _row_spec(tile, c):
                         memory_space=pltpu.VMEM)
 
 
-def _lat_spec(tiles_per_img, c):
-    return pl.BlockSpec((1, c), lambda i, t=tiles_per_img: (i // t, 0),
-                        memory_space=pltpu.VMEM)
-
 
 _FULL = None
 
@@ -232,10 +231,9 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     F = trunk_w[-1].shape[1] - 1
     E = ray_enc.shape[1]
     kernel = functools.partial(_fwd_kernel, L3, skip, nr, nt, n_trunk,
-                               cdtype)
+                               tiles_per_img, cdtype)
     in_specs = ([_row_spec(tile, 3), _row_spec(tile, E), _full_spec(),
-                 _lat_spec(tiles_per_img, light_rows.shape[1]),
-                 _lat_spec(tiles_per_img, trans_rows.shape[1])]
+                 _full_spec(), _full_spec()]
                 + [_full_spec()] * (2 * n_trunk + 2 * nr + 2 * nt))
     out_specs = (_row_spec(tile, 3), _row_spec(tile, 1), _row_spec(tile, 5),
                  _row_spec(tile, F))
@@ -265,8 +263,7 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
     E = ray_enc.shape[1]
     kernel = functools.partial(_bwd_kernel, nr, nt, B, tiles_per_img, cdtype)
     in_specs = ([_row_spec(tile, F), _row_spec(tile, E), _row_spec(tile, 3),
-                 _lat_spec(tiles_per_img, light_rows.shape[1]),
-                 _lat_spec(tiles_per_img, trans_rows.shape[1]),
+                 _full_spec(), _full_spec(),
                  _row_spec(tile, 3), _row_spec(tile, 5)]
                 + [_full_spec()] * (2 * nr + 2 * nt))
     out_shape = ([jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in rgb_w]
