@@ -49,7 +49,7 @@ def test_fused_st_matches_plain(key):
                                          progress=progress)
     rgb_f, dens_f, unc_f = apply_nerf_st_fused(
         params, cfg, pts, ray, lt, ll, progress=progress,
-        compute_dtype=jnp.float32, tile=32, interpret=True)
+        compute_dtype=jnp.float32, tile_fwd=32, tile_bwd=32, interpret=True)
     np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_p),
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(dens_f), np.asarray(dens_p),
@@ -69,7 +69,7 @@ def test_fused_st_matches_plain(key):
     g_p = jax.grad(lambda p, a, b: loss(apply_nerf_st, p, a, b),
                    argnums=(0, 1, 2))(params, lt, ll)
     g_f = jax.grad(lambda p, a, b: loss(
-        apply_nerf_st_fused, p, a, b, compute_dtype=jnp.float32, tile=32,
+        apply_nerf_st_fused, p, a, b, compute_dtype=jnp.float32, tile_fwd=32, tile_bwd=32,
         interpret=True), argnums=(0, 1, 2))(params, lt, ll)
 
     for hk in heads_keys:

@@ -224,8 +224,9 @@ def _full_spec():
 
 
 def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
-             rgb_w, rgb_b, tr_w, tr_b, aux3, skip, L3, tile, tiles_per_img,
+             rgb_w, rgb_b, tr_w, tr_b, aux3, skip, L3, tile, rows_per_img,
              cdtype, interpret):
+    tiles_per_img = rows_per_img // tile
     M = pts.shape[0]
     n_trunk, nr, nt = len(trunk_w), len(rgb_w), len(tr_w)
     F = trunk_w[-1].shape[1] - 1
@@ -254,8 +255,9 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
 
 
 def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
-             tr_w, tr_b, g_rgb, g_trans, tile, tiles_per_img, cdtype,
+             tr_w, tr_b, g_rgb, g_trans, tile, rows_per_img, cdtype,
              interpret):
+    tiles_per_img = rows_per_img // tile
     M = pts.shape[0]
     B = light_rows.shape[0]
     nr, nt = len(rgb_w), len(tr_w)
@@ -291,7 +293,7 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
 # -------------------------------------------------------------- custom vjp
 
 @functools.lru_cache(maxsize=None)
-def _make_op(skip, L3, tile, tiles_per_img, cdtype, interpret):
+def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret):
     """Build the differentiable fused op for a static config.
 
     Signature: f(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)
@@ -306,7 +308,7 @@ def _make_op(skip, L3, tile, tiles_per_img, cdtype, interpret):
                        trunk["w"], trunk["b"],
                        heads["rgb_w"], heads["rgb_b"],
                        heads["tr_w"], heads["tr_b"],
-                       aux3, skip, L3, tile, tiles_per_img, cdtype,
+                       aux3, skip, L3, tile_fwd, rows_per_img, cdtype,
                        interpret)
         return out
 
@@ -329,7 +331,7 @@ def _make_op(skip, L3, tile, tiles_per_img, cdtype, interpret):
         outs = _run_bwd(feat, ray_enc, pts, light_rows, trans_rows,
                         heads["rgb_w"], heads["rgb_b"],
                         heads["tr_w"], heads["tr_b"],
-                        g_rgb, g_trans, tile, tiles_per_img, cdtype,
+                        g_rgb, g_trans, tile_bwd, rows_per_img, cdtype,
                         interpret)
         nr, nt = len(heads["rgb_w"]), len(heads["tr_w"])
         d_heads = {
@@ -348,12 +350,13 @@ def _make_op(skip, L3, tile, tiles_per_img, cdtype, interpret):
 
 
 def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
-                   head_params, aux3, skip, L3, tile, tiles_per_img,
+                   head_params, aux3, skip, L3, rows_per_img,
+                   tile_fwd=2048, tile_bwd=1024,
                    compute_dtype=jnp.bfloat16, interpret=False):
     """Differentiable fused ST-field.
 
     pts [M,3], ray_enc [M,E] (pre-encoded, c2f applied), light_rows [B,Dl],
-    trans_rows [B,Dt]; M = B·tiles_per_img·tile.
+    trans_rows [B,Dt]; rows_per_img = R·N (must divide by both tiles).
     Returns (rgb_raw [M,3], density_raw [M,1], trans_raw [M,5]).
     """
     trunk = {"w": tuple(lp["w"] for lp in trunk_params),
@@ -362,6 +365,7 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
              "rgb_b": tuple(lp["b"] for lp in head_params["mlp_rgb"]),
              "tr_w": tuple(lp["w"] for lp in head_params["mlp_trans"]),
              "tr_b": tuple(lp["b"] for lp in head_params["mlp_trans"])}
-    op = _make_op(tuple(sorted(skip)), int(L3), int(tile),
-                  int(tiles_per_img), compute_dtype, bool(interpret))
+    op = _make_op(tuple(sorted(skip)), int(L3), int(tile_fwd),
+                  int(tile_bwd), int(rows_per_img), compute_dtype,
+                  bool(interpret))
     return op(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)

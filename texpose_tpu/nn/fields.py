@@ -290,7 +290,7 @@ def init_nerf_st(key, cfg):
     return params
 
 
-def _use_fused_st(cfg, B, R, N, tile=512):
+def _use_fused_st(cfg, B, R, N, tile=1024):
     """Route the full ST-field through the fused Pallas fwd+bwd kernels
     (kernels/fused_st_field.py) when the layout contract holds."""
     if not cfg.get("kernels", {}).get("fused_st", True):
@@ -312,9 +312,17 @@ def _use_fused_st(cfg, B, R, N, tile=512):
         return False
 
 
+def _fit_tile(tile, rows):
+    """Largest power-of-two ≤ tile that divides rows."""
+    t = min(tile, rows)
+    while rows % t:
+        t //= 2
+    return max(t, 8)
+
+
 def apply_nerf_st_fused(params, cfg, points, ray_unit, latent_trans,
                         latent_light, progress=None, compute_dtype=None,
-                        tile=512, interpret=False):
+                        tile_fwd=2048, tile_bwd=1024, interpret=False):
     """Fused-kernel ST-field path; same outputs as apply_nerf_st."""
     from ..kernels.fused_st_field import fused_st_field
     from .mlp import DENSITY_ACTIVATIONS
@@ -329,7 +337,9 @@ def apply_nerf_st_fused(params, cfg, points, ray_unit, latent_trans,
     heads = {"mlp_rgb": params["mlp_rgb"], "mlp_trans": params["mlp_trans"]}
     rgb_raw, dens_raw, trans_raw = fused_st_field(
         pts, ray_enc, latent_light, latent_trans, params["mlp_feat"], heads,
-        aux3, tuple(cfg.arch.skip), L3, tile, (R * N) // tile,
+        aux3, tuple(cfg.arch.skip), L3, R * N,
+        tile_fwd=_fit_tile(tile_fwd, R * N), tile_bwd=_fit_tile(tile_bwd,
+                                                               R * N),
         compute_dtype=compute_dtype or jnp.bfloat16, interpret=interpret)
     density = DENSITY_ACTIVATIONS[cfg.arch.density_activ](
         jax.lax.stop_gradient(dens_raw[:, 0]))
