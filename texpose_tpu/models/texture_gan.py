@@ -138,8 +138,9 @@ class TextureGANEngine(Engine):
                 splits_root=self.cfg.data.get("splits_root", "splits"))
         return super().make_dataset(split)
 
-    def load_dataset(self, eval_split="val"):
-        super().load_dataset(eval_split=eval_split)
+    def load_dataset(self, eval_split="val", prefetch_train=True):
+        super().load_dataset(eval_split=eval_split,
+                             prefetch_train=prefetch_train)
         self.pose_anchor = np.asarray(
             self.train_data.get_all_camera_poses(source="gt"))
 
