@@ -216,7 +216,6 @@ def _row_spec(tile, c):
 
 
 
-_FULL = None
 
 
 def _full_spec():

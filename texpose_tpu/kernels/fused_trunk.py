@@ -21,7 +21,7 @@ standard XLA backward.
 from __future__ import annotations
 
 import functools
-import math
+
 
 import numpy as np
 import jax

@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..geometry.rays import (get_center_and_ray, convert_NDC, pixel_grid,
+from ..geometry.rays import (convert_NDC, pixel_grid,
                              img2cam, cam2world, to_hom)
 from ..nn.fields import forward_samples_nerf, forward_samples_nerf_st
 from ..ops.render import sample_depth, composite, composite_static_transient
