@@ -112,8 +112,14 @@ def run_trunk(layers, cfg, points, progress=None, mode=None, density_key=None,
               compute_dtype=None):
     """posenc + trunk with backend selection: fused Pallas kernel on TPU
     (kernels/fused_trunk.py), plain XLA elsewhere.  points are RAW [...,3].
-    Returns (feat [...,F], density [...]) with noise/activation applied."""
-    if _use_fused_trunk(cfg):
+    Returns (feat [...,F], density [...]) with noise/activation applied.
+
+    The kernel is used only when the trunk is NOT being trained
+    (mode != 'train'): its custom_vjp backward rematerializes the plain
+    forward, which would make a training step slower than plain XLA.  The
+    texture stage's train path routes through the fully-fused ST kernels
+    instead (apply_nerf_st_fused)."""
+    if mode != "train" and _use_fused_trunk(cfg):
         from ..kernels.fused_trunk import fused_trunk_forward
         L = cfg.arch.posenc.L_3D
         shape = points.shape[:-1]
