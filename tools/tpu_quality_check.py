@@ -22,7 +22,7 @@ def main():
     cache = os.path.join(tempfile.gettempdir(), "texpose_qual_fixture_v2")
     if not os.path.exists(os.path.join(cache, ".done")):
         os.makedirs(cache, exist_ok=True)
-        generate_fixture(cache, n_train=16, n_test=2, scene="scene_all",
+        generate_fixture(cache, n_train=16, n_test=2, scene="scene_qual",
                          image_scale=1.0, crop_res=128, fixed_light=False)
         open(os.path.join(cache, ".done"), "w").close()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -39,10 +39,10 @@ def main():
 
     # ---- geometry pretrain (fused trunk fwd + XLA bwd; trunk TRAINS) ----
     cfg = base("nerf_lm_pretrain.yaml")
-    cfg.data.scene = "scene_all"
+    cfg.data.scene = "scene_qual"          # != scene_all → real depth maps
     cfg.data.pose_source = "gt"
     cfg.nerf.depth.box_source = "gt_box"
-    cfg.max_iter = 1500
+    cfg.max_iter = int(os.environ.get("QUAL_PRETRAIN_ITERS", "4000"))
     cfg.name = "qual_pretrain"
     cfg = process_options(cfg)
     eng = PretrainEngine(cfg)
@@ -74,8 +74,9 @@ def main():
 
     # ---- texture GAN (fused ST-field fwd+bwd; heads+latents train) ----
     cfg2 = base("nerf_lm_adapt_gan.yaml")
+    cfg2.data.scene = "scene_qual"
     cfg2.nerf.depth.box_source = "pred_box_init_calib"
-    cfg2.max_iter = 1500
+    cfg2.max_iter = int(os.environ.get("QUAL_GAN_ITERS", "2000"))
     cfg2.name = "qual_gan"
     cfg2.resume_pretrain = True
     cfg2 = process_options(cfg2)
@@ -100,6 +101,8 @@ def main():
     assert all(np.isfinite(v) for v in host.values()), host
     val = eng2.validate(cfg2.max_iter)
     print(f"GAN val: {val}", flush=True)
+    res = eng2.evaluate_full()
+    print(f"GAN eval_full: {res}", flush=True)
 
 
 if __name__ == "__main__":
