@@ -37,14 +37,13 @@ import jax.numpy as jnp
 import optax
 
 from .base import Engine
-from .render import render_rays_nerf_st, render_full_nerf_st
+from .render import render_full_nerf_st
 from .losses import (gan_loss, lab_loss, mse_loss, summarize_loss,
                      uncertainty_reg_loss)
 from ..geometry.pose import rotation_distance
 from ..nn.fields import init_nerf_st
 from ..nn.discriminator import init_discriminator, apply_discriminator
-from ..nn.vgg import (init_vgg19, load_vgg19_npz, perceptual_loss,
-                      perceptual_loss_pairs)
+from ..nn.vgg import (init_vgg19, load_vgg19_npz, perceptual_loss_pairs)
 from ..ops.grid_sample import grid_sample
 from ..ops.ssim import ssim
 from ..sampling.patch import flex_patch_coords, current_scale_bounds

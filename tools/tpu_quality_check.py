@@ -19,7 +19,7 @@ def main():
     from texpose_tpu.models.texture_gan import TextureGANEngine
     from texpose_tpu.data.fixture import generate_fixture
 
-    cache = os.path.join(tempfile.gettempdir(), "texpose_qual_fixture_v2")
+    cache = os.path.join(tempfile.gettempdir(), "texpose_qual_fixture_v3")
     if not os.path.exists(os.path.join(cache, ".done")):
         os.makedirs(cache, exist_ok=True)
         generate_fixture(cache, n_train=16, n_test=2, scene="scene_qual",
