@@ -56,9 +56,9 @@ def test_masked_equals_full_on_object(engine):
         a = np.asarray(full[k])[0][m]
         b = np.asarray(masked[k])[0][m]
         np.testing.assert_allclose(b, a, atol=1e-5, err_msg=k)
-    # defaults off-object
+    # defaults off-object (reference: rgb ← 0, uncert ← min_uncert)
     bg = ~m
-    assert np.allclose(np.asarray(masked["rgb_static"])[0][bg], 1.0)
+    assert np.allclose(np.asarray(masked["rgb_static"])[0][bg], 0.0)
     assert np.allclose(np.asarray(masked["uncert"])[0][bg],
                        cfg.nerf.min_uncert)
     assert np.allclose(np.asarray(masked["opacity_static"])[0][bg], 0.0)

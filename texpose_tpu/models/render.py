@@ -180,8 +180,8 @@ def render_rays_masked_st(params, cfg, pose, intr, ray_idx, z_near, z_far,
 
 def scatter_masked_st(cfg, out, ray_idx, n_valid, obj_mask):
     """Scatter masked-render results [B,P,C] into full [B,HW,C] buffers with
-    the reference's defaults (rgb* ← 1 white bg outside the object,
-    uncert ← min_uncert, opacities/depth ← 0)."""
+    the reference's defaults (rgb* ← 0 outside the object, uncert ←
+    min_uncert, opacities/depth ← 0; model/nerf_adapt_st_gan.py:655-667)."""
     B = next(iter(out.values())).shape[0]
     HW = cfg.H * cfg.W
     min_u = cfg.nerf.get("min_uncert", 0.05)
@@ -189,9 +189,7 @@ def scatter_masked_st(cfg, out, ray_idx, n_valid, obj_mask):
     full = {}
     for k, v in out.items():
         C = v.shape[-1]
-        if "rgb" in k:
-            default = jnp.ones((B, HW, C))
-        elif k == "uncert":
+        if k == "uncert":
             default = jnp.full((B, HW, C), min_u)
         else:
             default = jnp.zeros((B, HW, C))
@@ -206,8 +204,8 @@ def render_full_nerf_st(params, cfg, pose, intr, z_near, z_far, latent_trans,
     """Full-frame static/transient render via lax.map over ray chunks.
 
     If obj_mask [B,HW] is given, non-object pixels are composited to the
-    reference's defaults after the fact (rgb_static ← 1 white bg,
-    uncert ← min_uncert, opacity ← 0; model/nerf_adapt_st_gan.py:652-679).
+    reference's defaults after the fact (rgb* ← 0, uncert ← min_uncert,
+    opacity/depth ← 0; model/nerf_adapt_st_gan.py:652-679).
     """
     B = pose.shape[0]
     HW = cfg.H * cfg.W
@@ -229,9 +227,8 @@ def render_full_nerf_st(params, cfg, pose, intr, z_near, z_far, latent_trans,
     if obj_mask is not None:
         m = obj_mask[..., None]
         min_u = cfg.nerf.get("min_uncert", 0.05)
-        out["rgb_static"] = out["rgb_static"] * m + (1 - m)
-        out["rgb"] = out["rgb"] * m + (1 - m)
         out["uncert"] = out["uncert"] * m + (1 - m) * min_u
-        for k in ("opacity", "opacity_static", "opacity_transient", "depth"):
+        for k in ("rgb", "rgb_static", "rgb_transient", "opacity",
+                  "opacity_static", "opacity_transient", "depth"):
             out[k] = out[k] * m
     return out
