@@ -18,6 +18,7 @@ Design deltas (TPU-first, deliberate):
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -199,10 +200,60 @@ def _encode_view(cfg, ray_unit, progress, c2f=False):
     return ray_unit
 
 
+def _use_fused_coarse(cfg, M, mode, tile=512):
+    """Route the coarse field through the fused train kernels
+    (kernels/fused_coarse_field.py): full trunk+head fwd AND bwd in VMEM
+    (the pretrain stage trains the trunk)."""
+    if not cfg.get("kernels", {}).get("fused_coarse", True):
+        return False
+    if not cfg.arch.get("posenc"):
+        return False
+    if cfg.nerf.get("density_noise_reg") and mode == "train":
+        return False
+    if M % tile != 0:
+        return False
+    try:
+        from ..kernels.fused_coarse_field import fused_coarse_available
+        if not fused_coarse_available():
+            return False
+        import jax as _jax
+        return _jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def apply_nerf_fused(params, cfg, points, ray_unit=None, progress=None,
+                     compute_dtype=None, tile=512, interpret=False):
+    """Fused-kernel coarse-field path; same outputs as apply_nerf."""
+    from ..kernels.fused_coarse_field import fused_coarse_field
+    from ..kernels.fused_trunk import _freq
+    L3 = cfg.arch.posenc.L_3D
+    shape = points.shape[:-1]
+    pts = points.reshape(-1, 3)
+    if cfg.nerf.view_dep:
+        enc = _encode_view(cfg, ray_unit, progress).reshape(pts.shape[0], -1)
+    else:
+        enc = None
+    aux3 = jnp.stack([_freq(L3, pts.dtype),
+                      _c2f_band_weights(cfg, L3, progress).astype(pts.dtype)])
+    rgb_raw, dens_raw = fused_coarse_field(
+        pts, enc, params["mlp_feat"], params["mlp_rgb"], aux3,
+        tuple(cfg.arch.skip), L3, tile=_fit_tile(tile, pts.shape[0]),
+        compute_dtype=compute_dtype or jnp.bfloat16, interpret=interpret)
+    rgb = jax.nn.sigmoid(rgb_raw).reshape(*shape, 3)
+    density = DENSITY_ACTIVATIONS[cfg.arch.density_activ](
+        dens_raw[:, 0]).reshape(shape)
+    return rgb, density
+
+
 def apply_nerf(params, cfg, points, ray_unit=None, progress=None, mode=None,
                density_key=None, compute_dtype=None):
     """points [...,3] (+ ray_unit [...,3] if view_dep) → (rgb [...,3],
     density [...])."""
+    M = int(np.prod(points.shape[:-1]))
+    if _use_fused_coarse(cfg, M, mode):
+        return apply_nerf_fused(params, cfg, points, ray_unit, progress,
+                                compute_dtype)
     feat, density = run_trunk(params["mlp_feat"], cfg, points, progress,
                               mode, density_key, compute_dtype)
     if cfg.nerf.view_dep:
