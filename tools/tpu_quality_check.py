@@ -120,7 +120,8 @@ def main():
         print("PRETRAIN: skipped (existing trunk checkpoint)", flush=True)
     else:
         pretrain_stage(cache)
-    gan_stage(cache)
+    if not os.environ.get("QUAL_SKIP_GAN"):
+        gan_stage(cache)
 
 
 if __name__ == "__main__":
