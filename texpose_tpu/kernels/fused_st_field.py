@@ -125,14 +125,14 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype,
     bt = refs[2 * n_trunk + 2 * nr + nt:2 * n_trunk + 2 * nr + 2 * nt]
     rgb_ref, dens_ref, transr_ref, feat_ref = refs[-4:]
 
-    # latent tables live whole in VMEM (tiny); slice this tile's image row
-    img = pl.program_id(0) // tiles_per_img
-    light = light_ref[pl.ds(img, 1), :]
-    trans = trans_ref[pl.ds(img, 1), :]
+    # latents arrive pre-expanded per row — scalar-dependent VMEM slicing
+    # (pl.ds on program_id-derived indices) defeats Mosaic's pipeline
+    # prefetch and stalls every grid step
     pts = pts_ref[...]
     feat, dens = _trunk_feat(pts, aux3_ref, wf, bf, skip, L3, cdtype)
     rgb_raw, trans_raw = _heads_forward(
-        feat, enc_ref[...], pts, light, trans, wr, br, wt, bt, cdtype)
+        feat, enc_ref[...], pts, light_ref[...], trans_ref[...],
+        wr, br, wt, bt, cdtype)
     rgb_ref[...] = rgb_raw
     dens_ref[...] = dens
     transr_ref[...] = trans_raw
@@ -164,11 +164,10 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype,
     feat = feat_ref[...].astype(jnp.float32)
     pts = pts_ref[...]
     rayenc = enc_ref[...]
-    light = light_ref[pl.ds(img, 1), :]
-    trans = trans_ref[pl.ds(img, 1), :]
 
-    _, _, acts = _heads_forward(feat, rayenc, pts, light, trans,
-                                wr, br, wt, bt, cdtype, want_acts=True)
+    _, _, acts = _heads_forward(feat, rayenc, pts, light_ref[...],
+                                trans_ref[...], wr, br, wt, bt, cdtype,
+                                want_acts=True)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
 
@@ -230,10 +229,16 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     n_trunk, nr, nt = len(trunk_w), len(rgb_w), len(tr_w)
     F = trunk_w[-1].shape[1] - 1
     E = ray_enc.shape[1]
+    Dl, Dt = light_rows.shape[1], trans_rows.shape[1]
+    B = light_rows.shape[0]
+    light_x = jnp.broadcast_to(light_rows[:, None, :],
+                               (B, rows_per_img, Dl)).reshape(M, Dl)
+    trans_x = jnp.broadcast_to(trans_rows[:, None, :],
+                               (B, rows_per_img, Dt)).reshape(M, Dt)
     kernel = functools.partial(_fwd_kernel, L3, skip, nr, nt, n_trunk,
                                tiles_per_img, cdtype)
     in_specs = ([_row_spec(tile, 3), _row_spec(tile, E), _full_spec(),
-                 _full_spec(), _full_spec()]
+                 _row_spec(tile, Dl), _row_spec(tile, Dt)]
                 + [_full_spec()] * (2 * n_trunk + 2 * nr + 2 * nt))
     out_specs = (_row_spec(tile, 3), _row_spec(tile, 1), _row_spec(tile, 5),
                  _row_spec(tile, F))
@@ -249,7 +254,7 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     return pl.pallas_call(
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
-    )(pts, ray_enc, aux3, light_rows, trans_rows,
+    )(pts, ray_enc, aux3, light_x, trans_x,
       *trunk_wc, *trunk_b, *rgb_wc, *rgb_b, *tr_wc, *tr_b)
 
 
@@ -262,9 +267,14 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
     nr, nt = len(rgb_w), len(tr_w)
     F = feat.shape[1]
     E = ray_enc.shape[1]
+    Dl, Dt = light_rows.shape[1], trans_rows.shape[1]
+    light_x = jnp.broadcast_to(light_rows[:, None, :],
+                               (B, rows_per_img, Dl)).reshape(M, Dl)
+    trans_x = jnp.broadcast_to(trans_rows[:, None, :],
+                               (B, rows_per_img, Dt)).reshape(M, Dt)
     kernel = functools.partial(_bwd_kernel, nr, nt, B, tiles_per_img, cdtype)
     in_specs = ([_row_spec(tile, F), _row_spec(tile, E), _row_spec(tile, 3),
-                 _full_spec(), _full_spec(),
+                 _row_spec(tile, Dl), _row_spec(tile, Dt),
                  _row_spec(tile, 3), _row_spec(tile, 5)]
                 + [_full_spec()] * (2 * nr + 2 * nt))
     out_shape = ([jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in rgb_w]
@@ -285,7 +295,7 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=tuple(out_shape), scratch_shapes=scratch,
         interpret=interpret,
-    )(feat, ray_enc, pts, light_rows, trans_rows, g_rgb, g_trans,
+    )(feat, ray_enc, pts, light_x, trans_x, g_rgb, g_trans,
       *rgb_wc, *rgb_b, *tr_wc, *tr_b)
 
 

@@ -53,10 +53,14 @@ def main():
                                   jnp.float32), jnp.ones((10,))])
     heads = {"mlp_rgb": params["mlp_rgb"], "mlp_trans": params["mlp_trans"]}
 
+    import sys as _sys
+    tf = int(_sys.argv[1]) if len(_sys.argv) > 1 else 1024
+    tb = int(_sys.argv[2]) if len(_sys.argv) > 2 else 1024
+
     def fwd(h, lt_, ll_):
         rgb, dens, trans = fused_st_field(
             pts, enc, ll_, lt_, params["mlp_feat"], h, aux3, (4,), 10,
-            R * N)
+            R * N, tile_fwd=tf, tile_bwd=tb)
         return rgb, dens, trans
 
     jf = jax.jit(lambda h: fwd(h, lt, ll)[0].sum())
