@@ -360,7 +360,7 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret):
 
 def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
                    head_params, aux3, skip, L3, rows_per_img,
-                   tile_fwd=2048, tile_bwd=1024,
+                   tile_fwd=1024, tile_bwd=512,
                    compute_dtype=jnp.bfloat16, interpret=False):
     """Differentiable fused ST-field.
 
