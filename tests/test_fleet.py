@@ -22,10 +22,10 @@ def test_fleet_two_objects(tmp_path):
     src = os.path.join(root, "splits", "lm", "ball")
     dst = os.path.join(root, "splits", "lm", "cube")
     shutil.copytree(src, dst)
-    lines = open(os.path.join(dst, "scene_naive", "train.txt")).read()
     for split in ("train", "val", "test"):
         p = os.path.join(dst, "scene_naive", f"{split}.txt")
-        open(p, "w").write(open(p).read().replace("ball", "cube"))
+        content = open(p).read().replace("ball", "cube")
+        open(p, "w").write(content)
 
     out = str(tmp_path / "out")
     env = dict(os.environ, JAX_PLATFORMS="cpu")
