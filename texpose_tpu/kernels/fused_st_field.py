@@ -82,30 +82,34 @@ def _trunk_feat(pts, aux3, w_refs, b_refs, skip, L3, cdtype):
 
 def _heads_forward(feat, ray_enc, pts, light, trans, wr, br, wt, bt, cdtype,
                    want_acts=False):
+    """want_acts stores activations in the COMPUTE dtype — for bf16 compute
+    they are bit-identical to the values the dots consume (inputs are cast
+    to cdtype at every dot anyway), and halving the VMEM footprint lets the
+    backward run at tile 1024."""
     T = feat.shape[0]
     a0 = jnp.concatenate(
         [feat, ray_enc, pts,
          jnp.broadcast_to(light, (T, light.shape[-1]))], axis=-1)
-    acts = {"a0": a0}
+    acts = {"a0": a0.astype(cdtype)}
     h = a0
     nr = len(wr)
     for li in range(nr):
         z = _dot(h.astype(cdtype), wr[li][...]) + br[li][...]
         if li != nr - 1:
-            acts[f"rz{li}"] = z
             h = jnp.maximum(z, 0.0)
+            acts[f"rz{li}"] = h.astype(cdtype)       # post-relu, cdtype
         else:
             rgb_raw = z
     t0 = jnp.concatenate(
         [feat, jnp.broadcast_to(trans, (T, trans.shape[-1]))], axis=-1)
-    acts["t0"] = t0
+    acts["t0"] = t0.astype(cdtype)
     h = t0
     nt = len(wt)
     for li in range(nt):
         z = _dot(h.astype(cdtype), wt[li][...]) + bt[li][...]
         if li != nt - 1:
-            acts[f"tz{li}"] = z
             h = jnp.maximum(z, 0.0)
+            acts[f"tz{li}"] = h.astype(cdtype)
         else:
             trans_raw = z
     if want_acts:
@@ -360,7 +364,7 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret):
 
 def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
                    head_params, aux3, skip, L3, rows_per_img,
-                   tile_fwd=1024, tile_bwd=512,
+                   tile_fwd=1024, tile_bwd=1024,
                    compute_dtype=jnp.bfloat16, interpret=False):
     """Differentiable fused ST-field.
 
