@@ -184,7 +184,7 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype,
         scratch[nr + li][...] += jnp.sum(g, axis=0, keepdims=True)
         g = _dot_t2(g.astype(cdtype), wr[li][...])
         if li > 0:
-            g = g * (acts[f"rz{li-1}"] > 0)
+            g = g * (acts[f"rz{li-1}"].astype(jnp.float32) > 0)
     off = feat.shape[1] + rayenc.shape[1] + pts.shape[1]
     dlight = jnp.sum(g[:, off:], axis=0, keepdims=True)      # [1,48]
 
@@ -199,7 +199,7 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype,
         scratch[base + nt + li][...] += jnp.sum(g, axis=0, keepdims=True)
         g = _dot_t2(g.astype(cdtype), wt[li][...])
         if li > 0:
-            g = g * (acts[f"tz{li-1}"] > 0)
+            g = g * (acts[f"tz{li-1}"].astype(jnp.float32) > 0)
     dtrans = jnp.sum(g[:, feat.shape[1]:], axis=0, keepdims=True)
 
     scratch[-2][...] += jnp.where(row == img, dlight, 0.0)
