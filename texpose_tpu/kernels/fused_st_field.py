@@ -82,34 +82,30 @@ def _trunk_feat(pts, aux3, w_refs, b_refs, skip, L3, cdtype):
 
 def _heads_forward(feat, ray_enc, pts, light, trans, wr, br, wt, bt, cdtype,
                    want_acts=False):
-    """want_acts stores activations in the COMPUTE dtype — for bf16 compute
-    they are bit-identical to the values the dots consume (inputs are cast
-    to cdtype at every dot anyway), and halving the VMEM footprint lets the
-    backward run at tile 1024."""
     T = feat.shape[0]
     a0 = jnp.concatenate(
         [feat, ray_enc, pts,
          jnp.broadcast_to(light, (T, light.shape[-1]))], axis=-1)
-    acts = {"a0": a0.astype(cdtype)}
+    acts = {"a0": a0}
     h = a0
     nr = len(wr)
     for li in range(nr):
         z = _dot(h.astype(cdtype), wr[li][...]) + br[li][...]
         if li != nr - 1:
+            acts[f"rz{li}"] = z
             h = jnp.maximum(z, 0.0)
-            acts[f"rz{li}"] = h.astype(cdtype)       # post-relu, cdtype
         else:
             rgb_raw = z
     t0 = jnp.concatenate(
         [feat, jnp.broadcast_to(trans, (T, trans.shape[-1]))], axis=-1)
-    acts["t0"] = t0.astype(cdtype)
+    acts["t0"] = t0
     h = t0
     nt = len(wt)
     for li in range(nt):
         z = _dot(h.astype(cdtype), wt[li][...]) + bt[li][...]
         if li != nt - 1:
+            acts[f"tz{li}"] = z
             h = jnp.maximum(z, 0.0)
-            acts[f"tz{li}"] = h.astype(cdtype)
         else:
             trans_raw = z
     if want_acts:
@@ -129,14 +125,14 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype,
     bt = refs[2 * n_trunk + 2 * nr + nt:2 * n_trunk + 2 * nr + 2 * nt]
     rgb_ref, dens_ref, transr_ref, feat_ref = refs[-4:]
 
-    # latents arrive pre-expanded per row — scalar-dependent VMEM slicing
-    # (pl.ds on program_id-derived indices) defeats Mosaic's pipeline
-    # prefetch and stalls every grid step
+    # latent tables live whole in VMEM (tiny); slice this tile's image row
+    img = pl.program_id(0) // tiles_per_img
+    light = light_ref[pl.ds(img, 1), :]
+    trans = trans_ref[pl.ds(img, 1), :]
     pts = pts_ref[...]
     feat, dens = _trunk_feat(pts, aux3_ref, wf, bf, skip, L3, cdtype)
     rgb_raw, trans_raw = _heads_forward(
-        feat, enc_ref[...], pts, light_ref[...], trans_ref[...],
-        wr, br, wt, bt, cdtype)
+        feat, enc_ref[...], pts, light, trans, wr, br, wt, bt, cdtype)
     rgb_ref[...] = rgb_raw
     dens_ref[...] = dens
     transr_ref[...] = trans_raw
@@ -168,10 +164,11 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype,
     feat = feat_ref[...].astype(jnp.float32)
     pts = pts_ref[...]
     rayenc = enc_ref[...]
+    light = light_ref[pl.ds(img, 1), :]
+    trans = trans_ref[pl.ds(img, 1), :]
 
-    _, _, acts = _heads_forward(feat, rayenc, pts, light_ref[...],
-                                trans_ref[...], wr, br, wt, bt, cdtype,
-                                want_acts=True)
+    _, _, acts = _heads_forward(feat, rayenc, pts, light, trans,
+                                wr, br, wt, bt, cdtype, want_acts=True)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
 
@@ -184,7 +181,7 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype,
         scratch[nr + li][...] += jnp.sum(g, axis=0, keepdims=True)
         g = _dot_t2(g.astype(cdtype), wr[li][...])
         if li > 0:
-            g = g * (acts[f"rz{li-1}"].astype(jnp.float32) > 0)
+            g = g * (acts[f"rz{li-1}"] > 0)
     off = feat.shape[1] + rayenc.shape[1] + pts.shape[1]
     dlight = jnp.sum(g[:, off:], axis=0, keepdims=True)      # [1,48]
 
@@ -199,7 +196,7 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype,
         scratch[base + nt + li][...] += jnp.sum(g, axis=0, keepdims=True)
         g = _dot_t2(g.astype(cdtype), wt[li][...])
         if li > 0:
-            g = g * (acts[f"tz{li-1}"].astype(jnp.float32) > 0)
+            g = g * (acts[f"tz{li-1}"] > 0)
     dtrans = jnp.sum(g[:, feat.shape[1]:], axis=0, keepdims=True)
 
     scratch[-2][...] += jnp.where(row == img, dlight, 0.0)
@@ -233,16 +230,10 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     n_trunk, nr, nt = len(trunk_w), len(rgb_w), len(tr_w)
     F = trunk_w[-1].shape[1] - 1
     E = ray_enc.shape[1]
-    Dl, Dt = light_rows.shape[1], trans_rows.shape[1]
-    B = light_rows.shape[0]
-    light_x = jnp.broadcast_to(light_rows[:, None, :],
-                               (B, rows_per_img, Dl)).reshape(M, Dl)
-    trans_x = jnp.broadcast_to(trans_rows[:, None, :],
-                               (B, rows_per_img, Dt)).reshape(M, Dt)
     kernel = functools.partial(_fwd_kernel, L3, skip, nr, nt, n_trunk,
                                tiles_per_img, cdtype)
     in_specs = ([_row_spec(tile, 3), _row_spec(tile, E), _full_spec(),
-                 _row_spec(tile, Dl), _row_spec(tile, Dt)]
+                 _full_spec(), _full_spec()]
                 + [_full_spec()] * (2 * n_trunk + 2 * nr + 2 * nt))
     out_specs = (_row_spec(tile, 3), _row_spec(tile, 1), _row_spec(tile, 5),
                  _row_spec(tile, F))
@@ -258,7 +249,7 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     return pl.pallas_call(
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
-    )(pts, ray_enc, aux3, light_x, trans_x,
+    )(pts, ray_enc, aux3, light_rows, trans_rows,
       *trunk_wc, *trunk_b, *rgb_wc, *rgb_b, *tr_wc, *tr_b)
 
 
@@ -271,14 +262,9 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
     nr, nt = len(rgb_w), len(tr_w)
     F = feat.shape[1]
     E = ray_enc.shape[1]
-    Dl, Dt = light_rows.shape[1], trans_rows.shape[1]
-    light_x = jnp.broadcast_to(light_rows[:, None, :],
-                               (B, rows_per_img, Dl)).reshape(M, Dl)
-    trans_x = jnp.broadcast_to(trans_rows[:, None, :],
-                               (B, rows_per_img, Dt)).reshape(M, Dt)
     kernel = functools.partial(_bwd_kernel, nr, nt, B, tiles_per_img, cdtype)
     in_specs = ([_row_spec(tile, F), _row_spec(tile, E), _row_spec(tile, 3),
-                 _row_spec(tile, Dl), _row_spec(tile, Dt),
+                 _full_spec(), _full_spec(),
                  _row_spec(tile, 3), _row_spec(tile, 5)]
                 + [_full_spec()] * (2 * nr + 2 * nt))
     out_shape = ([jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in rgb_w]
@@ -299,7 +285,7 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=tuple(out_shape), scratch_shapes=scratch,
         interpret=interpret,
-    )(feat, ray_enc, pts, light_x, trans_x, g_rgb, g_trans,
+    )(feat, ray_enc, pts, light_rows, trans_rows, g_rgb, g_trans,
       *rgb_wc, *rgb_b, *tr_wc, *tr_b)
 
 
@@ -364,7 +350,7 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret):
 
 def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
                    head_params, aux3, skip, L3, rows_per_img,
-                   tile_fwd=1024, tile_bwd=1024,
+                   tile_fwd=2048, tile_bwd=1024,
                    compute_dtype=jnp.bfloat16, interpret=False):
     """Differentiable fused ST-field.
 
