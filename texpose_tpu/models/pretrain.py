@@ -48,7 +48,12 @@ class PretrainEngine(Engine):
         cfg = self.cfg
         key = key if key is not None else jax.random.PRNGKey(cfg.get("seed", 0))
         log.info("building networks...")
-        params = {"nerf": self.field_init(key, cfg)}
+        k1, k2 = jax.random.split(key)
+        params = {"nerf": self.field_init(k1, cfg)}
+        if cfg.nerf.get("fine_sampling"):
+            # working hierarchical sampling (the reference only allocates
+            # nerf_fine, model/nerf_pretrain.py:454-455)
+            params["nerf_fine"] = self.field_init(k2, cfg)
         self.state = dict(params=params)
         return self.state
 
@@ -105,6 +110,12 @@ class PretrainEngine(Engine):
                 loss["render"] = masked_mse_loss(out["rgb"], image, mask_obj)
             else:
                 loss["render"] = mse_loss(out["rgb"], image)
+        if "rgb_fine" in out and lw.get("render_fine") is not None:
+            if cfg.nerf.get("mask_obj"):
+                loss["render_fine"] = masked_mse_loss(out["rgb_fine"], image,
+                                                      mask_obj)
+            else:
+                loss["render_fine"] = mse_loss(out["rgb_fine"], image)
         return loss
 
     def _make_train_step(self):
@@ -134,11 +145,18 @@ class PretrainEngine(Engine):
                 ray_idx = jax.lax.with_sharding_constraint(ray_idx,
                                                            ray_sharding)
             pose = self.get_pose(batch, "train")
-            out = render_rays_nerf(
-                params["nerf"], cfg, pose, batch["intr"], ray_idx,
-                batch["z_near"], batch["z_far"], k_render, progress,
-                mode="train",
-                compute_dtype=_compute_dtype(cfg))
+            if cfg.nerf.get("fine_sampling"):
+                from .render import render_rays_nerf_hierarchical
+                out = render_rays_nerf_hierarchical(
+                    params, cfg, pose, batch["intr"], ray_idx,
+                    batch["z_near"], batch["z_far"], k_render, progress,
+                    mode="train", compute_dtype=_compute_dtype(cfg))
+            else:
+                out = render_rays_nerf(
+                    params["nerf"], cfg, pose, batch["intr"], ray_idx,
+                    batch["z_near"], batch["z_far"], k_render, progress,
+                    mode="train",
+                    compute_dtype=_compute_dtype(cfg))
             if mesh is not None:
                 out = {k: jax.lax.with_sharding_constraint(v, ray_sharding)
                        for k, v in out.items()}

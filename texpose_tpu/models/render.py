@@ -104,6 +104,44 @@ def render_rays_nerf_st(params, cfg, pose, intr, ray_idx, z_near, z_far,
         min_uncert=cfg.nerf.get("min_uncert", 0.05))
 
 
+def render_rays_nerf_hierarchical(params, cfg, pose, intr, ray_idx, z_near,
+                                  z_far, key, progress=None, mode=None,
+                                  compute_dtype=None):
+    """Coarse + importance-sampled fine render (working implementation of
+    the reference's vestigial nerf.fine_sampling flag).
+
+    params = {"nerf": coarse field, "nerf_fine": fine field}.  Returns the
+    coarse dict plus rgb_fine/depth_fine/opacity_fine.
+    """
+    from ..ops.render import sample_depth_from_pdf, union_sorted_depths
+    center, ray, near, far = gather_rays(
+        pose, intr, ray_idx, z_near, z_far, cfg.H, cfg.W,
+        ndc=cfg.camera.get("ndc", False))
+    k_depth, k_fine, k_density = jax.random.split(key, 3)
+    stratified = cfg.nerf.sample_stratified and mode == "train"
+    depth_samples = sample_depth(
+        k_depth, near, far, cfg.nerf.sample_intvs,
+        stratified=stratified, param=cfg.nerf.depth.param)
+    rgb_s, dens_s = forward_samples_nerf(
+        params["nerf"], cfg, center, ray, depth_samples, progress=progress,
+        mode=mode, density_key=k_density, compute_dtype=compute_dtype)
+    out_c = composite(rgb_s, dens_s, depth_samples, ray,
+                      setbg_opaque=cfg.nerf.get("setbg_opaque", False))
+
+    fine = sample_depth_from_pdf(
+        k_fine, depth_samples, jax.lax.stop_gradient(out_c["prob"][..., 0]),
+        cfg.nerf.sample_intvs_fine, stratified=stratified)
+    depth_all = union_sorted_depths(depth_samples, fine)
+    rgb_f, dens_f = forward_samples_nerf(
+        params["nerf_fine"], cfg, center, ray, depth_all, progress=progress,
+        mode=mode, density_key=k_density, compute_dtype=compute_dtype)
+    out_f = composite(rgb_f, dens_f, depth_all, ray,
+                      setbg_opaque=cfg.nerf.get("setbg_opaque", False))
+    return dict(rgb=out_c["rgb"], depth=out_c["depth"],
+                opacity=out_c["opacity"], rgb_fine=out_f["rgb"],
+                depth_fine=out_f["depth"], opacity_fine=out_f["opacity"])
+
+
 def _chunk_indices(HW, chunk):
     """[num_chunks, chunk] int32 ray indices covering 0..HW-1, last chunk
     padded by repeating the final index (harmless overdraw)."""

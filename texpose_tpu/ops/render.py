@@ -38,6 +38,51 @@ def sample_depth(key, depth_min, depth_max, num_samples, stratified=True,
     return depth
 
 
+def sample_depth_from_pdf(key, depth_samples, weights, n_fine,
+                          stratified=True, eps=1e-5):
+    """Hierarchical (importance) sampling: inverse-CDF draws from the
+    coarse compositing weights.
+
+    The reference declares `nerf.fine_sampling` and builds a fine field but
+    never renders with it (vestigial BARF leftover — model/nerf_pretrain.py
+    :454-455,637-638 allocate it, render() never calls it); this is the
+    working TPU-native implementation of that flag.
+
+    depth_samples [B,R,N,1] (sorted), weights [B,R,N] → [B,R,n_fine,1].
+    """
+    B, R, N, _ = depth_samples.shape
+    d = depth_samples[..., 0]                               # [B,R,N]
+    mids = 0.5 * (d[..., 1:] + d[..., :-1])                 # [B,R,N-1]
+    w = weights[..., 1:-1] + eps                            # [B,R,N-2]
+    pdf = w / w.sum(axis=-1, keepdims=True)
+    cdf = jnp.concatenate([jnp.zeros_like(pdf[..., :1]),
+                           jnp.cumsum(pdf, axis=-1)], axis=-1)  # [B,R,N-1]
+    if stratified:
+        u = (jnp.arange(n_fine, dtype=d.dtype) +
+             jax.random.uniform(key, (B, R, n_fine), d.dtype)) / n_fine
+    else:
+        u = (jnp.arange(n_fine, dtype=d.dtype) + 0.5) / n_fine
+        u = jnp.broadcast_to(u, (B, R, n_fine))
+    # per-ray searchsorted via vectorized comparison (N-1 is small: ≤64)
+    below = (u[..., None, :] >= cdf[..., :, None]).sum(axis=-2) - 1
+    below = jnp.clip(below, 0, cdf.shape[-1] - 2)
+    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, below + 1, axis=-1)
+    mid_lo = jnp.take_along_axis(mids, below, axis=-1)
+    mid_hi = jnp.take_along_axis(mids, jnp.clip(below + 1, 0,
+                                                mids.shape[-1] - 1), axis=-1)
+    t = (u - cdf_lo) / jnp.maximum(cdf_hi - cdf_lo, eps)
+    fine = mid_lo + t * (mid_hi - mid_lo)
+    return fine[..., None]                                   # [B,R,nf,1]
+
+
+def union_sorted_depths(coarse, fine):
+    """Concatenate and sort coarse+fine depth samples along the sample axis:
+    [B,R,N,1] + [B,R,Nf,1] → [B,R,N+Nf,1]."""
+    alld = jnp.concatenate([coarse, fine], axis=-2)
+    return jnp.sort(alld, axis=-2)
+
+
 def _dists(depth_samples, ray):
     """Quadrature interval lengths [B,R,N] = Δdepth · ‖ray‖ (last interval
     1e10, reference layers/nerf.py:121-124)."""
