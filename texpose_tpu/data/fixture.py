@@ -62,10 +62,14 @@ def sphere_albedo(p_unit):
 
 
 def _render_sphere(pose, K, H, W, radius_mm, light_dir=None, light_gain=1.0,
-                   flat=False):
-    """Analytic ray-trace of the sphere. Returns dict of [H,W,*] maps (mm)."""
+                   flat=False, center_mm=None):
+    """Analytic ray-trace of a sphere centered at `center_mm` (world, default
+    origin). Returns dict of [H,W,*] maps (mm)."""
     R, t = pose[:, :3], pose[:, 3]
     cam_pos = -R.T @ t                                     # world, mm
+    if center_mm is not None:
+        # shift the world so the sphere sits at the origin of the trace
+        cam_pos = cam_pos - np.asarray(center_mm, np.float64)
     ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
     pix = np.stack([xs + 0.5, ys + 0.5, np.ones_like(xs)], axis=-1)
     d_cam = pix @ np.linalg.inv(K).T
@@ -256,3 +260,132 @@ def generate_fixture(root, n_train=6, n_test=2, radius_mm=60.0,
     with open(os.path.join(split_dir, "test.txt"), "w") as f:
         f.write("\n".join(lines_test) + "\n")
     return os.path.join(root)
+
+
+def generate_fixture_multi(root, n_train=4, n_test=1, radius_mm=60.0,
+                           dist_mm=420.0, objs=("ball", "ball2"),
+                           scene="scene_multi", pose_loop="init_calib",
+                           seed=0, image_scale=0.25, crop_res=32):
+    """Two-object fake BOP tree (occlusion-aware): exercises the multi_obj
+    branches of the data layer (reference data/lm.py:67-84,100-110 —
+    scene_object.json, per-object mask/box/crop file naming).
+
+    Object 0: radius r at the origin; object 1: radius 0.7r offset +x by
+    1.6r (partially occluding/occluded depending on view).
+    """
+    rng = np.random.default_rng(seed)
+    H, W = int(RAW_H * image_scale), int(RAW_W * image_scale)
+    K = CAM_K.copy()
+    K[:2] *= image_scale
+    folder = "000001"
+    base = os.path.join(root, "lm", folder)
+    for sub in ["rgb", "depth", "mask", "mask_visib", "mask_pred_init",
+                f"rgbsyn_{pose_loop}", f"nocs_{pose_loop}",
+                f"normal_{pose_loop}", "gt_box", f"pred_box_{pose_loop}"]:
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    os.makedirs(os.path.join(root, "lm", "models"), exist_ok=True)
+
+    centers = [np.zeros(3), np.array([1.6 * radius_mm, 0.0, 0.0])]
+    radii = [radius_mm, 0.7 * radius_mm]
+
+    n = n_train + n_test
+    scene_gt, scene_cam, scene_info, scene_pred, scene_obj = {}, {}, {}, {}, {}
+    from .crops import bbox_to_crop, get_center_offset, preprocess_intrinsics
+    for i in range(n):
+        theta = 2 * np.pi * i / n
+        phi = 0.3 + 0.2 * np.sin(2 * theta)
+        pose = _orbit_pose(theta, phi, dist_mm)
+        rs = [_render_sphere(pose, K, H, W, radii[o], flat=False,
+                             center_mm=centers[o]) for o in range(2)]
+        # occlusion-aware composite by nearest depth
+        d0 = np.where(rs[0]["hit"], rs[0]["depth_mm"], np.inf)
+        d1 = np.where(rs[1]["hit"], rs[1]["depth_mm"], np.inf)
+        front0 = d0 <= d1
+        rgb = np.where(front0[..., None], rs[0]["rgb"], rs[1]["rgb"])
+        hit_any = rs[0]["hit"] | rs[1]["hit"]
+        bg = 0.15 + 0.1 * rng.random(3)
+        rgb = rgb + (~hit_any)[..., None] * bg
+        depth = np.where(hit_any, np.minimum(d0, d1), 0.0)
+        cv2.imwrite(os.path.join(base, "rgb", f"{i:06d}.png"),
+                    (np.clip(rgb, 0, 1)[..., ::-1] * 255).astype(np.uint8))
+        cv2.imwrite(os.path.join(base, "depth", f"{i:06d}.png"),
+                    depth.astype(np.uint16))
+
+        gt_list, info_list, pred_list = [], [], []
+        scene_obj[str(i)] = {objs[0]: 0, objs[1]: 1}
+        for o in range(2):
+            full = rs[o]["hit"]
+            visib = full & (front0 if o == 0 else ~front0)
+            cv2.imwrite(os.path.join(base, "mask",
+                                     f"{i:06d}_{o:06d}.png"),
+                        (full * 255).astype(np.uint8))
+            for mdir in ("mask_visib", "mask_pred_init"):
+                cv2.imwrite(os.path.join(base, mdir,
+                                         f"{i:06d}_{o:06d}.png"),
+                            (visib * 255).astype(np.uint8))
+            box = np.stack([rs[o]["box_near"], rs[o]["box_far"]],
+                           0).astype(np.float32)
+            for bdir in ("gt_box", f"pred_box_{pose_loop}"):
+                np.savez(os.path.join(base, bdir, f"{i:06d}_{o:06d}.npz"),
+                         data=box)
+            # object pose: model frame centered at centers[o]
+            pose_o = pose.copy()
+            pose_o[:, 3] = pose[:, :3] @ centers[o] + pose[:, 3]
+            ys, xs = np.nonzero(visib if visib.any() else full)
+            x0, y0 = int(xs.min()), int(ys.min())
+            bw, bh = int(xs.max() - x0 + 1), int(ys.max() - y0 + 1)
+            gt_list.append({"cam_R_m2c": pose_o[:, :3].reshape(-1).tolist(),
+                            "cam_t_m2c": pose_o[:, 3].tolist(),
+                            "obj_id": o + 1})
+            pred_list.append(gt_list[-1])
+            info_list.append({"bbox_obj": [x0, y0, bw, bh],
+                              "bbox_visib": [x0, y0, bw, bh]})
+            # per-object synthetic crop (alone, flat shading)
+            center, cscale, resize = bbox_to_crop([x0, y0, bw, bh], crop_res)
+            coff = get_center_offset(center, cscale, H, W)
+            K_crop = preprocess_intrinsics(K, resize, center + coff, crop_res)
+            rc = _render_sphere(pose_o, K_crop.astype(np.float64), crop_res,
+                                crop_res, radii[o], flat=True)
+            mask_c = (rc["hit"] * 255).astype(np.uint8)
+            rgba = np.concatenate([rc["rgb"][..., ::-1] * 255,
+                                   mask_c[..., None]], axis=-1).astype(np.uint8)
+            cv2.imwrite(os.path.join(base, f"rgbsyn_{pose_loop}",
+                                     f"{i:06d}_{o:06d}.png"), rgba)
+            cv2.imwrite(os.path.join(base, f"nocs_{pose_loop}",
+                                     f"{i:06d}_{o:06d}.png"),
+                        (rc["nocs"][..., ::-1] * 255).astype(np.uint8))
+            np.savez(os.path.join(base, f"normal_{pose_loop}",
+                                  f"{i:06d}_{o:06d}.npz"),
+                     data=rc["normal_cam"].astype(np.float32))
+        scene_gt[str(i)] = gt_list
+        scene_info[str(i)] = info_list
+        scene_pred[str(i)] = pred_list
+        scene_cam[str(i)] = {"cam_K": K.reshape(-1).tolist(),
+                             "depth_scale": 1.0}
+
+    for name, obj_json in [("scene_gt.json", scene_gt),
+                           ("scene_camera.json", scene_cam),
+                           ("scene_gt_info.json", scene_info),
+                           ("scene_pred_info.json", scene_info),
+                           (f"scene_pred_{pose_loop}.json", scene_pred),
+                           ("scene_object.json", scene_obj)]:
+        with open(os.path.join(base, name), "w") as f:
+            json.dump(obj_json, f)
+
+    for o in range(2):
+        verts, faces = _icosphere(radii[o], subdiv=2)
+        save_ply(os.path.join(root, "lm", "models",
+                              f"obj_{o + 1:06d}.ply"),
+                 verts, faces, sphere_albedo(verts / radii[o]))
+
+    for o, obj in enumerate(objs):
+        split_dir = os.path.join(root, "splits", "lm", obj, scene)
+        os.makedirs(split_dir, exist_ok=True)
+        tr = [f"{obj} {folder} {i}" for i in range(n_train)]
+        te = [f"{obj} {folder} {i}" for i in range(n_train, n)]
+        open(os.path.join(split_dir, "train.txt"), "w").write(
+            "\n".join(tr) + "\n")
+        open(os.path.join(split_dir, "val.txt"), "w").write(te[0] + "\n")
+        open(os.path.join(split_dir, "test.txt"), "w").write(
+            "\n".join(te) + "\n")
+    return root

@@ -37,27 +37,40 @@ def main(argv=None):
     p.add_argument("--group", default="fleet")
     p.add_argument("--parallel", type=int, default=1,
                    help="concurrent runs (keep 1 per accelerator)")
+    p.add_argument("--retries", type=int, default=0,
+                   help="failure recovery: relaunch a crashed run with "
+                        "--resume up to N times (checkpoints make restarts "
+                        "cheap; the reference has no recovery story at all)")
     a = p.parse_args(argv)
 
     objects = [o for o in a.objects.split(",") if o]
-    procs, results = [], {}
+    procs, results, attempts = [], {}, {}
 
-    def launch(obj):
+    def launch(obj, resume=False):
         cmd = [sys.executable, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "train.py"),
             f"--yaml={a.yaml}", f"--data.object={obj}",
             f"--group={a.group}", f"--name={obj}"] + extra
+        if resume:
+            cmd.append("--resume")
         print(f"[fleet] launching {obj}: {' '.join(cmd)}", flush=True)
         return obj, subprocess.Popen(cmd)
 
     queue = objects[:]
     while queue or procs:
         while queue and len(procs) < a.parallel:
-            procs.append(launch(queue.pop(0)))
+            obj = queue.pop(0)
+            procs.append(launch(obj, resume=attempts.get(obj, 0) > 0))
         obj, pr = procs.pop(0)
         rc = pr.wait()
-        results[obj] = rc
         print(f"[fleet] {obj} exited with {rc}", flush=True)
+        if rc != 0 and attempts.get(obj, 0) < a.retries:
+            attempts[obj] = attempts.get(obj, 0) + 1
+            print(f"[fleet] retrying {obj} with --resume "
+                  f"(attempt {attempts[obj]}/{a.retries})", flush=True)
+            queue.append(obj)
+        else:
+            results[obj] = rc
 
     failed = {k: v for k, v in results.items() if v != 0}
     if failed:
