@@ -56,14 +56,11 @@ def main():
     eng.setup_optimizer()
 
     rays_per_step = int(cfg.batch_size) * int(cfg.patch_size) ** 2
-    key = jax.random.PRNGKey(0)
 
     # warmup (compile + first steps)
     warmup = 10
     for it in range(warmup):
-        key, sub = jax.random.split(key)
-        eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
-                                      jnp.asarray(it, jnp.int32))
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
     jax.block_until_ready(loss["all"])
 
     # best-of-chunks timing: the TPU tunnel adds sporadic latency spikes;
@@ -72,14 +69,10 @@ def main():
     n_chunks = 5
     per_chunk = max(n_steps // n_chunks, 1)
     best = float("inf")
-    it = warmup
     for _ in range(n_chunks):
         t0 = time.perf_counter()
         for _ in range(per_chunk):
-            key, sub = jax.random.split(key)
-            eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
-                                          jnp.asarray(it, jnp.int32))
-            it += 1
+            eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
         jax.block_until_ready(loss["all"])
         best = min(best, (time.perf_counter() - t0) / per_chunk)
 

@@ -57,12 +57,9 @@ def test_fine_sampling_pretrain_e2e(tmp_path, tmp_path_factory):
     eng.build_networks()
     assert "nerf_fine" in eng.state["params"]
     eng.setup_optimizer()
-    key = jax.random.PRNGKey(0)
     first = None
     for it in range(cfg.max_iter):
-        key, sub = jax.random.split(key)
-        eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
-                                      jnp.asarray(it, jnp.int32))
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
         if it == 0:
             first = float(np.asarray(loss["render_fine"]))
     last = float(np.asarray(loss["render_fine"]))

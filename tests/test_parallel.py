@@ -101,12 +101,9 @@ def test_dp_step_matches_single_device(engine_kind, tmp_path, tmp_path_factory):
     losses = {}
     for dp in (False, True):
         eng = build(dp)
-        key = jax.random.PRNGKey(0)
         out = []
         for it in range(2):
-            key, sub = jax.random.split(key)
-            eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
-                                          jnp.asarray(it, jnp.int32))
+            eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
             out.append({k: float(np.asarray(v)) for k, v in loss.items()})
         losses[dp] = out
 

@@ -72,12 +72,9 @@ def test_pretrain_e2e(fixture_root, tmp_path):
     # capture first/last train losses
     import jax
     import jax.numpy as jnp
-    key = jax.random.PRNGKey(0)
     first = None
     for it in range(cfg.max_iter):
-        key, sub = jax.random.split(key)
-        eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
-                                      jnp.asarray(it, jnp.int32))
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
         if it == 0:
             first = float(np.asarray(loss["all"]))
     last = float(np.asarray(loss["all"]))

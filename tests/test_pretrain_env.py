@@ -48,11 +48,8 @@ def test_env_engine_runs_viewdep(root, tmp_path):
     np.testing.assert_array_equal(np.asarray(pose_used),
                                   np.asarray(b["pose"]))
 
-    key = jax.random.PRNGKey(0)
     for it in range(cfg.max_iter):
-        key, sub = jax.random.split(key)
-        eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
-                                      jnp.asarray(it, jnp.int32))
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
     host = {k: float(np.asarray(v)) for k, v in loss.items()}
     assert all(np.isfinite(v) for v in host.values()), host
     # view-dep rgb head has the larger input (feat + view enc + pts)

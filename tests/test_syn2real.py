@@ -54,11 +54,8 @@ def test_syn2real_eval_export(root, tmp_path):
     eng.load_dataset()
     eng.build_networks()
     eng.setup_optimizer()
-    key = jax.random.PRNGKey(0)
     for it in range(3):
-        key, sub = jax.random.split(key)
-        eng.state, _ = eng.step_fn(eng.state, eng.train_batch, sub,
-                                   jnp.asarray(it, jnp.int32))
+        eng.state, _ = eng.step_fn(eng.state, eng.train_batch)
     eng.save_checkpoint(3)
 
     cfg2 = tiny_gan_cfg(root, tmp_path)

@@ -91,12 +91,9 @@ def test_texture_gan_e2e(fixture_root, tmp_path):
     eng.build_networks()
     eng.setup_optimizer()
 
-    key = jax.random.PRNGKey(0)
     losses = []
     for it in range(cfg.max_iter):
-        key, sub = jax.random.split(key)
-        eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
-                                      jnp.asarray(it, jnp.int32))
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
         losses.append({k: float(np.asarray(v)) for k, v in loss.items()})
     for k, v in losses[-1].items():
         assert np.isfinite(v), (k, losses[-1])
@@ -144,11 +141,8 @@ def test_trunk_frozen(fixture_root, tmp_path):
     eng.setup_optimizer()
     trunk0 = np.asarray(eng.state["params"]["nerf"]["mlp_feat"][0]["w"]).copy()
     rgb0 = np.asarray(eng.state["params"]["nerf"]["mlp_rgb"][0]["w"]).copy()
-    key = jax.random.PRNGKey(1)
     for it in range(3):
-        key, sub = jax.random.split(key)
-        eng.state, _ = eng.step_fn(eng.state, eng.train_batch, sub,
-                                   jnp.asarray(it, jnp.int32))
+        eng.state, _ = eng.step_fn(eng.state, eng.train_batch)
     trunk1 = np.asarray(eng.state["params"]["nerf"]["mlp_feat"][0]["w"])
     rgb1 = np.asarray(eng.state["params"]["nerf"]["mlp_rgb"][0]["w"])
     assert np.array_equal(trunk0, trunk1), "trunk moved but must be frozen"

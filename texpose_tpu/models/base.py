@@ -133,7 +133,6 @@ class Engine:
         max_iter = self.max_iter()
         log.title(f"TRAINING START ({type(self).__name__}, "
                   f"{max_iter} steps)")
-        key = jax.random.PRNGKey(cfg.get("seed", 0))
         if self.start_step == 0:
             self.validate(0)
         if cfg.get("profile"):
@@ -144,9 +143,7 @@ class Engine:
             log.info(f"jax.profiler trace → {prof_dir}")
         t_start = time.time()
         for it in range(self.start_step, max_iter):
-            key, sub = jax.random.split(key)
-            self.state, loss = self.step_fn(self.state, self.train_batch,
-                                            sub, jnp.asarray(it, jnp.int32))
+            self.state, loss = self.step_fn(self.state, self.train_batch)
             self.timer.tick()
             if (it + 1) % cfg.freq.scalar == 0 or it == 0:
                 self.log_scalars(it + 1, loss)

@@ -68,6 +68,8 @@ class PretrainEngine(Engine):
             sched = lr
         self.optimizer = optax.adam(sched)
         self.state["opt_state"] = self.optimizer.init(self.state["params"])
+        self.state["key"] = jax.random.PRNGKey(self.cfg.get("seed", 0))
+        self.state["it"] = jnp.asarray(0, jnp.int32)
         self.step_fn = self._make_train_step()
 
     # ------------------------------------------------------------ train step
@@ -135,6 +137,9 @@ class PretrainEngine(Engine):
                 f"rays-per-image {R} must divide the mesh ({mesh.shape})"
 
         def loss_fn(params, batch, key, it):
+            # key/it arrive from the state pytree — nothing is transferred
+            # from the host per step (eager per-step key splits and scalar
+            # uploads were measurable dispatch overhead on the tunnel)
             progress = it.astype(jnp.float32) / max_iter if use_c2f else None
             k_perm, k_render = jax.random.split(key)
             ray_idx = jax.random.permutation(k_perm, HW)[:R]
@@ -167,13 +172,16 @@ class PretrainEngine(Engine):
         from functools import partial
 
         @partial(jax.jit, donate_argnums=0)
-        def step(state, batch, key, it):
+        def step(state, batch):
+            key, sub = jax.random.split(state["key"])
+            it = state["it"]
             (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state["params"], batch, key, it)
+                state["params"], batch, sub, it)
             updates, opt_state = optimizer.update(
                 grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
-            return dict(params=params, opt_state=opt_state), loss
+            return dict(params=params, opt_state=opt_state, key=key,
+                        it=it + 1), loss
 
         return step
 

@@ -205,6 +205,8 @@ class TextureGANEngine(Engine):
                                           eps=1e-8)
             self.state["opt_disc"] = self.opt_disc.init(
                 self.state["params"]["disc"])
+        self.state["key"] = jax.random.PRNGKey(cfg.get("seed", 0))
+        self.state["it"] = jnp.asarray(0, jnp.int32)
         self.step_fn = self._make_train_step()
 
     # ------------------------------------------------------------ train step
@@ -327,8 +329,11 @@ class TextureGANEngine(Engine):
         from functools import partial
 
         @partial(jax.jit, donate_argnums=0)
-        def step(state, batch_all, key, it):
-            k_batch, k_patch, k_render = jax.random.split(key, 3)
+        def step(state, batch_all):
+            # key/it live in the state — zero per-step host transfers
+            key, k_batch, k_patch, k_render = jax.random.split(
+                state["key"], 4)
+            it = state["it"]
             progress = it.astype(jnp.float32) / max_iter
             idx = jax.random.choice(k_batch, N, (B,), replace=B > N)
             batch = jax.tree_util.tree_map(lambda x: x[idx], batch_all)
@@ -392,6 +397,8 @@ class TextureGANEngine(Engine):
                 new_state["sn_state"] = sn2
                 dloss = {f"{k}": v for k, v in dloss.items()}
 
+            new_state["key"] = key
+            new_state["it"] = it + 1
             loss_out = dict(gloss)
             loss_out.update(dloss)
             return new_state, loss_out

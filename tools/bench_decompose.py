@@ -92,11 +92,9 @@ def main():
 
     # full step: the state is DONATED, so thread the returned state through
     holder = {"st": eng.state}
-    k2 = jax.random.PRNGKey(1)
-    it0 = jnp.asarray(5, jnp.int32)
 
     def stepper():
-        st2, loss = eng.step_fn(holder["st"], eng.train_batch, k2, it0)
+        st2, loss = eng.step_fn(holder["st"], eng.train_batch)
         holder["st"] = st2
         return loss["all"]
 

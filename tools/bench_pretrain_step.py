@@ -29,18 +29,13 @@ def main():
     eng.load_dataset()
     eng.build_networks()
     eng.setup_optimizer()
-    key = jax.random.PRNGKey(0)
     for it in range(10):
-        key, sub = jax.random.split(key)
-        eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
-                                      jnp.asarray(it, jnp.int32))
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
     jax.block_until_ready(loss["all"])
     n = 200
     t0 = time.perf_counter()
     for it in range(10, 10 + n):
-        key, sub = jax.random.split(key)
-        eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
-                                      jnp.asarray(it, jnp.int32))
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
     jax.block_until_ready(loss["all"])
     dt = (time.perf_counter() - t0) / n
     print(f"pretrain step: {dt*1000:.2f} ms "

@@ -48,19 +48,14 @@ def main():
     eng.load_dataset()
     eng.build_networks()
     eng.setup_optimizer()
-    key = jax.random.PRNGKey(0)
     st = eng.state
     for it in range(10):
-        key, sub = jax.random.split(key)
-        st, loss = eng.step_fn(st, eng.train_batch, sub,
-                               jnp.asarray(it, jnp.int32))
+        st, loss = eng.step_fn(st, eng.train_batch)
     jax.block_until_ready(loss["all"])
     n = 200
     t0 = time.perf_counter()
     for it in range(10, 10 + n):
-        key, sub = jax.random.split(key)
-        st, loss = eng.step_fn(st, eng.train_batch, sub,
-                               jnp.asarray(it, jnp.int32))
+        st, loss = eng.step_fn(st, eng.train_batch)
     jax.block_until_ready(loss["all"])
     dt = (time.perf_counter() - t0) / n
     rays = int(cfg.batch_size) * int(cfg.patch_size) ** 2

@@ -56,13 +56,10 @@ def pretrain_stage(cache):
     eng.load_dataset()
     eng.build_networks()
     eng.setup_optimizer()
-    key = jax.random.PRNGKey(0)
     first = None
     t0 = time.time()
     for it in range(cfg.max_iter):
-        key, sub = jax.random.split(key)
-        eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
-                                      jnp.asarray(it, jnp.int32))
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
         if it == 20:
             first = float(np.asarray(loss["all"]))
     last = float(np.asarray(loss["all"]))
@@ -93,13 +90,10 @@ def gan_stage(cache):
     eng.build_networks()
     eng.setup_optimizer()
     eng.restore_pretrained_checkpoint()
-    key = jax.random.PRNGKey(1)
     first = None
     t0 = time.time()
     for it in range(cfg.max_iter):
-        key, sub = jax.random.split(key)
-        eng.state, loss = eng.step_fn(eng.state, eng.train_batch, sub,
-                                      jnp.asarray(it, jnp.int32))
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
         if it == 20:
             first = float(np.asarray(loss["render"]))
     dt = time.time() - t0
