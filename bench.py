@@ -56,6 +56,7 @@ def main():
     eng.setup_optimizer()
 
     rays_per_step = int(cfg.batch_size) * int(cfg.patch_size) ** 2
+    scan_k = eng.scan_k()          # steps fused per dispatch (lax.scan)
 
     # warmup (compile + first steps)
     warmup = 10
@@ -76,7 +77,7 @@ def main():
         jax.block_until_ready(loss["all"])
         best = min(best, (time.perf_counter() - t0) / per_chunk)
 
-    rays_per_sec = rays_per_step / best
+    rays_per_sec = rays_per_step * scan_k / best
     result = {
         "metric": "texture_train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),

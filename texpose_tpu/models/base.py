@@ -32,6 +32,27 @@ from ..utils.metrics import MetricsWriter, StepTimer
 from ..utils import checkpoint as ckpt
 
 
+def finalize_step(inner, scan_k):
+    """Wrap a pure train step (state, batch) → (state, loss) for execution.
+
+    scan_k > 1 runs K steps per dispatch via lax.scan — the Python loop and
+    the host↔device round-trip are paid once per K steps instead of per
+    step (the remote-TPU tunnel adds measurable per-dispatch latency).
+    Returns the LAST step's losses.
+    """
+    if scan_k <= 1:
+        return jax.jit(inner, donate_argnums=0)
+
+    def multi(state, batch):
+        def body(st, _):
+            st2, loss = inner(st, batch)
+            return st2, loss
+        state, losses = jax.lax.scan(body, state, None, length=scan_k)
+        return state, jax.tree_util.tree_map(lambda x: x[-1], losses)
+
+    return jax.jit(multi, donate_argnums=0)
+
+
 class Engine:
     """Base engine; subclasses implement build_networks/_make_train_step and
     the loss/eval specifics."""
@@ -128,11 +149,29 @@ class Engine:
     def rays_per_step(self):
         return int(self.cfg.nerf.rand_rays)
 
+    def scan_k(self):
+        """Steps fused per dispatch (cfg.scan_steps; see finalize_step),
+        clamped by gcd so every freq.* hook and max_iter stay reachable."""
+        import math
+        K = max(int(self.cfg.get("scan_steps") or 1), 1)
+        for f in ("scalar", "val", "ckpt", "vis"):
+            v = self.cfg.freq.get(f)
+            if v:
+                K = math.gcd(K, int(v))
+        try:
+            K = math.gcd(K, self.max_iter())
+        except Exception:
+            pass
+        return max(K, 1)
+
     def train(self):
         cfg = self.cfg
         max_iter = self.max_iter()
         log.title(f"TRAINING START ({type(self).__name__}, "
                   f"{max_iter} steps)")
+        K = self.scan_k()
+        if K > 1:
+            log.info(f"scan-fused training: {K} steps per dispatch")
         if self.start_step == 0:
             self.validate(0)
         if cfg.get("profile"):
@@ -142,17 +181,18 @@ class Engine:
             jax.profiler.start_trace(prof_dir)
             log.info(f"jax.profiler trace → {prof_dir}")
         t_start = time.time()
-        for it in range(self.start_step, max_iter):
+        for it in range(self.start_step, max_iter, K):
             self.state, loss = self.step_fn(self.state, self.train_batch)
             self.timer.tick()
-            if (it + 1) % cfg.freq.scalar == 0 or it == 0:
-                self.log_scalars(it + 1, loss)
-            if cfg.freq.get("vis") and (it + 1) % cfg.freq.vis == 0:
-                self.visualize(it + 1)
-            if (it + 1) % cfg.freq.val == 0:
-                self.validate(it + 1)
-            if (it + 1) % cfg.freq.ckpt == 0:
-                self.save_checkpoint(it + 1)
+            done = it + K
+            if done % cfg.freq.scalar == 0 or it == self.start_step:
+                self.log_scalars(done, loss)
+            if cfg.freq.get("vis") and done % cfg.freq.vis == 0:
+                self.visualize(done)
+            if done % cfg.freq.val == 0:
+                self.validate(done)
+            if done % cfg.freq.ckpt == 0:
+                self.save_checkpoint(done)
         if cfg.get("profile"):
             jax.profiler.stop_trace()
         self.save_checkpoint(max_iter)
@@ -166,8 +206,10 @@ class Engine:
         if bad:
             raise FloatingPointError(
                 f"non-finite loss at step {it}: {bad} ({host})")
-        host["it_per_sec"] = 1.0 / self.timer.it_time if self.timer.it_time else 0.0
-        host["rays_per_sec"] = self.timer.rays_per_sec(self.rays_per_step())
+        K = self.scan_k()
+        host["it_per_sec"] = K / self.timer.it_time if self.timer.it_time else 0.0
+        host["rays_per_sec"] = self.timer.rays_per_sec(
+            self.rays_per_step() * K)
         self.writer.scalars(it, host, split=split)
         items = " ".join(f"{k}={v:.4g}" for k, v in host.items())
         log.info(f"[{split} {it}] {items}")

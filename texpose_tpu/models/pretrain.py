@@ -169,9 +169,6 @@ class PretrainEngine(Engine):
             total, loss = summarize_loss(loss, cfg.loss_weight)
             return total, loss
 
-        from functools import partial
-
-        @partial(jax.jit, donate_argnums=0)
         def step(state, batch):
             key, sub = jax.random.split(state["key"])
             it = state["it"]
@@ -183,7 +180,8 @@ class PretrainEngine(Engine):
             return dict(params=params, opt_state=opt_state, key=key,
                         it=it + 1), loss
 
-        return step
+        from .base import finalize_step
+        return finalize_step(step, self.scan_k())
 
     # ------------------------------------------------------------ validation
 

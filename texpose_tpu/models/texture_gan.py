@@ -326,9 +326,6 @@ class TextureGANEngine(Engine):
             assert B % mesh.shape["dp"] == 0, \
                 f"batch_size {B} must divide the mesh ({mesh.shape})"
 
-        from functools import partial
-
-        @partial(jax.jit, donate_argnums=0)
         def step(state, batch_all):
             # key/it live in the state — zero per-step host transfers
             key, k_batch, k_patch, k_render = jax.random.split(
@@ -403,7 +400,8 @@ class TextureGANEngine(Engine):
             loss_out.update(dloss)
             return new_state, loss_out
 
-        return step
+        from .base import finalize_step
+        return finalize_step(step, self.scan_k())
 
     def rays_per_step(self):
         return int(self.cfg.batch_size) * int(self.cfg.patch_size) ** 2
