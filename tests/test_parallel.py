@@ -8,9 +8,10 @@ import jax
 import jax.numpy as jnp
 
 from texpose_tpu.utils.config import Config, process_options
-from texpose_tpu.parallel import (make_mesh, render_full_nerf_sharded)
-from texpose_tpu.models.render import render_full_nerf
-from texpose_tpu.nn.fields import init_nerf
+from texpose_tpu.parallel import (make_mesh, render_full_nerf_sharded,
+                                  render_full_nerf_st_sharded)
+from texpose_tpu.models.render import render_full_nerf, render_full_nerf_st
+from texpose_tpu.nn.fields import init_nerf, init_nerf_st
 
 
 def small_cfg(H=16, W=16):
@@ -64,6 +65,77 @@ def test_sharded_full_render_matches_single():
     for k in ref:
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                    rtol=2e-5, atol=2e-5)
+
+
+def st_cfg(H=16, W=16):
+    return process_options(Config({
+        "arch": {
+            "layers_feat": [None, 32, 32, 32],
+            "layers_rgb": [None, 32, 3],
+            "layers_trans": [None, 32, 5],
+            "skip": [1],
+            "posenc": {"L_3D": 4, "L_view": 2},
+            "density_activ": "softplus", "tf_init": True,
+        },
+        "nerf": {
+            "view_dep": True,
+            "depth": {"param": "metric", "range": [0, 3], "scale": 10},
+            "sample_intvs": 8, "sample_stratified": False,
+            "rand_rays": 64, "density_noise_reg": None,
+            "N_latent_trans": 8, "N_latent_light": 12,
+            "min_uncert": 0.05, "mask_obj": True,
+        },
+        "camera": {"ndc": False},
+        "data": {"image_size": [H, W]},
+        "kernels": {"fused_trunk": False},
+    }))
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_sharded_st_render_matches_single(with_mask):
+    """The sharded ST full-frame render must byte-match the single-chip path,
+    including the reference's zero-fill mask defaults
+    (model/nerf_adapt_st_gan.py:655-667)."""
+    cfg = st_cfg()
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = init_nerf_st(k1, cfg)
+    B = 1
+    pose = jnp.broadcast_to(
+        jnp.concatenate([jnp.eye(3), jnp.array([[0.], [0.], [4.]])], -1)[None],
+        (B, 3, 4))
+    f = 20.0
+    intr = jnp.broadcast_to(jnp.array(
+        [[f, 0, cfg.W / 2], [0, f, cfg.H / 2], [0, 0, 1.0]])[None], (B, 3, 3))
+    HW = cfg.H * cfg.W
+    z_near = jnp.full((B, HW), 2.0)
+    z_far = jnp.full((B, HW), 6.0)
+    lt = jax.random.normal(k2, (B, cfg.nerf.N_latent_trans)) * 0.1
+    ll = jax.random.normal(k3, (B, cfg.nerf.N_latent_light)) * 0.1
+    obj_mask = None
+    if with_mask:
+        m = np.zeros((B, HW), np.float32)
+        m[:, HW // 4: 3 * HW // 4] = 1.0
+        obj_mask = jnp.asarray(m)
+    mesh = make_mesh()
+
+    ref = render_full_nerf_st(params, cfg, pose, intr, z_near, z_far, lt, ll,
+                              jax.random.PRNGKey(0), chunk=32,
+                              obj_mask=obj_mask)
+    out = jax.jit(lambda p: render_full_nerf_st_sharded(
+        mesh, p, cfg, pose, intr, z_near, z_far, lt, ll,
+        jax.random.PRNGKey(0), chunk=32, obj_mask=obj_mask))(params)
+    assert set(out) == set(k for k, v in ref.items() if v.ndim == 3)
+    for k in out:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
+    if with_mask:
+        # non-object pixels: rgb* zero-filled (NOT white), uncert=min_uncert
+        bg = np.asarray(out["rgb_static"][:, :HW // 4])
+        np.testing.assert_allclose(bg, 0.0, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(out["uncert"][:, :HW // 4]), cfg.nerf.min_uncert,
+            atol=1e-7)
 
 
 @pytest.mark.parametrize("engine_kind", ["pretrain", "gan"])

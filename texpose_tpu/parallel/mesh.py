@@ -128,11 +128,14 @@ def render_full_nerf_st_sharded(mesh, params, cfg, pose, intr, z_near, z_far,
 
     out = _sharded_full_render(body, mesh, axis, cfg, chunk)
     if obj_mask is not None:
+        # Same defaults as the single-chip path (models/render.py:265-271)
+        # and the reference's zero-filled scatter buffers
+        # (model/nerf_adapt_st_gan.py:655-667): rgb* <- 0 outside the object,
+        # uncert <- min_uncert, opacities/depth <- 0.
         m = obj_mask[..., None]
         min_u = cfg.nerf.get("min_uncert", 0.05)
-        out["rgb_static"] = out["rgb_static"] * m + (1 - m)
-        out["rgb"] = out["rgb"] * m + (1 - m)
         out["uncert"] = out["uncert"] * m + (1 - m) * min_u
-        for k in ("opacity", "opacity_static", "opacity_transient", "depth"):
+        for k in ("rgb", "rgb_static", "rgb_transient", "opacity",
+                  "opacity_static", "opacity_transient", "depth"):
             out[k] = out[k] * m
     return out
