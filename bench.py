@@ -20,6 +20,51 @@ import tempfile
 import numpy as np
 
 A100_REFERENCE_RAYS_PER_SEC = 20480.0
+# Estimated reference full-frame eval throughput on A100: ~150 sequential
+# 2048-ray chunk renders per 480x640 frame (SURVEY.md §3 hot loop #4) at
+# ~10 it/s ≈ 0.07 views/s; only the masked object subset renders, so ~0.3
+# views/s is a fair denominator for a ~15%-coverage LineMOD crop.
+A100_REFERENCE_VIEWS_PER_SEC = 0.3
+
+
+def eval_views_per_sec(cache, here, reps=5):
+    """480x640 novel-view synthesis throughput (views/s) via the masked
+    bucketed full-frame render (BASELINE.md second headline metric)."""
+    import jax
+    import jax.numpy as jnp
+    from texpose_tpu.utils.config import load_yaml, process_options
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    cfg = load_yaml(os.path.join(here, "configs", "nerf_lm_adapt_gan.yaml"))
+    cfg.yaml = "configs/nerf_lm_adapt_gan.yaml"
+    cfg = process_options(cfg)
+    cfg.data.root = cache
+    cfg.data.splits_root = os.path.join(cache, "splits")
+    cfg.data.object = "ball"
+    cfg.nerf.depth.box_source = "pred_box_init_calib"
+    cfg.output_root = os.path.join(tempfile.gettempdir(),
+                                   "texpose_bench_eval_out")
+    cfg.syn2real = True
+    # official metric is 480x640; the env knob exists for CPU smoke tests
+    cfg.data.image_size = json.loads(
+        os.environ.get("BENCH_EVAL_SIZE", "[480, 640]"))
+    cfg = process_options(cfg)
+    cfg.max_iter = 10
+
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset(eval_split="test", prefetch_train=False)
+    eng.build_networks()
+    eng.setup_optimizer()
+    frame = eng._frame(eng.eval_batch, 0)
+    lt = jnp.zeros((1, cfg.nerf.N_latent_trans))
+    ll = eng.state["latents"]["light"][0:1]
+    out = eng._render_frame_st(frame, lt, ll, masked=True)   # compile
+    jax.block_until_ready(out["rgb_static"])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = eng._render_frame_st(frame, lt, ll, masked=True)
+        jax.block_until_ready(out["rgb_static"])
+    return reps / (time.perf_counter() - t0)
 
 
 def main():
@@ -84,6 +129,19 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / A100_REFERENCE_RAYS_PER_SEC, 3),
     }
+
+    # secondary headline metric (BASELINE.md): 480x640 novel-view synthesis
+    # throughput.  Guarded — a failure here must not lose the primary number.
+    if os.environ.get("BENCH_EVAL", "1") != "0":
+        try:
+            vps = eval_views_per_sec(
+                cache, here, reps=int(os.environ.get("BENCH_EVAL_REPS", "5")))
+            result["views_per_sec_480x640"] = round(vps, 3)
+            result["views_vs_baseline"] = round(
+                vps / A100_REFERENCE_VIEWS_PER_SEC, 3)
+        except Exception as e:    # noqa: BLE001
+            print(f"eval views/sec bench failed: {e!r}", file=sys.stderr)
+
     print(json.dumps(result))
     return result
 

@@ -53,7 +53,48 @@ def parse_options(argv=None):
     p.add_argument("--target_folder", default=None,
                    help="output root (default: <data_root>/<folder>)")
     p.add_argument("--multi_obj", action="store_true")
+    p.add_argument("--vis", action="store_true",
+                   help="dump a QA overlay PNG for the last frame: CAD depth "
+                        "rendered at the same pose vs the ray-box bounds "
+                        "(headless equivalent of reference "
+                        "compute_box.py:287-337)")
     return p.parse_args(argv)
+
+
+def dump_box_vis(out_png, model, pose, K, box, H, W):
+    """Render CAD depth with the native rasterizer and overlay it against
+    the computed (t_near, t_far): every object pixel's depth must fall
+    inside its ray-box interval.  Writes a 4-panel PNG and returns the
+    violation fraction."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from texpose_tpu.raster.shaders import MeshRenderer
+
+    mr = MeshRenderer(model.vertices, model.faces, H=H, W=W)
+    _, depth = mr.render(pose, K, mode="mask", return_depth=True)
+    depth = np.asarray(depth)[0]                             # [H,W], mm
+    t_near, t_far = box[0], box[1]
+    obj = depth > 0
+    # rays hit the mesh but the box interval misses (or excludes) the hit
+    bad = obj & ((depth < t_near - 1e-3) | (depth > t_far + 1e-3)
+                 | (t_far <= 0))
+    frac = float(bad.sum()) / max(int(obj.sum()), 1)
+
+    fig, axes = plt.subplots(1, 4, figsize=(16, 4))
+    for ax, (img, title) in zip(axes, [
+            (np.where(obj, depth, np.nan), "CAD depth (mm)"),
+            (np.where(t_far > 0, t_near, np.nan), "box t_near"),
+            (np.where(t_far > 0, t_far, np.nan), "box t_far"),
+            (bad.astype(np.float32), f"violations ({frac:.2%})")]):
+        im = ax.imshow(img)
+        ax.set_title(title)
+        ax.axis("off")
+        fig.colorbar(im, ax=ax, fraction=0.04)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=80)
+    plt.close(fig)
+    return frac
 
 
 def main(argv=None):
@@ -110,6 +151,11 @@ def main(argv=None):
             fname = f"{frame:06d}.npz"
         np.savez_compressed(os.path.join(out_dir, fname), data=box)
     print(f"wrote {len(lines)} box files to {out_dir}")
+
+    if opt.vis:
+        png = os.path.join(out_dir, "box_vis.png")
+        frac = dump_box_vis(png, model, pose, K, box, opt.height, opt.width)
+        print(f"box QA overlay → {png} (violation fraction {frac:.2%})")
 
 
 if __name__ == "__main__":

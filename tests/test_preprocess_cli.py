@@ -49,6 +49,49 @@ def test_compute_box_cli(root, tmp_path):
     assert (box[0][both] <= gt[0][both] + 1.0).all()
 
 
+def test_compute_box_vis(root, tmp_path):
+    """--vis dumps a QA overlay PNG and the CAD depth must fall inside the
+    computed box bounds (headless reference compute_box.py:287-337)."""
+    import compute_box
+    H, W = 120, 160
+    out = str(tmp_path / "target")
+    compute_box.main([
+        "--data_root", os.path.join(root, "lm"),
+        "--folder", "000001",
+        "--split_file", os.path.join(root, "splits", "lm", "ball",
+                                     "scene_all", "train.txt"),
+        "--cad_path", os.path.join(root, "lm", "models", "obj_000001.ply"),
+        "--pred_loop", "init_calib",
+        "--height", str(H), "--width", str(W),
+        "--target_folder", out, "--vis",
+    ])
+    png = os.path.join(out, "pred_box_init_calib", "box_vis.png")
+    assert os.path.exists(png)
+    # the violation fraction is also directly checkable here: the box is a
+    # strict superset of the mesh AABB, so depth must sit inside the bounds
+    from texpose_tpu.data.cad import CADModel
+    from texpose_tpu.data import bop
+    import json
+    model = CADModel(os.path.join(root, "lm", "models", "obj_000001.ply"))
+    lines = bop.readlines(os.path.join(root, "splits", "lm", "ball",
+                                       "scene_all", "train.txt"))
+    frame = int(bop.split_line(lines[-1])[2])
+    scene_dir = os.path.join(root, "lm", "000001")
+    with open(os.path.join(scene_dir, "scene_pred_init_calib.json")) as f:
+        rec = json.load(f)[str(frame)][0]
+    with open(os.path.join(scene_dir, "scene_camera.json")) as f:
+        K = np.array(json.load(f)[str(frame)]["cam_K"],
+                     np.float32).reshape(3, 3)[None]
+    pose = np.concatenate(
+        [np.array(rec["cam_R_m2c"], np.float32).reshape(3, 3),
+         np.array(rec["cam_t_m2c"], np.float32)[:, None]], axis=1)[None]
+    box = np.load(os.path.join(out, "pred_box_init_calib",
+                               f"{frame:06d}.npz"))["data"]
+    frac = compute_box.dump_box_vis(str(tmp_path / "qa.png"), model, pose, K,
+                                    box, H, W)
+    assert frac < 0.05, f"box bounds miss {frac:.1%} of CAD depth pixels"
+
+
 def test_compute_surfelinfo_cli(root, tmp_path):
     import compute_surfelinfo
     from texpose_tpu.utils.config import Config, process_options

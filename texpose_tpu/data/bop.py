@@ -23,6 +23,18 @@ def readlines(path):
         return [ln.strip() for ln in f.readlines() if ln.strip()]
 
 
+def resolve_splits_root(splits_root):
+    """Resolve a splits tree: the configured path if it exists, else the
+    split assets shipped at the repo root (imported from the reference's
+    splits/lm/** — dataset index files, 13 LineMOD objects x 3 scenes)."""
+    if splits_root and os.path.isdir(str(splits_root)):
+        return str(splits_root)
+    shipped = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "splits")
+    return shipped if os.path.isdir(shipped) else str(splits_root)
+
+
 def load_scene_meta(data_path, folder, pose_loop=None, pose_source="gt",
                     scene_info_source=None, split="train", multi_obj=False):
     """Load every scene json the reference reads (data/lm.py:38-80).

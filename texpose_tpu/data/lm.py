@@ -40,7 +40,8 @@ class LineMODDataset:
         if cfg.data.get("raw_size"):
             self.raw_H, self.raw_W = cfg.data.raw_size
         self.data_path = os.path.join(cfg.data.root, cfg.data.dataset)
-        split_path = os.path.join(splits_root, cfg.data.dataset,
+        split_path = os.path.join(bop.resolve_splits_root(splits_root),
+                                  cfg.data.dataset,
                                   str(cfg.data.object), cfg.data.scene,
                                   f"{split}.txt")
         self.list = bop.readlines(split_path)

@@ -34,7 +34,8 @@ class LineMODSyn2RealDataset:
             self.raw_H, self.raw_W = cfg.data.raw_size
         self.raw_hw = (self.raw_H, self.raw_W)
         self.data_path = os.path.join(cfg.data.root, cfg.data.dataset)
-        split_path = os.path.join(splits_root, cfg.data.dataset,
+        split_path = os.path.join(bop.resolve_splits_root(splits_root),
+                                  cfg.data.dataset,
                                   str(cfg.data.object), cfg.data.scene,
                                   f"{split}.txt")
         self.list = bop.readlines(split_path)

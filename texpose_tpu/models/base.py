@@ -229,11 +229,14 @@ class Engine:
             path = self.cfg.get("lpips_weights")
             if path and os.path.exists(str(path)):
                 self._lpips_params = load_lpips_npz(str(path))
+                self.lpips_key = "lpips"
                 log.info(f"loaded LPIPS weights from {path}")
             else:
                 self._lpips_params = init_lpips(jax.random.PRNGKey(0))
+                self.lpips_key = "lpips_uncal"
                 log.warn("no lpips_weights provided — LPIPS uses random "
-                         "(fixed) AlexNet features")
+                         "(fixed) AlexNet features; quant.txt will name "
+                         "the column lpips_uncal")
             self._lpips_fn = jax.jit(
                 lambda x, y: lpips_distance(self._lpips_params, x, y))
         return float(np.asarray(

@@ -278,7 +278,8 @@ class PretrainEngine(Engine):
             rgb_t = jnp.asarray(rgb.transpose(2, 0, 1))[None]
             img_t = jnp.asarray(image.transpose(2, 0, 1))[None]
             s = float(ssim(rgb_t, img_t))
-            rows.append(dict(psnr=p, ssim=s, lpips=self.lpips(rgb_t, img_t)))
+            lp = self.lpips(rgb_t, img_t)
+            rows.append({"psnr": p, "ssim": s, self.lpips_key: lp})
             fi = int(np.asarray(frame["frame_index"])[0])
             cv2.imwrite(os.path.join(rgb_dir, f"{fi:06d}.png"),
                         (np.clip(rgb, 0, 1) * 255)[..., ::-1].astype(np.uint8))

@@ -39,7 +39,7 @@ import optax
 from .base import Engine
 from .render import render_full_nerf_st
 from .losses import (gan_loss, lab_loss, mse_loss, summarize_loss,
-                     uncertainty_reg_loss)
+                     uncertainty_reg_loss, wgan_gp_reg)
 from ..geometry.pose import rotation_distance
 from ..nn.fields import init_nerf_st
 from ..nn.discriminator import init_discriminator, apply_discriminator
@@ -280,7 +280,7 @@ class TextureGANEngine(Engine):
             return total, (loss, rgb, sup)
 
         def disc_loss_fn(disc_params, sn_state, patch_real, patch_fake,
-                         scales, progress):
+                         scales, progress, key):
             # ONE discriminator pass over [real; fake] (the standalone
             # 16×16-patch conv stack is dispatch-bound — batching halves the
             # launches; spectral norm sees a single power iteration, exactly
@@ -317,6 +317,16 @@ class TextureGANEngine(Engine):
                     reg = (g[B:] ** 2).reshape(B, -1).sum(axis=1).mean()
                     loss["gan_reg_fake"] = reg
                     total = total + 10.0 ** float(lw.gan_reg_fake) * reg
+            # WGAN-GP: gradient penalty at random real/fake interpolates
+            # (reference wgan_gp_reg, model/nerf_adapt_st_gan.py:828-835).
+            if cfg.gan.type == "wgan" and lw.get("gan_gp") is not None:
+                gp = wgan_gp_reg(
+                    lambda x: apply_discriminator(
+                        disc_params, sn_state, cfg, x, scales,
+                        progress)[0],
+                    key, patch_real, patch_fake)
+                loss["gan_gp"] = gp
+                total = total + 10.0 ** float(lw.gan_gp) * gp
             return total, (loss, sn2)
 
         mesh = self.mesh
@@ -328,8 +338,8 @@ class TextureGANEngine(Engine):
 
         def step(state, batch_all):
             # key/it live in the state — zero per-step host transfers
-            key, k_batch, k_patch, k_render = jax.random.split(
-                state["key"], 4)
+            key, k_batch, k_patch, k_render, k_gp = jax.random.split(
+                state["key"], 5)
             it = state["it"]
             progress = it.astype(jnp.float32) / max_iter
             idx = jax.random.choice(k_batch, N, (B,), replace=B > N)
@@ -385,7 +395,7 @@ class TextureGANEngine(Engine):
                 dgrads, (dloss, sn2) = jax.grad(
                     disc_loss_fn, has_aux=True)(
                     state["params"]["disc"], state["sn_state"], patch_real,
-                    patch_fake, scales, progress)
+                    patch_fake, scales, progress, k_gp)
                 dupd, opt_disc = self.opt_disc.update(
                     dgrads, state["opt_disc"], state["params"]["disc"])
                 new_state["params"]["disc"] = optax.apply_updates(
@@ -570,7 +580,8 @@ class TextureGANEngine(Engine):
             rgb_t = jnp.asarray(rgb.transpose(2, 0, 1))[None]
             img_t = jnp.asarray(image.transpose(2, 0, 1))[None]
             s = float(ssim(rgb_t, img_t))
-            rows.append(dict(psnr=p, ssim=s, lpips=self.lpips(rgb_t, img_t)))
+            lp = self.lpips(rgb_t, img_t)
+            rows.append({"psnr": p, "ssim": s, self.lpips_key: lp})
             fi = int(np.asarray(frame["frame_index"])[0])
             cv2.imwrite(os.path.join(test_path, f"{fi:06d}.png"),
                         (np.clip(rgb, 0, 1) * 255)[..., ::-1].astype(np.uint8))

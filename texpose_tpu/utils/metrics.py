@@ -94,9 +94,16 @@ class StepTimer:
 
 def write_quant(output_path, rows):
     """rows: list of dicts with psnr/ssim/lpips → quant.txt, one line per
-    frame (reference model/nerf_adapt_st_gan.py:379-383)."""
+    frame (reference model/nerf_adapt_st_gan.py:379-383).
+
+    The header names the columns from the row keys, so an uncalibrated
+    perceptual metric (key 'lpips_uncal', emitted when no lpips_weights are
+    loaded) is self-describing rather than masquerading as real LPIPS.
+    """
     fname = os.path.join(output_path, "quant.txt")
+    keys = list(rows[0].keys()) if rows else ["psnr", "ssim", "lpips"]
     with open(fname, "w") as f:
+        f.write("# frame " + " ".join(keys) + "\n")
         for i, r in enumerate(rows):
-            f.write(f"{i} {r['psnr']} {r['ssim']} {r['lpips']}\n")
+            f.write(f"{i} " + " ".join(str(r[k]) for k in keys) + "\n")
     return fname
