@@ -261,3 +261,220 @@ def test_ssim_parity(ref, rng):
     s_ref = float(ref.pytorch_ssim.ssim(t(a), t(b)))
     s_ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
     assert abs(s_ref - s_ours) < 1e-4, (s_ref, s_ours)
+
+
+def _st_opt(ref):
+    return ref.EasyDict({
+        "arch": {"layers_feat": [None, 32, 32, 32],
+                 "layers_rgb": [None, 32, 3],
+                 "layers_trans": [None, 32, 5], "skip": [1],
+                 "posenc": {"L_3D": 4, "L_view": 2},
+                 "density_activ": "softplus", "tf_init": True},
+        "nerf": {"view_dep": True, "density_noise_reg": None,
+                 "N_latent_trans": 8, "N_latent_light": 12,
+                 "min_uncert": 0.05,
+                 "depth": {"param": "metric", "scale": 10, "range": [0, 3]}},
+        "c2f": {"range": [0.1, 0.6], "start": 1},
+        "device": "cpu", "H": 4, "W": 4,
+    })
+
+
+def _port_linears(torch_layers, ours):
+    import jax.numpy as jnp
+    assert len(torch_layers) == len(ours)
+    for lin, dst in zip(torch_layers, ours):
+        dst["w"] = jnp.asarray(lin.weight.detach().numpy().T)
+        dst["b"] = jnp.asarray(lin.bias.detach().numpy())
+
+
+def _st_pair(ref, rng, progress=0.42):
+    """(reference ST NeRF, our params+cfg) with identical weights."""
+    import jax
+    from texpose_tpu.utils.config import Config, process_options
+    from texpose_tpu.nn.fields import init_nerf_st
+
+    sys.path.insert(0, REF)
+    from layers import nerf_static_transient_light as ref_st
+
+    opt = _st_opt(ref)
+    torch.manual_seed(1)
+    net = ref_st.NeRF(opt)
+    net.progress.data.fill_(progress)
+
+    cfg = process_options(Config({
+        "arch": dict(opt.arch), "nerf": dict(opt.nerf),
+        "c2f": {"range": [0.1, 0.6], "start": 1},
+        "data": {"image_size": [4, 4]},
+        "kernels": {"fused_trunk": False, "fused_st": False},
+    }))
+    params = init_nerf_st(jax.random.PRNGKey(0), cfg)
+    _port_linears(list(net.mlp_feat), params["mlp_feat"])
+    _port_linears(list(net.mlp_rgb), params["mlp_rgb"])
+    _port_linears(list(net.mlp_trans), params["mlp_trans"])
+    return opt, net, cfg, params
+
+
+def test_st_nerf_forward_parity(ref, rng):
+    """Static/transient/light forward_samples vs the reference with copied
+    weights and fixed latents (layers/nerf_static_transient_light.py:76-166)."""
+    import jax.numpy as jnp
+    from texpose_tpu.nn.fields import forward_samples_nerf_st
+
+    opt, net, cfg, params = _st_pair(ref, rng)
+    B, R, N = 2, 5, 6
+    center = rng.normal(size=(B, R, 3)).astype(np.float32)
+    direction = rng.normal(size=(B, R, 3)).astype(np.float32)
+    depth = np.sort(rng.uniform(2, 6, (B, R, N, 1)).astype(np.float32), axis=2)
+    lt = rng.normal(size=(B, 8)).astype(np.float32)
+    ll = rng.normal(size=(B, 12)).astype(np.float32)
+
+    rgb_ref, dens_ref, unc_ref = net.forward_samples(
+        opt, t(center), t(direction), t(depth),
+        latent_variable_trans=t(lt), latent_variable_light=t(ll), mode="eval")
+
+    rgb_ours, dens_ours, unc_ours = forward_samples_nerf_st(
+        params, cfg, jnp.asarray(center), jnp.asarray(direction),
+        jnp.asarray(depth), jnp.asarray(lt), jnp.asarray(ll),
+        progress=jnp.asarray(0.42), mode="eval")
+
+    np.testing.assert_allclose(np.asarray(rgb_ours),
+                               rgb_ref.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dens_ours),
+                               dens_ref.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(unc_ours),
+                               unc_ref.detach().numpy(), atol=1e-5)
+
+
+def test_st_composite_parity(ref, rng):
+    """Dual-density composite vs the reference 11-tuple on random samples
+    (layers/nerf_static_transient_light.py:168-212): joint-T weighting for
+    the combined rgb, own-T for rgb_static/transient, static-weight depth,
+    prob_transient-integrated uncertainty + min_uncert floor."""
+    import jax.numpy as jnp
+    from texpose_tpu.ops.render import composite_static_transient
+
+    sys.path.insert(0, REF)
+    from layers import nerf_static_transient_light as ref_st
+
+    opt = _st_opt(ref)
+    B, R, N = 2, 7, 9
+    rgb = rng.random((B, R, N, 3, 2)).astype(np.float32)
+    dens = rng.random((B, R, N, 2)).astype(np.float32) * 2
+    depth = np.sort(rng.uniform(2, 6, (B, R, N, 1)).astype(np.float32), axis=2)
+    ray = rng.normal(size=(B, R, 3)).astype(np.float32)
+    unc = rng.random((B, R, N, 1)).astype(np.float32)
+
+    (rgb_r, rgb_s_r, rgb_t_r, depth_r, op_r, op_s_r, op_t_r, prob_r,
+     unc_r, a_s_r, a_t_r) = [x.numpy() for x in ref_st.NeRF.composite(
+        opt, t(ray), t(rgb), t(dens), t(depth), t(unc))]
+
+    out = composite_static_transient(
+        jnp.asarray(rgb), jnp.asarray(dens), jnp.asarray(depth),
+        jnp.asarray(ray), jnp.asarray(unc), min_uncert=opt.nerf.min_uncert)
+
+    for k, v in [("rgb", rgb_r), ("rgb_static", rgb_s_r),
+                 ("rgb_transient", rgb_t_r), ("depth", depth_r),
+                 ("opacity", op_r), ("opacity_static", op_s_r),
+                 ("opacity_transient", op_t_r), ("prob", prob_r),
+                 ("uncert", unc_r), ("alpha_static", a_s_r),
+                 ("alpha_transient", a_t_r)]:
+        np.testing.assert_allclose(np.asarray(out[k]), v, atol=1e-5,
+                                   err_msg=k)
+
+
+def test_discriminator_parity(ref, rng):
+    """Scale+geometry-conditioned patch discriminator vs the reference with
+    copied weights and spectral-norm u vectors
+    (layers/discriminator.py:117-170)."""
+    import jax.numpy as jnp
+    from texpose_tpu.utils.config import Config, process_options
+    from texpose_tpu.nn.discriminator import (init_discriminator,
+                                              apply_discriminator)
+
+    sys.path.insert(0, REF)
+    from layers import discriminator as ref_disc_mod
+
+    opt = ref.EasyDict({
+        "patch_size": 16, "device": "cpu",
+        "gan": {"scale_conditional": True, "geo_conditional": True,
+                "geo_c2f": None, "L_nocs": 2, "L_normal": 2, "L_scale": 4},
+    })
+    torch.manual_seed(2)
+    net = ref_disc_mod.Discriminator(opt)
+
+    cfg = process_options(Config({
+        "patch_size": 16, "gan": dict(opt.gan),
+        "data": {"image_size": [16, 16]},
+    }))
+    import jax
+    params, state = init_discriminator(jax.random.PRNGKey(0), cfg)
+
+    def port_convs(seq, plist, slist):
+        convs = [m for m in seq if isinstance(m, torch.nn.Conv2d)]
+        assert len(convs) == len(plist), (len(convs), len(plist))
+        for conv, dst, i in zip(convs, plist, range(len(plist))):
+            w = conv.weight_orig.detach().numpy()        # [out,in,kh,kw]
+            dst["w"] = jnp.asarray(w.transpose(2, 3, 1, 0))
+            slist[i] = jnp.asarray(conv.weight_u.detach().numpy().copy())
+
+    port_convs(net.main, params["main"], state["main"])
+    port_convs(net.final, params["final"], state["final"])
+
+    B = 3
+    x = rng.random((B, 9, 16, 16)).astype(np.float32)     # rgb+nocs+normal
+    scale = rng.random((B, 1, 1, 1)).astype(np.float32)
+
+    net.train()   # one power iteration from the (copied) stored u
+    out_ref = net(opt, t(x), t(scale)).detach().numpy()
+
+    out_ours, _ = apply_discriminator(params, state, cfg, jnp.asarray(x),
+                                      jnp.asarray(scale), training=True)
+    np.testing.assert_allclose(np.asarray(out_ours), out_ref, atol=2e-4)
+
+
+def test_ray_sampler_parity(ref, rng):
+    """Continuous-coordinate ray/bounds/image sampling vs the reference's
+    grid_sample implementation (tools/ray_sampler.py:12-69)."""
+    import jax.numpy as jnp
+    from texpose_tpu.sampling.ray_sampler import get_rays, get_bounds, get_image
+
+    # load by path — "tools" would collide with this repo's tools/ dir
+    import importlib.util
+    sys.path.insert(0, REF)
+    spec = importlib.util.spec_from_file_location(
+        "ref_ray_sampler", os.path.join(REF, "tools", "ray_sampler.py"))
+    ref_rs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_rs)
+
+    H, W = 24, 32
+    B, h, w = 2, 5, 5
+    opt = ref.EasyDict({"H": H, "W": W, "device": "cpu"})
+    coords = (rng.random((B, h, w, 2)).astype(np.float32) * 1.6 - 0.8)
+    K = np.broadcast_to(np.array(
+        [[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32),
+        (B, 3, 3)).copy()
+    from texpose_tpu.geometry.pose import so3_to_SO3
+    Rm = np.asarray(so3_to_SO3(jnp.asarray(
+        rng.normal(0, 0.4, (B, 3)).astype(np.float32))))
+    tr = rng.normal(0, 1, (B, 3)).astype(np.float32)
+    pose = np.concatenate([Rm, tr[:, :, None]], axis=2).astype(np.float32)
+    z_near = rng.uniform(2, 3, (B, H * W)).astype(np.float32)
+    z_far = rng.uniform(5, 6, (B, H * W)).astype(np.float32)
+    image = rng.random((B, 3, H, W)).astype(np.float32)
+
+    c_ref, r_ref = ref_rs.RaySampler.get_rays(opt, t(K), t(coords), t(pose))
+    c_ours, r_ours = get_rays(jnp.asarray(K), jnp.asarray(coords),
+                              jnp.asarray(pose), H, W)
+    np.testing.assert_allclose(np.asarray(c_ours), c_ref.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_ours), r_ref.numpy(), atol=1e-5)
+
+    zn_ref, zf_ref = ref_rs.RaySampler.get_bounds(opt, t(coords), t(z_near),
+                                                  t(z_far))
+    zn_ours, zf_ours = get_bounds(jnp.asarray(coords), jnp.asarray(z_near),
+                                  jnp.asarray(z_far), H, W)
+    np.testing.assert_allclose(np.asarray(zn_ours), zn_ref.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(zf_ours), zf_ref.numpy(), atol=1e-5)
+
+    im_ref = ref_rs.RaySampler.get_image(opt, t(coords), t(image))
+    im_ours = get_image(jnp.asarray(coords), jnp.asarray(image))
+    np.testing.assert_allclose(np.asarray(im_ours), im_ref.numpy(), atol=1e-5)
