@@ -169,6 +169,32 @@ def test_quant_txt_lpips_uncal(fixture_root, tmp_path):
     assert "lpips_uncal" in header and " lpips\n" not in header
 
 
+def test_latent_reg_and_mean_light(fixture_root, tmp_path):
+    """loss_weight.latent_reg adds an L2 pull on the batch latents;
+    render.light=mean evaluates with the mean train latent."""
+    import numpy as np
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    cfg = tiny_gan_cfg(fixture_root, tmp_path)
+    cfg.loss_weight.latent_reg = 0
+    cfg.render.light = "mean"
+    cfg.max_iter = 6
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+    norm0 = float(np.linalg.norm(np.asarray(eng.state["latents"]["light"])))
+    loss = None
+    for it in range(cfg.max_iter):
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
+    loss = {k: float(np.asarray(v)) for k, v in loss.items()}
+    assert "latent_reg" in loss and np.isfinite(loss["latent_reg"])
+    norm1 = float(np.linalg.norm(np.asarray(eng.state["latents"]["light"])))
+    assert norm1 < norm0, "latent_reg should shrink the latent table norm"
+    res = eng.evaluate_full()
+    assert np.isfinite(res["psnr"])
+
+
 def test_trunk_frozen(fixture_root, tmp_path):
     """The geometry trunk must receive zero gradient (frozen), while heads
     and latents receive nonzero gradient (reference

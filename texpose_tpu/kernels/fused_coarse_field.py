@@ -180,6 +180,9 @@ def _run_fwd(pts, enc_view, aux3, wf, bf, wr, br, skip, L3, tile, cdtype,
     return pl.pallas_call(
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
+        # forward row tiles are independent → parallel grid semantics
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
     )(pts, enc_in, aux3, *wfc, *bf, *wrc, *br)
 
 

@@ -249,6 +249,9 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     return pl.pallas_call(
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
+        # forward row tiles are independent → parallel grid semantics
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
     )(pts, ray_enc, aux3, light_rows, trans_rows,
       *trunk_wc, *trunk_b, *rgb_wc, *rgb_b, *tr_wc, *tr_b)
 

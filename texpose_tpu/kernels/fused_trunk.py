@@ -45,13 +45,26 @@ def _posenc_rows(pts, L, freq, c2f_w):
     cos_0..cos_{L-1}], dims stacked then flattened dim-major).  freq [L] is
     passed in (π·2^k) — Pallas kernels can't capture array constants.
 
+    VPU note: only the base band calls sin/cos; higher octaves come from the
+    double-angle recursion s' = 2sc, c' = 1 − 2s² (3 cheap VPU ops per band
+    instead of 2 transcendentals).  Error is no worse than direct f32
+    evaluation: the recursion doubles the base absolute error k times
+    (≈2^k·ε·|πx|), exactly the argument-reduction error of sin(2^k·πx).
+
     Built as pure 2-D lane concats (no >2-D reshapes — Mosaic-friendly)."""
     parts = [pts]
     w = c2f_w[None, :]                                          # [1,L]
     for d in range(pts.shape[1]):
-        spec = pts[:, d:d + 1] * freq[None, :]                  # [T,L]
-        parts.append(jnp.sin(spec) * w)
-        parts.append(jnp.cos(spec) * w)
+        base = pts[:, d:d + 1] * freq[None, 0:1]                # [T,1] = πx
+        s = jnp.sin(base)
+        c = jnp.cos(base)
+        sins, coss = [s], [c]
+        for _ in range(1, L):
+            s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+            sins.append(s)
+            coss.append(c)
+        parts.append(jnp.concatenate(sins, axis=-1) * w)        # [T,L]
+        parts.append(jnp.concatenate(coss, axis=-1) * w)
     return jnp.concatenate(parts, axis=-1)                      # [T,3+6L]
 
 
@@ -139,6 +152,9 @@ def _pallas_forward(pts, c2f_w, weights, biases, skip, L, compute_dtype,
         out_shape=(jax.ShapeDtypeStruct((M + pad, feat_dim), jnp.float32),
                    jax.ShapeDtypeStruct((M + pad, 1), jnp.float32)),
         interpret=interpret,
+        # row tiles are independent → let Mosaic pipeline/overlap grid steps
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
     )(pts_p, aux, *weights_c, *biases)
     return feat[:M], dens[:M, 0]
 

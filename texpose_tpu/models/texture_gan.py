@@ -258,6 +258,14 @@ class TextureGANEngine(Engine):
                 loss["uncert"] = uncertainty_reg_loss(out["uncert"])
             if lw.get("trans_reg") is not None:
                 loss["trans_reg"] = out["density"][..., -1].mean()
+            if lw.get("latent_reg") is not None:
+                # L2 on the per-image latent rows in the batch: keeps the
+                # light/transient embeddings in-distribution so eval-time
+                # anchor selection stays meaningful (TPU-native extension;
+                # counteracts long-horizon latent divergence — see CLAUDE.md
+                # "Open questions" r1)
+                loss["latent_reg"] = ((latent_trans ** 2).mean()
+                                      + (latent_light ** 2).mean())
             if lw.get("feat") is not None:
                 mask_pad = ((sup["mask_syn"] == 1) & (mask == 0)).astype(
                     rgb.dtype)
@@ -557,13 +565,24 @@ class TextureGANEngine(Engine):
         rng = np.random.default_rng(0)
         rows = []
         raw_hw = getattr(self.eval_data, "raw_hw", None)
+        light_mode = cfg.render.get("light", "anchor")
         for i in range(len(self.eval_data)):
             frame = self._frame(self.eval_batch, i)
             pose_gt = np.asarray(frame["pose"])[0]
-            li = self._select_light_latent(pose_gt, rng=rng)
-            ll = self.state["latents"]["light"][li:li + 1]
+            if light_mode == "mean":
+                # mean train latent: robust when per-image lighting varies
+                # (pose-proximity anchor selection picks an arbitrary
+                # lighting); reference behavior is "anchor" (:487-502)
+                ll = self.state["latents"]["light"].mean(axis=0,
+                                                         keepdims=True)
+            else:
+                li = self._select_light_latent(pose_gt, rng=rng)
+                ll = self.state["latents"]["light"][li:li + 1]
             if cfg.render.transient == "zero":
                 lt = jnp.zeros((1, cfg.nerf.N_latent_trans))
+            elif light_mode == "mean":
+                lt = self.state["latents"]["trans"].mean(axis=0,
+                                                         keepdims=True)
             else:
                 lt = self.state["latents"]["trans"][li:li + 1]
             out = self._render_frame_st(frame, lt, ll)
