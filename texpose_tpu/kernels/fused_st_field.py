@@ -246,12 +246,18 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     trunk_wc = [w.astype(cdtype) for w in trunk_w]
     rgb_wc = [w.astype(cdtype) for w in rgb_w]
     tr_wc = [w.astype(cdtype) for w in tr_w]
+    # measured on v5e (tools/bench_kernels.py): parallel fwd semantics force
+    # tile ≤512 (extra in-flight VMEM) and net-lose vs sequential tile 1024
+    # (3.98 vs 3.33 ms) — default OFF, switchable for future A/Bs
+    import os
+    par = os.environ.get("TEXPOSE_ST_FWD_PARALLEL", "0") != "0"
     return pl.pallas_call(
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
         # forward row tiles are independent → parallel grid semantics
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+        # (needs tile ≤512 to fit the extra in-flight buffering in VMEM)
+        compiler_params=None if (interpret or not par)
+        else pltpu.CompilerParams(dimension_semantics=("parallel",)),
     )(pts, ray_enc, aux3, light_rows, trans_rows,
       *trunk_wc, *trunk_b, *rgb_wc, *rgb_b, *tr_wc, *tr_b)
 
@@ -353,7 +359,7 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret):
 
 def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
                    head_params, aux3, skip, L3, rows_per_img,
-                   tile_fwd=2048, tile_bwd=1024,
+                   tile_fwd=1024, tile_bwd=512,
                    compute_dtype=jnp.bfloat16, interpret=False):
     """Differentiable fused ST-field.
 

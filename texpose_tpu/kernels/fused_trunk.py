@@ -45,17 +45,33 @@ def _posenc_rows(pts, L, freq, c2f_w):
     cos_0..cos_{L-1}], dims stacked then flattened dim-major).  freq [L] is
     passed in (π·2^k) — Pallas kernels can't capture array constants.
 
-    VPU note: only the base band calls sin/cos; higher octaves come from the
-    double-angle recursion s' = 2sc, c' = 1 − 2s² (3 cheap VPU ops per band
-    instead of 2 transcendentals).  Error is no worse than direct f32
-    evaluation: the recursion doubles the base absolute error k times
-    (≈2^k·ε·|πx|), exactly the argument-reduction error of sin(2^k·πx).
-
     Built as pure 2-D lane concats (no >2-D reshapes — Mosaic-friendly)."""
     parts = [pts]
     w = c2f_w[None, :]                                          # [1,L]
     for d in range(pts.shape[1]):
-        base = pts[:, d:d + 1] * freq[None, 0:1]                # [T,1] = πx
+        spec = pts[:, d:d + 1] * freq[None, :]                  # [T,L]
+        parts.append(jnp.sin(spec) * w)
+        parts.append(jnp.cos(spec) * w)
+    return jnp.concatenate(parts, axis=-1)                      # [T,3+6L]
+
+
+def _posenc_rows_recursive(pts, L, freq, c2f_w):
+    """_posenc_rows via the double-angle recursion: only the base band calls
+    sin/cos; band k+1 = (2sc, 1−2s²) — 3 cheap VPU ops instead of 2
+    transcendentals.  Error matches direct f32 evaluation (the recursion
+    doubles the base error k times ≈ the argument-reduction noise of
+    sin(2^k·πx)).
+
+    VMEM caveat: the per-band [T,1] columns each pad to a full 128-lane
+    tile, so this variant costs ~L× more VMEM for intermediates — only
+    usable at small row tiles.  Kept switchable for A/B benchmarking
+    (TEXPOSE_POSENC_RECURSION=1)."""
+    parts = [pts]
+    w = c2f_w[None, :]                                          # [1,L]
+    # base band is always π·x (freq[k] = π·2^k by construction, see _freq);
+    # the python constant avoids a 1-D ref gather Mosaic can't lower
+    for d in range(pts.shape[1]):
+        base = pts[:, d:d + 1] * np.pi                          # [T,1]
         s = jnp.sin(base)
         c = jnp.cos(base)
         sins, coss = [s], [c]
@@ -66,6 +82,12 @@ def _posenc_rows(pts, L, freq, c2f_w):
         parts.append(jnp.concatenate(sins, axis=-1) * w)        # [T,L]
         parts.append(jnp.concatenate(coss, axis=-1) * w)
     return jnp.concatenate(parts, axis=-1)                      # [T,3+6L]
+
+
+import os as _os
+if _os.environ.get("TEXPOSE_POSENC_RECURSION") == "1":  # pragma: no cover
+    _posenc_rows_direct = _posenc_rows
+    _posenc_rows = _posenc_rows_recursive
 
 
 def _freq(L, dtype=jnp.float32):

@@ -200,9 +200,20 @@ class TextureGANEngine(Engine):
                       "latents": self.state["latents"]}
         self.state["opt_nerf"] = self.opt_nerf.init(gen_params)
         if cfg.get("gan") is not None:
-            # torch RMSprop defaults: alpha=0.99, eps=1e-8
-            self.opt_disc = optax.rmsprop(cfg.optim_disc.lr, decay=0.99,
-                                          eps=1e-8)
+            # torch RMSprop defaults: alpha=0.99, eps=1e-8.  The reference
+            # keeps the D lr constant; optim_disc.lr_end optionally gives D
+            # the same staircase decay as G (keeps the D/G lr ratio fixed
+            # over long horizons).
+            dlr, dlr_end = cfg.optim_disc.lr, cfg.optim_disc.get("lr_end")
+            if dlr_end:
+                n_epochs = max(max_iter // steps_per_epoch, 1)
+                dsched = optax.exponential_decay(
+                    dlr, transition_steps=steps_per_epoch,
+                    decay_rate=(dlr_end / dlr) ** (1.0 / n_epochs),
+                    staircase=True)
+            else:
+                dsched = dlr
+            self.opt_disc = optax.rmsprop(dsched, decay=0.99, eps=1e-8)
             self.state["opt_disc"] = self.opt_disc.init(
                 self.state["params"]["disc"])
         self.state["key"] = jax.random.PRNGKey(cfg.get("seed", 0))

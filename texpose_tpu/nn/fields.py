@@ -379,7 +379,7 @@ def _fit_tile(tile, rows):
 
 def apply_nerf_st_fused(params, cfg, points, ray_unit, latent_trans,
                         latent_light, progress=None, compute_dtype=None,
-                        tile_fwd=1024, tile_bwd=1024, interpret=False):
+                        tile_fwd=1024, tile_bwd=512, interpret=False):
     """Fused-kernel ST-field path; same outputs as apply_nerf_st."""
     from ..kernels.fused_st_field import fused_st_field
     from .mlp import DENSITY_ACTIVATIONS

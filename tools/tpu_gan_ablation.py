@@ -43,7 +43,31 @@ VARIANTS = {
     # both stabilizers
     "latreg_lab": {("loss_weight", "latent_reg"): -1,
                    ("loss_weight", "lab"): -1},
+    # discriminator lr follows the same decay as the generator, keeping
+    # the D/G lr ratio constant over long horizons
+    "disc_decay": {("optim_disc", "lr_end"): 1.e-5},
+    # stronger R1 penalty (damps D sharpness → less adversarial drift)
+    "r1_strong": {("loss_weight", "gan_reg_real"): 2},
+    # weaker GAN pull on the generator
+    "gan_weak": {("loss_weight", "gan_nerf"): -2},
+    # no GAN gradient into the generator at all: if this still collapses,
+    # the decline is plain novel-view overfitting, not adversarial drift
+    "nogan": {("loss_weight", "gan_nerf"): None},
 }
+
+
+def _fixture_n(n_train):
+    """Qual fixture with a custom train-set size (tests the few-shot
+    overfitting hypothesis: 16 fixture images vs ~180 real LineMOD)."""
+    import tempfile as _tf
+    from texpose_tpu.data.fixture import generate_fixture
+    cache = os.path.join(_tf.gettempdir(), f"texpose_qual_fixture_n{n_train}")
+    if not os.path.exists(os.path.join(cache, ".done")):
+        os.makedirs(cache, exist_ok=True)
+        generate_fixture(cache, n_train=n_train, n_test=2, scene="scene_qual",
+                         image_scale=1.0, crop_res=128, fixed_light=False)
+        open(os.path.join(cache, ".done"), "w").close()
+    return cache
 
 
 def _set(cfg, path, value):
@@ -131,7 +155,14 @@ def main():
     with open(os.path.join(qual_root, "ablation_results.jsonl"), "a") as f:
         for name in names:
             print(f"=== variant {name} ===", flush=True)
-            run_variant(name, VARIANTS[name], cache, steps, every, f)
+            if name.startswith("data"):
+                # dataNN: base config on an NN-train-image fixture (the
+                # trunk transfers: the fixture geometry is the same
+                # analytic sphere)
+                n = int(name[4:])
+                run_variant(name, {}, _fixture_n(n), steps, every, f)
+            else:
+                run_variant(name, VARIANTS[name], cache, steps, every, f)
 
 
 if __name__ == "__main__":
