@@ -1,0 +1,299 @@
+"""Pallas TPU kernel: fused static/transient composite (fwd AND bwd).
+
+After the fused ST-field kernel produces raw per-sample outputs, the plain
+XLA path still materializes [B,R,N,3,2] stacks, sigmoid/softplus tensors and
+cumsum transmittance chains — plus all of their backward — in HBM
+(~3 ms of "glue" around a 5.5 ms kernel at the production envelope,
+tools/bench_decompose.py).  This kernel runs the whole dual-density
+composite (reference layers/nerf_static_transient_light.py:168-212 —
+activations, quadrature, transmittances, weighted sums) per ray-tile in
+VMEM:
+
+  inputs   raw field outputs as [BR, N] channel planes
+  cumsums  exclusive-prefix/strict-suffix sums as triangular matmuls (MXU)
+  outputs  one packed [BR, 16] per-ray buffer
+  backward closed-form vjp (no residuals — everything recomputes from the
+           same inputs), emitting d(rgb_raw) / d(trans_raw) planes for the
+           field kernel's backward; the static density is frozen-trunk
+           output and gets no gradient (reference :87-100,236-239).
+
+Activation convention matches nn/fields.apply_nerf_st_fused: rgb = sigmoid,
+density_trans / uncert = softplus, static density = softplus (the kernel is
+only routed when cfg.arch.density_activ == "softplus").
+
+Packed output columns:
+  0-2 rgb | 3-5 rgb_static | 6-8 rgb_transient | 9 depth | 10 opacity
+  11 opacity_static | 12 opacity_transient | 13 uncert
+  14 sum_n softplus(trans_density_raw)  (transient-reg numerator) | 15 pad
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+
+def fused_composite_available():
+    return _PALLAS_OK
+
+
+N_OUT = 16
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _softplus(x):
+    return jax.nn.softplus(x)
+
+
+def _tri_excl(N, dtype=jnp.float32):
+    """U[n,m] = 1 if n < m: x @ U = exclusive prefix sum along samples."""
+    return jnp.asarray(np.triu(np.ones((N, N)), k=1), dtype)
+
+
+def _tri_suffix(N, dtype=jnp.float32):
+    """S[n,m] = 1 if n > m: (x @ S)[m] = Σ_{n>m} x_n (strict suffix sum)."""
+    return jnp.asarray(np.tril(np.ones((N, N)), k=-1), dtype)
+
+
+def _mm(x, t):
+    return jax.lax.dot_general(x, t, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _forward_core(refs, min_uncert):
+    """Shared forward recompute.  refs: (rgb0..2, t0..4, dens, dist, depth,
+    tri_excl, tri_suf).  Returns every intermediate the fwd/bwd needs."""
+    (r0, r1, r2, t0, t1, t2, t3, t4, dens, dist, depth,
+     tri_e, tri_s) = refs
+    cs = [_sigmoid(r0), _sigmoid(r1), _sigmoid(r2)]
+    ct = [_sigmoid(t0), _sigmoid(t1), _sigmoid(t2)]
+    dens_t = _softplus(t3)
+    u = _softplus(t4)
+    dens_s = _softplus(dens)
+
+    sds = dens_s * dist
+    sdt = dens_t * dist
+    sd = sds + sdt
+
+    T = jnp.exp(-_mm(sd, tri_e))
+    T_s = jnp.exp(-_mm(sds, tri_e))
+    T_t = jnp.exp(-_mm(sdt, tri_e))
+
+    e_s = jnp.exp(-sds)
+    e_t = jnp.exp(-sdt)
+    e = jnp.exp(-sd)
+    a_s = 1.0 - e_s
+    a_t = 1.0 - e_t
+    a = 1.0 - e
+
+    ps = T * a_s
+    pt = T * a_t
+    p = T * a
+    ws = T_s * a_s
+    wt = T_t * a_t
+    return dict(cs=cs, ct=ct, dens_t=dens_t, u=u, dist=dist, depth=depth,
+                T=T, T_s=T_s, T_t=T_t, e_s=e_s, e_t=e_t, e=e,
+                a_s=a_s, a_t=a_t, a=a, ps=ps, pt=pt, p=p, ws=ws, wt=wt,
+                tri_s=tri_s)
+
+
+def _fwd_kernel(min_uncert, *refs):
+    ins, out_ref = refs[:-1], refs[-1]
+    f = _forward_core([r[...] for r in ins], min_uncert)
+
+    def rsum(x):
+        return jnp.sum(x, axis=1, keepdims=True)
+
+    cols = []
+    for c in range(3):                                   # rgb (joint T)
+        cols.append(rsum(f["ps"] * f["cs"][c] + f["pt"] * f["ct"][c]))
+    for c in range(3):                                   # rgb_static (own T)
+        cols.append(rsum(f["ws"] * f["cs"][c]))
+    for c in range(3):                                   # rgb_transient
+        cols.append(rsum(f["wt"] * f["ct"][c]))
+    cols.append(rsum(f["ws"] * f["depth"]))              # depth
+    cols.append(rsum(f["p"]))                            # opacity
+    cols.append(rsum(f["ws"]))                           # opacity_static
+    cols.append(rsum(f["wt"]))                           # opacity_transient
+    cols.append(rsum(f["u"] * f["pt"]) + min_uncert)     # uncert
+    cols.append(rsum(f["dens_t"]))                       # trans-reg numerator
+    cols.append(jnp.zeros_like(cols[0]))                 # pad
+    out_ref[...] = jnp.concatenate(cols, axis=1)
+
+
+def _bwd_kernel(min_uncert, *refs):
+    ins = refs[:12]                                      # 11 planes + g
+    tri_refs = refs[12:14]
+    outs = refs[14:]                                     # 8 grad planes
+    g = ins[11][...]                                     # [TR, 16]
+    f = _forward_core([r[...] for r in ins[:11]] + [t[...] for t in tri_refs],
+                      min_uncert)
+
+    def col(i):
+        return g[:, i:i + 1]                             # [TR,1] broadcast
+
+    g_rgb = [col(0), col(1), col(2)]
+    g_rgbs = [col(3), col(4), col(5)]
+    g_rgbt = [col(6), col(7), col(8)]
+    g_depth = col(9)
+    g_op = col(10)
+    g_ops = col(11)
+    g_opt = col(12)
+    g_unc = col(13)
+    g_treg = col(14)
+
+    cs, ct = f["cs"], f["ct"]
+    ps, pt, p, ws, wt = f["ps"], f["pt"], f["p"], f["ws"], f["wt"]
+    T, T_s, T_t = f["T"], f["T_s"], f["T_t"]
+    a_s, a_t, a = f["a_s"], f["a_t"], f["a"]
+    dist, depth, u = f["dist"], f["depth"], f["u"]
+    tri_s = f["tri_s"]
+
+    # --- color grads (through sigmoid) ---
+    for c in range(3):
+        dcs = ps * g_rgb[c] + ws * g_rgbs[c]
+        outs[c][...] = dcs * cs[c] * (1.0 - cs[c])       # d rgb_raw_c
+        dct = pt * g_rgb[c] + wt * g_rgbt[c]
+        outs[3 + c][...] = dct * ct[c] * (1.0 - ct[c])   # d trans_raw_c
+
+    # --- transient density grad (traw3) ---
+    # per-sample coefficients multiplying ps / pt / wt / p in the scalar loss
+    F_ps = sum(cs[c] * g_rgb[c] for c in range(3))
+    F_pt = sum(ct[c] * g_rgb[c] for c in range(3)) + u * g_unc
+    F_wt = sum(ct[c] * g_rgbt[c] for c in range(3)) + g_opt
+    F_p = g_op
+    # local terms: d a_t = e_t, d a = e (per-sample); ps = T·a_s has no
+    # local sdt term (a_s is frozen-static)
+    d_sdt = F_pt * T * f["e_t"] + F_wt * T_t * f["e_t"] + F_p * T * f["e"]
+    # transmittance terms: T_n (n>m) carries -1 per upstream sdt_m
+    d_sdt = d_sdt - _mm(F_ps * ps + F_pt * pt + F_p * p, tri_s)  # through T
+    d_sdt = d_sdt - _mm(F_wt * wt, tri_s)                        # through T_t
+    # d sdt/d traw3 = dist * softplus'(traw3) = dist * sigmoid(traw3)
+    outs[6][...] = (d_sdt * dist + g_treg) * _sigmoid(ins[6][...])
+
+    # --- uncertainty grad (traw4) ---
+    outs[7][...] = pt * g_unc * _sigmoid(ins[7][...])
+
+
+def _row_spec(tile, c):
+    return pl.BlockSpec((tile, c), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _full():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _fit_rays(tile, rays):
+    t = min(tile, rays)
+    while rays % t:
+        t //= 2
+    return max(t, min(rays, 8))
+
+
+def _run_fwd(planes, N, min_uncert, tile_rays, interpret):
+    BR = planes[0].shape[0]
+    tr = _fit_rays(tile_rays, BR)
+    kernel = functools.partial(_fwd_kernel, float(min_uncert))
+    in_specs = [_row_spec(tr, N)] * 11 + [_full(), _full()]
+    return pl.pallas_call(
+        kernel, grid=(BR // tr,), in_specs=in_specs,
+        out_specs=_row_spec(tr, N_OUT),
+        out_shape=jax.ShapeDtypeStruct((BR, N_OUT), jnp.float32),
+        interpret=interpret,
+    )(*planes, _tri_excl(N), _tri_suffix(N))
+
+
+def _run_bwd(planes, g, N, min_uncert, tile_rays, interpret):
+    BR = planes[0].shape[0]
+    tr = _fit_rays(tile_rays, BR)
+    kernel = functools.partial(_bwd_kernel, float(min_uncert))
+    in_specs = [_row_spec(tr, N)] * 11 + [_row_spec(tr, N_OUT),
+                                          _full(), _full()]
+    out_shape = tuple(jax.ShapeDtypeStruct((BR, N), jnp.float32)
+                      for _ in range(8))
+    out_specs = tuple(_row_spec(tr, N) for _ in range(8))
+    return pl.pallas_call(
+        kernel, grid=(BR // tr,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret,
+    )(*planes, g, _tri_excl(N), _tri_suffix(N))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_op(N, min_uncert, tile_rays, interpret):
+    """Differentiable fused composite over channel planes.
+
+    f(rgb3 [BR,N]x3, traw5 [BR,N]x5, dens [BR,N], dist [BR,N], depth [BR,N])
+      -> packed [BR, 16]
+    Gradients flow to the rgb/trans planes only.
+    """
+
+    @jax.custom_vjp
+    def op(r0, r1, r2, t0, t1, t2, t3, t4, dens, dist, depth):
+        return _run_fwd((r0, r1, r2, t0, t1, t2, t3, t4, dens, dist, depth),
+                        N, min_uncert, tile_rays, interpret)
+
+    def op_fwd(*planes):
+        return op(*planes), planes
+
+    def op_bwd(planes, g):
+        grads = _run_bwd(planes, g, N, min_uncert, tile_rays, interpret)
+        zeros = tuple(jnp.zeros_like(p) for p in planes[8:])
+        return grads + zeros
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def fused_composite_st(rgb_raw, trans_raw, dens_raw, depth_samples, ray,
+                       min_uncert=0.05, tile_rays=256, interpret=False):
+    """Fused dual-density composite from RAW field outputs.
+
+    rgb_raw [BR·N, 3], trans_raw [BR·N, 5], dens_raw [BR·N, 1] (frozen),
+    depth_samples [B,R,N,1], ray [B,R,3] → dict of [B,R,C] leaves:
+    rgb, rgb_static, rgb_transient (C=3); depth, opacity, opacity_static,
+    opacity_transient, uncert (C=1); plus 'trans_density_mean' scalar
+    (mean_n softplus(trans density raw) — the transient-reg term).
+    """
+    B, R, N, _ = depth_samples.shape
+    BR = B * R
+    d = depth_samples.reshape(BR, N)
+    ray_len = jnp.linalg.norm(ray, axis=-1).reshape(BR, 1)
+    intv = jnp.concatenate([d[:, 1:] - d[:, :-1],
+                            jnp.full_like(d[:, :1], 1e10)], axis=1)
+    dist = intv * ray_len
+
+    def planes(x, C):
+        x = x.reshape(BR, N, C)
+        return [x[:, :, c] for c in range(C)]
+
+    r0, r1, r2 = planes(rgb_raw, 3)
+    t0, t1, t2, t3, t4 = planes(trans_raw, 5)
+    (dens,) = planes(dens_raw, 1)
+
+    op = _make_op(int(N), float(min_uncert), int(tile_rays), bool(interpret))
+    packed = op(r0, r1, r2, t0, t1, t2, t3, t4,
+                jax.lax.stop_gradient(dens), dist, d)
+
+    def out(lo, hi):
+        return packed[:, lo:hi].reshape(B, R, hi - lo)
+
+    return dict(
+        rgb=out(0, 3), rgb_static=out(3, 6), rgb_transient=out(6, 9),
+        depth=out(9, 10), opacity=out(10, 11), opacity_static=out(11, 12),
+        opacity_transient=out(12, 13), uncert=out(13, 14),
+        trans_density_mean=packed[:, 14].sum() / (BR * N),
+    )

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from ..geometry.rays import (convert_NDC, pixel_grid,
                              img2cam, cam2world, to_hom)
-from ..nn.fields import forward_samples_nerf, forward_samples_nerf_st
+from ..nn.fields import (forward_samples_nerf, forward_samples_nerf_st,
+                         forward_samples_nerf_st_raw, use_fused_render)
 from ..ops.render import sample_depth, composite, composite_static_transient
 
 
@@ -82,6 +83,47 @@ def render_rays_nerf(params, cfg, pose, intr, ray_idx, z_near, z_far, key,
     return dict(rgb=out["rgb"], depth=out["depth"], opacity=out["opacity"])
 
 
+def render_st_core(params, cfg, center, ray, near, far, latent_trans,
+                   latent_light, key, progress=None, mode=None,
+                   compute_dtype=None, want_density=False):
+    """Shared ST render body: stratified sampling → field → dual composite.
+
+    Routes through the fully-fused path (ST-field kernel → composite kernel
+    on raw outputs, kernels/fused_composite.py) when the layout contract
+    holds — this removes the [B,R,N,3,2] stacks, activation tensors and
+    cumsum chains (plus their backward) that XLA otherwise materializes in
+    HBM.  The fused dict carries 'trans_density_mean' (scalar) instead of
+    per-sample 'density'.
+    """
+    k_depth, k_density = jax.random.split(key)
+    depth_samples = sample_depth(
+        k_depth, near, far, cfg.nerf.sample_intvs,
+        stratified=cfg.nerf.sample_stratified and mode == "train",
+        param=cfg.nerf.depth.param)
+    B, R = near.shape
+    N = int(cfg.nerf.sample_intvs)
+    if use_fused_render(cfg, B, R, N):
+        from ..kernels.fused_composite import fused_composite_st
+        from ..kernels import force_interpret
+        rgb_raw, dens_raw, trans_raw = forward_samples_nerf_st_raw(
+            params, cfg, center, ray, depth_samples, latent_trans,
+            latent_light, progress=progress, compute_dtype=compute_dtype)
+        return fused_composite_st(
+            rgb_raw, trans_raw, dens_raw, depth_samples, ray,
+            min_uncert=cfg.nerf.get("min_uncert", 0.05),
+            interpret=force_interpret())
+    rgb_samples, density_samples, uncert_samples = forward_samples_nerf_st(
+        params, cfg, center, ray, depth_samples, latent_trans, latent_light,
+        progress=progress, mode=mode, density_key=k_density,
+        compute_dtype=compute_dtype)
+    out = composite_static_transient(
+        rgb_samples, density_samples, depth_samples, ray, uncert_samples,
+        min_uncert=cfg.nerf.get("min_uncert", 0.05))
+    if want_density:
+        out["density"] = density_samples
+    return out
+
+
 def render_rays_nerf_st(params, cfg, pose, intr, ray_idx, z_near, z_far,
                         latent_trans, latent_light, key, progress=None,
                         mode=None, compute_dtype=None):
@@ -90,18 +132,10 @@ def render_rays_nerf_st(params, cfg, pose, intr, ray_idx, z_near, z_far,
     center, ray, near, far = gather_rays(
         pose, intr, ray_idx, z_near, z_far, cfg.H, cfg.W,
         ndc=cfg.camera.get("ndc", False))
-    k_depth, k_density = jax.random.split(key)
-    depth_samples = sample_depth(
-        k_depth, near, far, cfg.nerf.sample_intvs,
-        stratified=cfg.nerf.sample_stratified and mode == "train",
-        param=cfg.nerf.depth.param)
-    rgb_samples, density_samples, uncert_samples = forward_samples_nerf_st(
-        params, cfg, center, ray, depth_samples, latent_trans, latent_light,
-        progress=progress, mode=mode, density_key=k_density,
-        compute_dtype=compute_dtype)
-    return composite_static_transient(
-        rgb_samples, density_samples, depth_samples, ray, uncert_samples,
-        min_uncert=cfg.nerf.get("min_uncert", 0.05))
+    out = render_st_core(params, cfg, center, ray, near, far, latent_trans,
+                         latent_light, key, progress, mode, compute_dtype)
+    out.pop("trans_density_mean", None)    # scalar: breaks chunked assembly
+    return out
 
 
 def render_rays_nerf_hierarchical(params, cfg, pose, intr, ray_idx, z_near,

@@ -48,9 +48,6 @@ from ..ops.grid_sample import grid_sample
 from ..ops.ssim import ssim
 from ..sampling.patch import flex_patch_coords, current_scale_bounds
 from ..sampling.ray_sampler import get_rays, get_bounds
-from ..ops.render import sample_depth
-from ..nn.fields import forward_samples_nerf_st
-from ..ops.render import composite_static_transient
 from ..utils.log import log
 from ..utils.metrics import mse_to_psnr, write_quant
 from .pretrain import _compute_dtype
@@ -71,20 +68,10 @@ def render_patch(nerf_params, cfg, pose, intr, coords, z_near, z_far,
     near, far = get_bounds(coords, z_near, z_far, cfg.H, cfg.W)
     near = near.reshape(B, h * w)
     far = far.reshape(B, h * w)
-    k_depth, k_density = jax.random.split(key)
-    depth_samples = sample_depth(
-        k_depth, near, far, cfg.nerf.sample_intvs,
-        stratified=cfg.nerf.sample_stratified and mode == "train",
-        param=cfg.nerf.depth.param)
-    rgb_s, density_s, uncert_s = forward_samples_nerf_st(
-        nerf_params, cfg, center, ray, depth_samples, latent_trans,
-        latent_light, progress=progress, mode=mode, density_key=k_density,
-        compute_dtype=compute_dtype)
-    out = composite_static_transient(
-        rgb_s, density_s, depth_samples, ray, uncert_s,
-        min_uncert=cfg.nerf.get("min_uncert", 0.05))
-    out["density"] = density_s
-    return out
+    from .render import render_st_core
+    return render_st_core(nerf_params, cfg, center, ray, near, far,
+                          latent_trans, latent_light, key, progress, mode,
+                          compute_dtype, want_density=True)
 
 
 def sample_patch_images(cfg, batch, coords):
@@ -268,7 +255,11 @@ class TextureGANEngine(Engine):
             if lw.get("uncert") is not None:
                 loss["uncert"] = uncertainty_reg_loss(out["uncert"])
             if lw.get("trans_reg") is not None:
-                loss["trans_reg"] = out["density"][..., -1].mean()
+                # fused-composite path reduces the transient density
+                # in-kernel (same value as density[...,-1].mean())
+                loss["trans_reg"] = (out["trans_density_mean"]
+                                     if "trans_density_mean" in out
+                                     else out["density"][..., -1].mean())
             if lw.get("latent_reg") is not None:
                 # L2 on the per-image latent rows in the batch: keeps the
                 # light/transient embeddings in-distribution so eval-time

@@ -363,8 +363,9 @@ def _use_fused_st(cfg, B, R, N, tile=1024):
         from ..kernels.fused_st_field import fused_st_available
         if not fused_st_available():
             return False
+        from ..kernels import force_interpret
         import jax as _jax
-        return _jax.default_backend() == "tpu"
+        return _jax.default_backend() == "tpu" or force_interpret()
     except Exception:
         return False
 
@@ -377,12 +378,15 @@ def _fit_tile(tile, rows):
     return max(t, 8)
 
 
-def apply_nerf_st_fused(params, cfg, points, ray_unit, latent_trans,
-                        latent_light, progress=None, compute_dtype=None,
-                        tile_fwd=1024, tile_bwd=512, interpret=False):
-    """Fused-kernel ST-field path; same outputs as apply_nerf_st."""
+def apply_nerf_st_raw(params, cfg, points, ray_unit, latent_trans,
+                      latent_light, progress=None, compute_dtype=None,
+                      tile_fwd=1024, tile_bwd=512, interpret=False):
+    """Fused-kernel ST field returning RAW head outputs (no activations):
+    (rgb_raw [M,3], dens_raw [M,1], trans_raw [M,5]) with M = B·R·N —
+    the input contract of kernels/fused_composite.fused_composite_st."""
     from ..kernels.fused_st_field import fused_st_field
-    from .mlp import DENSITY_ACTIVATIONS
+    from ..kernels import force_interpret
+    interpret = interpret or force_interpret()
     B, R, N, _ = points.shape
     L3 = cfg.arch.posenc.L_3D
     pts = points.reshape(-1, 3)
@@ -392,12 +396,23 @@ def apply_nerf_st_fused(params, cfg, points, ray_unit, latent_trans,
     aux3 = jnp.stack([_freq(L3, pts.dtype),
                       _c2f_band_weights(cfg, L3, progress).astype(pts.dtype)])
     heads = {"mlp_rgb": params["mlp_rgb"], "mlp_trans": params["mlp_trans"]}
-    rgb_raw, dens_raw, trans_raw = fused_st_field(
+    return fused_st_field(
         pts, ray_enc, latent_light, latent_trans, params["mlp_feat"], heads,
         aux3, tuple(cfg.arch.skip), L3, R * N,
         tile_fwd=_fit_tile(tile_fwd, R * N), tile_bwd=_fit_tile(tile_bwd,
-                                                               R * N),
+                                                                R * N),
         compute_dtype=compute_dtype or jnp.bfloat16, interpret=interpret)
+
+
+def apply_nerf_st_fused(params, cfg, points, ray_unit, latent_trans,
+                        latent_light, progress=None, compute_dtype=None,
+                        tile_fwd=1024, tile_bwd=512, interpret=False):
+    """Fused-kernel ST-field path; same outputs as apply_nerf_st."""
+    from .mlp import DENSITY_ACTIVATIONS
+    B, R, N, _ = points.shape
+    rgb_raw, dens_raw, trans_raw = apply_nerf_st_raw(
+        params, cfg, points, ray_unit, latent_trans, latent_light, progress,
+        compute_dtype, tile_fwd, tile_bwd, interpret)
     density = DENSITY_ACTIVATIONS[cfg.arch.density_activ](
         jax.lax.stop_gradient(dens_raw[:, 0]))
     rgb = jax.nn.sigmoid(rgb_raw)
@@ -487,3 +502,33 @@ def forward_samples_nerf_st(params, cfg, center, ray, depth_samples,
     return apply_nerf_st(params, cfg, pts, ray_unit, latent_trans,
                          latent_light, progress, mode, density_key,
                          compute_dtype)
+
+
+def use_fused_render(cfg, B, R, N):
+    """Gate for the fully-fused render path (ST field kernel → composite
+    kernel on raw outputs): requires the fused-field layout contract plus
+    softplus density (hardcoded in the composite kernel)."""
+    if not cfg.get("kernels", {}).get("fused_composite", True):
+        return False
+    if cfg.arch.density_activ != "softplus":
+        return False
+    if not _use_fused_st(cfg, B, R, N):
+        return False
+    try:
+        from ..kernels.fused_composite import fused_composite_available
+        return fused_composite_available()
+    except Exception:
+        return False
+
+
+def forward_samples_nerf_st_raw(params, cfg, center, ray, depth_samples,
+                                latent_trans, latent_light, progress=None,
+                                compute_dtype=None, interpret=False):
+    """Raw-output variant of forward_samples_nerf_st for the fused composite
+    path; returns (rgb_raw [M,3], dens_raw [M,1], trans_raw [M,5])."""
+    pts = center[..., None, :] + ray[..., None, :] * depth_samples
+    ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    ray_unit = jnp.broadcast_to(ray_unit[..., None, :], pts.shape)
+    return apply_nerf_st_raw(params, cfg, pts, ray_unit, latent_trans,
+                             latent_light, progress, compute_dtype,
+                             interpret=interpret)

@@ -155,14 +155,16 @@ def main():
     with open(os.path.join(qual_root, "ablation_results.jsonl"), "a") as f:
         for name in names:
             print(f"=== variant {name} ===", flush=True)
-            if name.startswith("data"):
-                # dataNN: base config on an NN-train-image fixture (the
-                # trunk transfers: the fixture geometry is the same
-                # analytic sphere)
-                n = int(name[4:])
-                run_variant(name, {}, _fixture_n(n), steps, every, f)
-            else:
-                run_variant(name, VARIANTS[name], cache, steps, every, f)
+            # composable: "data64+gan_weak" = 64-image fixture + the
+            # gan_weak edits.  dataNN: base config on an NN-train-image
+            # fixture (the trunk transfers: same analytic sphere).
+            run_cache, edits = cache, {}
+            for part in name.split("+"):
+                if part.startswith("data"):
+                    run_cache = _fixture_n(int(part[4:]))
+                else:
+                    edits.update(VARIANTS[part])
+            run_variant(name, edits, run_cache, steps, every, f)
 
 
 if __name__ == "__main__":
