@@ -42,9 +42,10 @@ def main():
 
     every = int(os.environ.get("DBG_EVERY", "100"))
     t0 = time.time()
-    for it in range(cfg.max_iter):
+    K = eng.scan_k()
+    for it in range(0, cfg.max_iter, K):
         eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
-        if it % every == 0 or it == cfg.max_iter - 1:
+        if it % every < K or it + K >= cfg.max_iter:
             host = {k: round(float(np.asarray(v)), 5) for k, v in
                     sorted(loss.items())}
             print(f"it={it:5d} t={time.time()-t0:7.1f}s {host}", flush=True)

@@ -1,0 +1,141 @@
+"""Dev utility: controlled ablations of the texture-GAN long-horizon
+quality drift (VERDICT r1 item 3) on the sphere fixture.
+
+Round-1 measured "PSNR 20.8 @ 2k steps -> 14.2 @ 10k steps", but the qual
+harness looped DISPATCHES while max_iter counts REAL steps (scan_k=20), so
+those were really 40k vs 200k real steps with the lr schedule decayed 20x
+early.  This tool uses the corrected accounting (range(0, max_iter, K))
+and evaluates the SAME run at several horizons, across loss ablations:
+
+  base    - shipping defaults (feat=-2, no lab, no latent_reg)
+  latreg  - + loss_weight.latent_reg=-2 (L2 on per-image latents)
+  lab     - + loss_weight.lab=0 (reference layers/lab_loss.py role:
+            chromaticity anchor against adversarial color drift)
+  nofeat  - loss_weight.feat=None (kill the random-VGG perceptual term)
+
+Env: ABL_PRETRAIN_ITERS (real steps, default 20000),
+     ABL_GAN_ITERS (default 20000), ABL_EVAL_AT (comma steps,
+     default "2000,10000,20000"), ABL_VARIANTS (default all),
+     ABL_PLATFORM=cpu to force the CPU backend.
+
+ONE process, sequential variants (the axon tunnel allows one client).
+"""
+
+import os
+import sys
+import time
+import tempfile
+
+if os.environ.get("ABL_PLATFORM") == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from tpu_quality_check import _fixture, _base
+
+VARIANTS = {
+    "base": {},
+    "latreg": {"latent_reg": -2},
+    "lab": {"lab": 0},
+    "nofeat": {"feat": None},
+    "latreg_lab": {"latent_reg": -2, "lab": 0},
+}
+
+
+def pretrain(cache, iters):
+    from texpose_tpu.utils.config import process_options
+    from texpose_tpu.models.pretrain import PretrainEngine
+    ck = os.path.join(tempfile.gettempdir(), "texpose_qual", "Duck",
+                      "pretrain_model.ckpt")
+    stamp = ck + f".abl{iters}"
+    if os.path.exists(stamp):
+        print(f"PRETRAIN: reusing {ck}", flush=True)
+        return
+    cfg = _base("nerf_lm_pretrain.yaml", cache)
+    cfg.data.scene = "scene_qual"
+    cfg.data.pose_source = "gt"
+    cfg.nerf.depth.box_source = "gt_box"
+    cfg.max_iter = iters
+    cfg.name = "qual_pretrain"
+    cfg = process_options(cfg)
+    eng = PretrainEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+    t0 = time.time()
+    K = eng.scan_k()
+    for it in range(0, cfg.max_iter, K):
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
+    print(f"PRETRAIN: {iters} steps in {time.time()-t0:.0f}s, "
+          f"loss={float(np.asarray(loss['all'])):.4f} "
+          f"val={eng.validate(cfg.max_iter)}", flush=True)
+    eng.save_checkpoint(cfg.max_iter)
+    import shutil
+    shutil.copyfile(os.path.join(cfg.output_path, "model.ckpt"), ck)
+    open(stamp, "w").close()
+
+
+def run_variant(cache, name, overrides, iters, eval_at):
+    from texpose_tpu.utils.config import process_options
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+    cfg = _base("nerf_lm_adapt_gan.yaml", cache)
+    cfg.data.scene = "scene_qual"
+    cfg.nerf.depth.box_source = "pred_box_init_calib"
+    cfg.max_iter = iters
+    cfg.name = f"abl_{name}"
+    cfg.resume_pretrain = True
+    for k, v in overrides.items():
+        cfg.loss_weight[k] = v
+    cfg = process_options(cfg)
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+    eng.restore_pretrained_checkpoint()
+    K = eng.scan_k()
+    marks = sorted(m for m in eval_at if m <= iters)
+    results = []
+    t0 = time.time()
+    mi = 0
+    for it in range(0, iters, K):
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
+        done = it + K
+        if mi < len(marks) and done >= marks[mi]:
+            ev = eng.evaluate_full()
+            results.append((marks[mi], ev))
+            print(f"  [{name}] @{marks[mi]:6d}: psnr={ev['psnr']:.2f} "
+                  f"ssim={ev['ssim']:.3f} ({done/(time.time()-t0):.0f} it/s)",
+                  flush=True)
+            mi += 1
+    host = {k: float(np.asarray(v)) for k, v in loss.items()}
+    assert all(np.isfinite(v) for v in host.values()), (name, host)
+    return results
+
+
+def main():
+    cache = _fixture()
+    p_iters = int(os.environ.get("ABL_PRETRAIN_ITERS", "20000"))
+    g_iters = int(os.environ.get("ABL_GAN_ITERS", "20000"))
+    eval_at = [int(x) for x in os.environ.get(
+        "ABL_EVAL_AT", "2000,10000,20000").split(",")]
+    names = os.environ.get("ABL_VARIANTS",
+                           "base,latreg,lab,nofeat").split(",")
+    pretrain(cache, p_iters)
+    table = {}
+    for name in names:
+        print(f"=== variant {name} ({VARIANTS[name]}) ===", flush=True)
+        table[name] = run_variant(cache, name, VARIANTS[name], g_iters,
+                                  eval_at)
+    print("\n=== SUMMARY (psnr/ssim by real step) ===", flush=True)
+    for name, rows in table.items():
+        cells = "  ".join(f"@{m}: {ev['psnr']:.2f}/{ev['ssim']:.3f}"
+                          for m, ev in rows)
+        print(f"{name:12s} {cells}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

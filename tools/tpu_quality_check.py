@@ -58,7 +58,10 @@ def pretrain_stage(cache):
     eng.setup_optimizer()
     first = None
     t0 = time.time()
-    for it in range(cfg.max_iter):
+    # max_iter counts REAL steps; each dispatch advances scan_k of them
+    # (same accounting as Engine.train, models/base.py:184).
+    K = eng.scan_k()
+    for it in range(0, cfg.max_iter, K):
         eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
         if it == 0:
             # after ONE dispatch (= scan_k real steps) — before the fast
@@ -71,7 +74,7 @@ def pretrain_stage(cache):
     last = float(np.asarray(loss["all"]))
     dt = time.time() - t0
     print(f"PRETRAIN: loss {first:.4f} -> {last:.4f} "
-          f"({cfg.max_iter/dt:.1f} disp/s x scan {eng.scan_k()})", flush=True)
+          f"({cfg.max_iter/dt:.1f} it/s, scan {K})", flush=True)
     val = eng.validate(cfg.max_iter)
     print(f"PRETRAIN val: {val}", flush=True)
     assert np.isfinite(last) and last < first * 0.9, (first, last)
@@ -100,9 +103,10 @@ def gan_stage(cache):
     eng.restore_pretrained_checkpoint()
     first = None
     t0 = time.time()
-    for it in range(cfg.max_iter):
+    K = eng.scan_k()
+    for it in range(0, cfg.max_iter, K):
         eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
-        if it == 20:
+        if first is None and it + K > 20:
             first = float(np.asarray(loss["render"]))
     dt = time.time() - t0
     host = {k: float(np.asarray(v)) for k, v in loss.items()}
