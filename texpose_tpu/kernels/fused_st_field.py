@@ -115,7 +115,7 @@ def _heads_forward(feat, ray_enc, pts, light, trans, wr, br, wt, bt, cdtype,
 
 # ------------------------------------------------------------------ forward
 
-def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype,
+def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
                 pts_ref, enc_ref, aux3_ref, light_ref, trans_ref, *refs):
     wf = refs[:n_trunk]
     bf = refs[n_trunk:2 * n_trunk]
@@ -125,23 +125,26 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype,
     bt = refs[2 * n_trunk + 2 * nr + nt:2 * n_trunk + 2 * nr + 2 * nt]
     rgb_ref, dens_ref, transr_ref, feat_ref = refs[-4:]
 
-    # latent tables live whole in VMEM (tiny); slice this tile's image row
-    img = pl.program_id(0) // tiles_per_img
-    light = light_ref[pl.ds(img, 1), :]
-    trans = trans_ref[pl.ds(img, 1), :]
-    pts = pts_ref[...]
-    feat, dens = _trunk_feat(pts, aux3_ref, wf, bf, skip, L3, cdtype)
-    rgb_raw, trans_raw = _heads_forward(
-        feat, enc_ref[...], pts, light, trans, wr, br, wt, bt, cdtype)
-    rgb_ref[...] = rgb_raw
-    dens_ref[...] = dens
-    transr_ref[...] = trans_raw
-    feat_ref[...] = feat.astype(feat_ref.dtype)
+    S = pts_ref.shape[0] // subtiles
+    for k in range(subtiles):
+        sl = slice(k * S, (k + 1) * S)
+        # latent tables live whole in VMEM (tiny); slice this tile's row
+        img = (pl.program_id(0) * subtiles + k) // tiles_per_img
+        light = light_ref[pl.ds(img, 1), :]
+        trans = trans_ref[pl.ds(img, 1), :]
+        pts = pts_ref[sl, :]
+        feat, dens = _trunk_feat(pts, aux3_ref, wf, bf, skip, L3, cdtype)
+        rgb_raw, trans_raw = _heads_forward(
+            feat, enc_ref[sl, :], pts, light, trans, wr, br, wt, bt, cdtype)
+        rgb_ref[sl, :] = rgb_raw
+        dens_ref[sl, :] = dens
+        transr_ref[sl, :] = trans_raw
+        feat_ref[sl, :] = feat.astype(feat_ref.dtype)
 
 
 # ----------------------------------------------------------------- backward
 
-def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype,
+def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles,
                 feat_ref, enc_ref, pts_ref, light_ref, trans_ref,
                 g_rgb_ref, g_trans_ref, *refs):
     wr = refs[:nr]
@@ -160,47 +163,51 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype,
         for s in scratch:
             s[...] = jnp.zeros_like(s)
 
-    img = i // tiles_per_img
-    feat = feat_ref[...].astype(jnp.float32)
-    pts = pts_ref[...]
-    rayenc = enc_ref[...]
-    light = light_ref[pl.ds(img, 1), :]
-    trans = trans_ref[pl.ds(img, 1), :]
-
-    _, _, acts = _heads_forward(feat, rayenc, pts, light, trans,
-                                wr, br, wt, bt, cdtype, want_acts=True)
-
     row = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    S = feat_ref.shape[0] // subtiles
+    for k in range(subtiles):
+        sl = slice(k * S, (k + 1) * S)
+        img = (i * subtiles + k) // tiles_per_img
+        feat = feat_ref[sl, :].astype(jnp.float32)
+        pts = pts_ref[sl, :]
+        rayenc = enc_ref[sl, :]
+        light = light_ref[pl.ds(img, 1), :]
+        trans = trans_ref[pl.ds(img, 1), :]
 
-    # ---- rgb head backward ----
-    g = g_rgb_ref[...].astype(jnp.float32)
-    hs = [acts["a0"]] + [jnp.maximum(acts[f"rz{k}"], 0.0)
-                         for k in range(nr - 1)]
-    for li in range(nr - 1, -1, -1):
-        scratch[li][...] += _dot_t1(hs[li].astype(cdtype), g.astype(cdtype))
-        scratch[nr + li][...] += jnp.sum(g, axis=0, keepdims=True)
-        g = _dot_t2(g.astype(cdtype), wr[li][...])
-        if li > 0:
-            g = g * (acts[f"rz{li-1}"] > 0)
-    off = feat.shape[1] + rayenc.shape[1] + pts.shape[1]
-    dlight = jnp.sum(g[:, off:], axis=0, keepdims=True)      # [1,48]
+        _, _, acts = _heads_forward(feat, rayenc, pts, light, trans,
+                                    wr, br, wt, bt, cdtype, want_acts=True)
 
-    # ---- transient head backward ----
-    g = g_trans_ref[...].astype(jnp.float32)
-    hs = [acts["t0"]] + [jnp.maximum(acts[f"tz{k}"], 0.0)
-                         for k in range(nt - 1)]
-    base = 2 * nr
-    for li in range(nt - 1, -1, -1):
-        scratch[base + li][...] += _dot_t1(hs[li].astype(cdtype),
-                                           g.astype(cdtype))
-        scratch[base + nt + li][...] += jnp.sum(g, axis=0, keepdims=True)
-        g = _dot_t2(g.astype(cdtype), wt[li][...])
-        if li > 0:
-            g = g * (acts[f"tz{li-1}"] > 0)
-    dtrans = jnp.sum(g[:, feat.shape[1]:], axis=0, keepdims=True)
+        # ---- rgb head backward ----
+        g = g_rgb_ref[sl, :].astype(jnp.float32)
+        hs = [acts["a0"]] + [jnp.maximum(acts[f"rz{k}"], 0.0)
+                             for k in range(nr - 1)]
+        for li in range(nr - 1, -1, -1):
+            scratch[li][...] += _dot_t1(hs[li].astype(cdtype),
+                                        g.astype(cdtype))
+            scratch[nr + li][...] += jnp.sum(g, axis=0, keepdims=True)
+            g = _dot_t2(g.astype(cdtype), wr[li][...])
+            if li > 0:
+                g = g * (acts[f"rz{li-1}"] > 0)
+        off = feat.shape[1] + rayenc.shape[1] + pts.shape[1]
+        dlight = jnp.sum(g[:, off:], axis=0, keepdims=True)      # [1,48]
 
-    scratch[-2][...] += jnp.where(row == img, dlight, 0.0)
-    scratch[-1][...] += jnp.where(row == img, dtrans, 0.0)
+        # ---- transient head backward ----
+        g = g_trans_ref[sl, :].astype(jnp.float32)
+        hs = [acts["t0"]] + [jnp.maximum(acts[f"tz{k}"], 0.0)
+                             for k in range(nt - 1)]
+        base = 2 * nr
+        for li in range(nt - 1, -1, -1):
+            scratch[base + li][...] += _dot_t1(hs[li].astype(cdtype),
+                                               g.astype(cdtype))
+            scratch[base + nt + li][...] += jnp.sum(g, axis=0,
+                                                    keepdims=True)
+            g = _dot_t2(g.astype(cdtype), wt[li][...])
+            if li > 0:
+                g = g * (acts[f"tz{li-1}"] > 0)
+        dtrans = jnp.sum(g[:, feat.shape[1]:], axis=0, keepdims=True)
+
+        scratch[-2][...] += jnp.where(row == img, dlight, 0.0)
+        scratch[-1][...] += jnp.where(row == img, dtrans, 0.0)
 
     @pl.when(i == n_prog - 1)
     def _():
@@ -224,14 +231,18 @@ def _full_spec():
 
 def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
              rgb_w, rgb_b, tr_w, tr_b, aux3, skip, L3, tile, rows_per_img,
-             cdtype, interpret):
-    tiles_per_img = rows_per_img // tile
+             cdtype, interpret, subtiles=1):
+    # `tile` rows stream per grid step; compute runs on tile/subtiles-row
+    # slices (narrow VMEM intermediates, fewer grid steps → less per-step
+    # pipeline overhead)
+    sub = tile // subtiles
+    tiles_per_img = rows_per_img // sub
     M = pts.shape[0]
     n_trunk, nr, nt = len(trunk_w), len(rgb_w), len(tr_w)
     F = trunk_w[-1].shape[1] - 1
     E = ray_enc.shape[1]
     kernel = functools.partial(_fwd_kernel, L3, skip, nr, nt, n_trunk,
-                               tiles_per_img, cdtype)
+                               tiles_per_img, cdtype, subtiles)
     in_specs = ([_row_spec(tile, 3), _row_spec(tile, E), _full_spec(),
                  _full_spec(), _full_spec()]
                 + [_full_spec()] * (2 * n_trunk + 2 * nr + 2 * nt))
@@ -264,14 +275,16 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
 
 def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
              tr_w, tr_b, g_rgb, g_trans, tile, rows_per_img, cdtype,
-             interpret):
-    tiles_per_img = rows_per_img // tile
+             interpret, subtiles=1):
+    sub = tile // subtiles
+    tiles_per_img = rows_per_img // sub
     M = pts.shape[0]
     B = light_rows.shape[0]
     nr, nt = len(rgb_w), len(tr_w)
     F = feat.shape[1]
     E = ray_enc.shape[1]
-    kernel = functools.partial(_bwd_kernel, nr, nt, B, tiles_per_img, cdtype)
+    kernel = functools.partial(_bwd_kernel, nr, nt, B, tiles_per_img, cdtype,
+                               subtiles)
     in_specs = ([_row_spec(tile, F), _row_spec(tile, E), _row_spec(tile, 3),
                  _full_spec(), _full_spec(),
                  _row_spec(tile, 3), _row_spec(tile, 5)]
@@ -301,7 +314,8 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
 # -------------------------------------------------------------- custom vjp
 
 @functools.lru_cache(maxsize=None)
-def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret):
+def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
+             sub_fwd=1, sub_bwd=1):
     """Build the differentiable fused op for a static config.
 
     Signature: f(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)
@@ -317,7 +331,7 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret):
                        heads["rgb_w"], heads["rgb_b"],
                        heads["tr_w"], heads["tr_b"],
                        aux3, skip, L3, tile_fwd, rows_per_img, cdtype,
-                       interpret)
+                       interpret, subtiles=sub_fwd)
         return out
 
     @jax.custom_vjp
@@ -340,7 +354,7 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret):
                         heads["rgb_w"], heads["rgb_b"],
                         heads["tr_w"], heads["tr_b"],
                         g_rgb, g_trans, tile_bwd, rows_per_img, cdtype,
-                        interpret)
+                        interpret, subtiles=sub_bwd)
         nr, nt = len(heads["rgb_w"]), len(heads["tr_w"])
         d_heads = {
             "rgb_w": tuple(outs[:nr]),
@@ -366,14 +380,26 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     pts [M,3], ray_enc [M,E] (pre-encoded, c2f applied), light_rows [B,Dl],
     trans_rows [B,Dt]; rows_per_img = R·N (must divide by both tiles).
     Returns (rgb_raw [M,3], density_raw [M,1], trans_raw [M,5]).
+
+    TEXPOSE_ST_SUBTILES_{FWD,BWD}: stream tile*sub rows per grid step while
+    computing on tile-row slices (fewer grid steps, same VMEM-width
+    intermediates) — perf A/B knobs, default 1.
     """
+    import os
+    sub_fwd = int(os.environ.get("TEXPOSE_ST_SUBTILES_FWD", "1"))
+    sub_bwd = int(os.environ.get("TEXPOSE_ST_SUBTILES_BWD", "1"))
+    M = pts.shape[0]
+    if M % (int(tile_fwd) * sub_fwd):
+        sub_fwd = 1
+    if M % (int(tile_bwd) * sub_bwd):
+        sub_bwd = 1
     trunk = {"w": tuple(lp["w"] for lp in trunk_params),
              "b": tuple(lp["b"] for lp in trunk_params)}
     heads = {"rgb_w": tuple(lp["w"] for lp in head_params["mlp_rgb"]),
              "rgb_b": tuple(lp["b"] for lp in head_params["mlp_rgb"]),
              "tr_w": tuple(lp["w"] for lp in head_params["mlp_trans"]),
              "tr_b": tuple(lp["b"] for lp in head_params["mlp_trans"])}
-    op = _make_op(tuple(sorted(skip)), int(L3), int(tile_fwd),
-                  int(tile_bwd), int(rows_per_img), compute_dtype,
-                  bool(interpret))
+    op = _make_op(tuple(sorted(skip)), int(L3), int(tile_fwd) * sub_fwd,
+                  int(tile_bwd) * sub_bwd, int(rows_per_img), compute_dtype,
+                  bool(interpret), sub_fwd, sub_bwd)
     return op(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)
