@@ -43,7 +43,20 @@ VARIANTS = {
     "lab": {"lab": 0},
     "nofeat": {"feat": None},
     "latreg_lab": {"latent_reg": -2, "lab": 0},
+    # D gets the same 10x staircase lr decay as G (the engine supports
+    # optim_disc.lr_end; constant-lr D vs decaying-lr G lets D dominate
+    # late training)
+    "dlr": {"optim_disc.lr_end": 1.e-5},
+    "latreg_dlr": {"latent_reg": -2, "optim_disc.lr_end": 1.e-5},
 }
+
+
+def _set_dotted(cfg, key, value):
+    node = cfg
+    parts = key.split(".")
+    for p in parts[:-1]:
+        node = node[p]
+    node[parts[-1]] = value
 
 
 def pretrain(cache, iters):
@@ -89,7 +102,10 @@ def run_variant(cache, name, overrides, iters, eval_at):
     cfg.name = f"abl_{name}"
     cfg.resume_pretrain = True
     for k, v in overrides.items():
-        cfg.loss_weight[k] = v
+        if "." in k:
+            _set_dotted(cfg, k, v)
+        else:
+            cfg.loss_weight[k] = v
     cfg = process_options(cfg)
     eng = TextureGANEngine(cfg)
     eng.load_dataset()
@@ -106,9 +122,17 @@ def run_variant(cache, name, overrides, iters, eval_at):
         done = it + K
         if mi < len(marks) and done >= marks[mi]:
             ev = eng.evaluate_full()
+            # second protocol: mean train latent instead of pose-anchor
+            # selection — separates model-quality drift from anchor-latent
+            # mismatch under per-image lighting variation
+            eng.cfg.render.light = "mean"
+            evm = eng.evaluate_full()
+            eng.cfg.render.light = "anchor"
+            ev["psnr_mean"], ev["ssim_mean"] = evm["psnr"], evm["ssim"]
             results.append((marks[mi], ev))
             print(f"  [{name}] @{marks[mi]:6d}: psnr={ev['psnr']:.2f} "
-                  f"ssim={ev['ssim']:.3f} ({done/(time.time()-t0):.0f} it/s)",
+                  f"ssim={ev['ssim']:.3f} mean-latent {evm['psnr']:.2f}/"
+                  f"{evm['ssim']:.3f} ({done/(time.time()-t0):.0f} it/s)",
                   flush=True)
             mi += 1
     host = {k: float(np.asarray(v)) for k, v in loss.items()}
