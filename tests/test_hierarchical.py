@@ -7,7 +7,6 @@ import sys
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 sys.path.insert(0, os.path.dirname(__file__))
 

@@ -4,7 +4,6 @@ import os
 import subprocess
 import sys
 
-import numpy as np
 
 from texpose_tpu.data.fixture import generate_fixture
 from texpose_tpu.data import bop

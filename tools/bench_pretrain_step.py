@@ -3,13 +3,11 @@
 import os
 import sys
 import time
-import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 
 def main():

@@ -14,8 +14,6 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 
 def _fixture():
