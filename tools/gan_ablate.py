@@ -48,6 +48,11 @@ VARIANTS = {
     # late training)
     "dlr": {"optim_disc.lr_end": 1.e-5},
     "latreg_dlr": {"latent_reg": -2, "optim_disc.lr_end": 1.e-5},
+    # control: train under GT poses — if the long-horizon PSNR decline
+    # vanishes, the driver is noisy-pose misalignment x texture sharpening
+    # (an eval-protocol property, not training pathology)
+    "gtpose": {"data.pose_source": "gt"},
+    "lab_long": {"lab": 0},
 }
 
 
@@ -130,10 +135,12 @@ def run_variant(cache, name, overrides, iters, eval_at):
             eng.cfg.render.light = "anchor"
             ev["psnr_mean"], ev["ssim_mean"] = evm["psnr"], evm["ssim"]
             results.append((marks[mi], ev))
+            cur = {k: round(float(np.asarray(v)), 4)
+                   for k, v in sorted(loss.items())}
             print(f"  [{name}] @{marks[mi]:6d}: psnr={ev['psnr']:.2f} "
                   f"ssim={ev['ssim']:.3f} mean-latent {evm['psnr']:.2f}/"
-                  f"{evm['ssim']:.3f} ({done/(time.time()-t0):.0f} it/s)",
-                  flush=True)
+                  f"{evm['ssim']:.3f} ({done/(time.time()-t0):.0f} it/s) "
+                  f"loss={cur}", flush=True)
             mi += 1
     host = {k: float(np.asarray(v)) for k, v in loss.items()}
     assert all(np.isfinite(v) for v in host.values()), (name, host)
