@@ -37,6 +37,31 @@ import numpy as np
 
 from tpu_quality_check import _fixture, _base
 
+FIXED_LIGHT = os.environ.get("ABL_FIXED_LIGHT") == "1"
+
+
+def _fixture_fl():
+    """Fixed-light fixture: no per-image lighting variance, so eval PSNR has
+    no unseen-lighting noise floor — isolates long-horizon adversarial
+    stability from lighting generalization."""
+    from texpose_tpu.data.fixture import generate_fixture
+    cache = os.path.join(tempfile.gettempdir(), "texpose_qual_fixture_fl")
+    if not os.path.exists(os.path.join(cache, ".done")):
+        os.makedirs(cache, exist_ok=True)
+        generate_fixture(cache, n_train=16, n_test=2, scene="scene_qual",
+                         image_scale=1.0, crop_res=128, fixed_light=True)
+        open(os.path.join(cache, ".done"), "w").close()
+    return cache
+
+
+def _get_fixture():
+    return _fixture_fl() if FIXED_LIGHT else _fixture()
+
+
+def _out_root():
+    return os.path.join(tempfile.gettempdir(),
+                        "texpose_qual_fl" if FIXED_LIGHT else "texpose_qual")
+
 VARIANTS = {
     "base": {},
     "latreg": {"latent_reg": -2},
@@ -67,13 +92,13 @@ def _set_dotted(cfg, key, value):
 def pretrain(cache, iters):
     from texpose_tpu.utils.config import process_options
     from texpose_tpu.models.pretrain import PretrainEngine
-    ck = os.path.join(tempfile.gettempdir(), "texpose_qual", "Duck",
-                      "pretrain_model.ckpt")
+    ck = os.path.join(_out_root(), "Duck", "pretrain_model.ckpt")
     stamp = ck + f".abl{iters}"
     if os.path.exists(stamp):
         print(f"PRETRAIN: reusing {ck}", flush=True)
         return
     cfg = _base("nerf_lm_pretrain.yaml", cache)
+    cfg.output_root = _out_root()
     cfg.data.scene = "scene_qual"
     cfg.data.pose_source = "gt"
     cfg.nerf.depth.box_source = "gt_box"
@@ -101,6 +126,7 @@ def run_variant(cache, name, overrides, iters, eval_at):
     from texpose_tpu.utils.config import process_options
     from texpose_tpu.models.texture_gan import TextureGANEngine
     cfg = _base("nerf_lm_adapt_gan.yaml", cache)
+    cfg.output_root = _out_root()
     cfg.data.scene = "scene_qual"
     cfg.nerf.depth.box_source = "pred_box_init_calib"
     cfg.max_iter = iters
@@ -148,7 +174,7 @@ def run_variant(cache, name, overrides, iters, eval_at):
 
 
 def main():
-    cache = _fixture()
+    cache = _get_fixture()
     p_iters = int(os.environ.get("ABL_PRETRAIN_ITERS", "20000"))
     g_iters = int(os.environ.get("ABL_GAN_ITERS", "20000"))
     eval_at = [int(x) for x in os.environ.get(
