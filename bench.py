@@ -94,6 +94,9 @@ def main():
     cfg.output_root = os.path.join(tempfile.gettempdir(), "texpose_bench_out")
     cfg = process_options(cfg)
     cfg.max_iter = 100000
+    # perf A/B knob: dispatch fusion depth (gcd-clamped to freq hooks)
+    if os.environ.get("BENCH_SCAN_STEPS"):
+        cfg.scan_steps = int(os.environ["BENCH_SCAN_STEPS"])
 
     eng = TextureGANEngine(cfg)
     eng.load_dataset()

@@ -38,18 +38,22 @@ import numpy as np
 from tpu_quality_check import _fixture, _base
 
 FIXED_LIGHT = os.environ.get("ABL_FIXED_LIGHT") == "1"
+N_TRAIN = int(os.environ.get("ABL_NTRAIN", "16"))
 
 
 def _fixture_fl():
-    """Fixed-light fixture: no per-image lighting variance, so eval PSNR has
-    no unseen-lighting noise floor — isolates long-horizon adversarial
-    stability from lighting generalization."""
+    """Custom fixture: ABL_FIXED_LIGHT removes per-image lighting variance
+    (kills the unseen-lighting PSNR floor); ABL_NTRAIN sets view density
+    (16 views x 20k steps = 10k epoch-equivalents — deep view-overfit
+    territory vs the reference's ~180 views x 6000 epochs)."""
     from texpose_tpu.data.fixture import generate_fixture
-    cache = os.path.join(tempfile.gettempdir(), "texpose_qual_fixture_fl")
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"texpose_qual_fixture_fl{N_TRAIN}")
     if not os.path.exists(os.path.join(cache, ".done")):
         os.makedirs(cache, exist_ok=True)
-        generate_fixture(cache, n_train=16, n_test=2, scene="scene_qual",
-                         image_scale=1.0, crop_res=128, fixed_light=True)
+        generate_fixture(cache, n_train=N_TRAIN, n_test=2,
+                         scene="scene_qual", image_scale=1.0, crop_res=128,
+                         fixed_light=True)
         open(os.path.join(cache, ".done"), "w").close()
     return cache
 
@@ -59,8 +63,9 @@ def _get_fixture():
 
 
 def _out_root():
-    return os.path.join(tempfile.gettempdir(),
-                        "texpose_qual_fl" if FIXED_LIGHT else "texpose_qual")
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"texpose_qual_fl{N_TRAIN}" if FIXED_LIGHT else "texpose_qual")
 
 VARIANTS = {
     "base": {},
