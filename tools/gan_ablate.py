@@ -157,20 +157,21 @@ def run_variant(cache, name, overrides, iters, eval_at):
         eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
         done = it + K
         if mi < len(marks) and done >= marks[mi]:
-            ev = eng.evaluate_full()
-            # second protocol: mean train latent instead of pose-anchor
-            # selection — separates model-quality drift from anchor-latent
-            # mismatch under per-image lighting variation
-            eng.cfg.render.light = "mean"
-            evm = eng.evaluate_full()
+            ev = eng.evaluate_full()    # config-default latent protocol
+            # secondary: the reference's random-pick anchor protocol
+            # (:487-502) — fragile to single-latent drift; kept for
+            # comparison
+            prev = eng.cfg.render.get("light", "topk_mean")
             eng.cfg.render.light = "anchor"
-            ev["psnr_mean"], ev["ssim_mean"] = evm["psnr"], evm["ssim"]
+            eva = eng.evaluate_full()
+            eng.cfg.render.light = prev
+            ev["psnr_anchor"], ev["ssim_anchor"] = eva["psnr"], eva["ssim"]
             results.append((marks[mi], ev))
             cur = {k: round(float(np.asarray(v)), 4)
                    for k, v in sorted(loss.items())}
             print(f"  [{name}] @{marks[mi]:6d}: psnr={ev['psnr']:.2f} "
-                  f"ssim={ev['ssim']:.3f} mean-latent {evm['psnr']:.2f}/"
-                  f"{evm['ssim']:.3f} ({done/(time.time()-t0):.0f} it/s) "
+                  f"ssim={ev['ssim']:.3f} ref-anchor {eva['psnr']:.2f}/"
+                  f"{eva['ssim']:.3f} ({done/(time.time()-t0):.0f} it/s) "
                   f"loss={cur}", flush=True)
             mi += 1
     host = {k: float(np.asarray(v)) for k, v in loss.items()}
