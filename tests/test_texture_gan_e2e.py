@@ -195,6 +195,41 @@ def test_latent_reg_and_mean_light(fixture_root, tmp_path):
     assert np.isfinite(res["psnr"])
 
 
+def test_topk_mean_latent_selection(fixture_root, tmp_path):
+    """render.light=topk_mean averages the N_candidate nearest-pose
+    latents (robust extension of the reference's random pick :487-502)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    cfg = tiny_gan_cfg(fixture_root, tmp_path)
+    cfg.render.light = "topk_mean"
+    cfg.render.N_candidate = 2
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+    # plant known latent rows so the average is checkable
+    N = np.asarray(eng.state["latents"]["light"]).shape[0]
+    eng.state["latents"]["light"] = jnp.arange(N, dtype=jnp.float32)[
+        :, None] * jnp.ones((1, cfg.nerf.N_latent_light))
+    eng.state["latents"]["trans"] = jnp.arange(N, dtype=jnp.float32)[
+        :, None] * jnp.ones((1, cfg.nerf.N_latent_trans))
+    # query exactly at anchor pose 0: top-2 = {0, nearest neighbor}
+    pose0 = np.asarray(eng.pose_anchor[0])
+    lt, ll = eng._topk_latents(pose0)
+    from texpose_tpu.geometry.pose import rotation_distance
+    rd = np.asarray(rotation_distance(
+        jnp.asarray(pose0[None, :, :3]),
+        jnp.asarray(eng.pose_anchor[:, :, :3])))
+    expect = float(np.sort(np.argsort(rd)[:2]).mean())
+    np.testing.assert_allclose(np.asarray(ll)[0, 0], expect, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lt)[0, 0], expect, rtol=1e-6)
+    # and the full eval path runs with it
+    res = eng.evaluate_full()
+    assert np.isfinite(res["psnr"])
+
+
 def test_trunk_frozen(fixture_root, tmp_path):
     """The geometry trunk must receive zero gradient (frozen), while heads
     and latents receive nonzero gradient (reference
