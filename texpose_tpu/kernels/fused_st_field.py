@@ -385,9 +385,12 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     computing on tile-row slices (fewer grid steps, same VMEM-width
     intermediates) — perf A/B knobs, default 1.
     """
+    # default 2: measured on v5e (tools/perf_sweep.sh) — fwd 2 tiles/step
+    # 296.6k→300.6k rays/s, +bwd 2 →303.0k (+scan 100: 305.6k); subtile 4
+    # exceeds the 16M scoped-VMEM limit by 4M (compile error)
     import os
-    sub_fwd = int(os.environ.get("TEXPOSE_ST_SUBTILES_FWD", "1"))
-    sub_bwd = int(os.environ.get("TEXPOSE_ST_SUBTILES_BWD", "1"))
+    sub_fwd = int(os.environ.get("TEXPOSE_ST_SUBTILES_FWD", "2"))
+    sub_bwd = int(os.environ.get("TEXPOSE_ST_SUBTILES_BWD", "2"))
     M = pts.shape[0]
     if M % (int(tile_fwd) * sub_fwd):
         sub_fwd = 1
