@@ -78,22 +78,25 @@ def _field_forward(pts, enc_view, aux3, wf, bf, wr, br, skip, L3, cdtype,
     return rgb_raw, dens_raw
 
 
-def _fwd_kernel(L3, skip, nf, nr, has_view, cdtype,
+def _fwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles,
                 pts_ref, enc_ref, aux3_ref, *refs):
     wf = refs[:nf]
     bf = refs[nf:2 * nf]
     wr = refs[2 * nf:2 * nf + nr]
     br = refs[2 * nf + nr:2 * nf + 2 * nr]
     rgb_ref, dens_ref = refs[-2:]
-    pts = pts_ref[...]
-    enc_view = enc_ref[...] if has_view else None
-    rgb_raw, dens_raw = _field_forward(pts, enc_view, aux3_ref, wf, bf,
-                                       wr, br, skip, L3, cdtype)
-    rgb_ref[...] = rgb_raw
-    dens_ref[...] = dens_raw
+    S = pts_ref.shape[0] // subtiles
+    for k in range(subtiles):
+        sl = slice(k * S, (k + 1) * S)
+        pts = pts_ref[sl, :]
+        enc_view = enc_ref[sl, :] if has_view else None
+        rgb_raw, dens_raw = _field_forward(pts, enc_view, aux3_ref, wf, bf,
+                                           wr, br, skip, L3, cdtype)
+        rgb_ref[sl, :] = rgb_raw
+        dens_ref[sl, :] = dens_raw
 
 
-def _bwd_kernel(L3, skip, nf, nr, has_view, cdtype,
+def _bwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles,
                 pts_ref, enc_ref, aux3_ref, g_rgb_ref, g_dens_ref, *refs):
     wf = refs[:nf]
     bf = refs[nf:2 * nf]
@@ -112,39 +115,43 @@ def _bwd_kernel(L3, skip, nf, nr, has_view, cdtype,
         for s in scratch:
             s[...] = jnp.zeros_like(s)
 
-    pts = pts_ref[...]
-    enc_view = enc_ref[...] if has_view else None
-    _, _, acts = _field_forward(pts, enc_view, aux3_ref, wf, bf, wr, br,
-                                skip, L3, cdtype, want_acts=True)
+    S = pts_ref.shape[0] // subtiles
+    for k in range(subtiles):
+        sl = slice(k * S, (k + 1) * S)
+        pts = pts_ref[sl, :]
+        enc_view = enc_ref[sl, :] if has_view else None
+        _, _, acts = _field_forward(pts, enc_view, aux3_ref, wf, bf, wr, br,
+                                    skip, L3, cdtype, want_acts=True)
 
-    # ---- rgb head backward ----
-    g = g_rgb_ref[...].astype(jnp.float32)
-    for li in range(nr - 1, -1, -1):
-        scratch[2 * nf + li][...] += _dot_t1(acts[f"ra{li}"].astype(cdtype),
-                                             g.astype(cdtype))
-        scratch[2 * nf + nr + li][...] += jnp.sum(g, axis=0, keepdims=True)
-        g = _dot_t2(g.astype(cdtype), wr[li][...])
-        if li > 0:
-            g = g * (acts[f"rz{li-1}"] > 0)
-    F = acts["fz_last"].shape[1] - 1
-    g_feat = g[:, :F]                            # d a0 → d feat slice
+        # ---- rgb head backward ----
+        g = g_rgb_ref[sl, :].astype(jnp.float32)
+        for li in range(nr - 1, -1, -1):
+            scratch[2 * nf + li][...] += _dot_t1(
+                acts[f"ra{li}"].astype(cdtype), g.astype(cdtype))
+            scratch[2 * nf + nr + li][...] += jnp.sum(g, axis=0,
+                                                      keepdims=True)
+            g = _dot_t2(g.astype(cdtype), wr[li][...])
+            if li > 0:
+                g = g * (acts[f"rz{li-1}"] > 0)
+        F = acts["fz_last"].shape[1] - 1
+        g_feat = g[:, :F]                        # d a0 → d feat slice
 
-    # ---- trunk backward (density col + relu'd feature cols) ----
-    g_dens = g_dens_ref[...].astype(jnp.float32)
-    g_last = jnp.concatenate(
-        [g_dens, g_feat * (acts["fz_last"][:, 1:] > 0)], axis=-1)
-    g = g_last
-    for li in range(nf - 1, -1, -1):
-        scratch[li][...] += _dot_t1(acts[f"fa{li}"].astype(cdtype),
-                                    g.astype(cdtype))
-        scratch[nf + li][...] += jnp.sum(g, axis=0, keepdims=True)
-        if li > 0:
-            g = _dot_t2(g.astype(cdtype), wf[li][...])
-            if li in skip:
-                # layer li consumed concat([h_{li-1}, x]); keep only the
-                # activation block (the posenc x is not differentiated)
-                g = g[:, :acts[f"fz{li-1}"].shape[1]]
-            g = g * (acts[f"fz{li-1}"] > 0)
+        # ---- trunk backward (density col + relu'd feature cols) ----
+        g_dens = g_dens_ref[sl, :].astype(jnp.float32)
+        g_last = jnp.concatenate(
+            [g_dens, g_feat * (acts["fz_last"][:, 1:] > 0)], axis=-1)
+        g = g_last
+        for li in range(nf - 1, -1, -1):
+            scratch[li][...] += _dot_t1(acts[f"fa{li}"].astype(cdtype),
+                                        g.astype(cdtype))
+            scratch[nf + li][...] += jnp.sum(g, axis=0, keepdims=True)
+            if li > 0:
+                g = _dot_t2(g.astype(cdtype), wf[li][...])
+                if li in skip:
+                    # layer li consumed concat([h_{li-1}, x]); keep only
+                    # the activation block (posenc x not differentiated)
+                    g = g[:, :acts[f"fz{li-1}"].shape[1]]
+                g = g * (acts[f"fz{li-1}"] > 0)
 
     @pl.when(i == n_prog - 1)
     def _():
@@ -162,12 +169,12 @@ def _full():
 
 
 def _run_fwd(pts, enc_view, aux3, wf, bf, wr, br, skip, L3, tile, cdtype,
-             interpret):
+             interpret, subtiles=1):
     M = pts.shape[0]
     nf, nr = len(wf), len(wr)
     has_view = enc_view is not None
     kernel = functools.partial(_fwd_kernel, L3, skip, nf, nr, has_view,
-                               cdtype)
+                               cdtype, subtiles)
     enc_in = enc_view if has_view else jnp.zeros((M, 1), pts.dtype)
     in_specs = ([_row_spec(tile, 3),
                  _row_spec(tile, enc_in.shape[1]), _full()]
@@ -187,12 +194,12 @@ def _run_fwd(pts, enc_view, aux3, wf, bf, wr, br, skip, L3, tile, cdtype,
 
 
 def _run_bwd(pts, enc_view, aux3, wf, bf, wr, br, g_rgb, g_dens, skip, L3,
-             tile, cdtype, interpret):
+             tile, cdtype, interpret, subtiles=1):
     M = pts.shape[0]
     nf, nr = len(wf), len(wr)
     has_view = enc_view is not None
     kernel = functools.partial(_bwd_kernel, L3, skip, nf, nr, has_view,
-                               cdtype)
+                               cdtype, subtiles)
     enc_in = enc_view if has_view else jnp.zeros((M, 1), pts.dtype)
     in_specs = ([_row_spec(tile, 3), _row_spec(tile, enc_in.shape[1]),
                  _full(), _row_spec(tile, 3), _row_spec(tile, 1)]
@@ -215,11 +222,13 @@ def _run_bwd(pts, enc_view, aux3, wf, bf, wr, br, g_rgb, g_dens, skip, L3,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_op(skip, L3, tile, cdtype, has_view, interpret):
+def _make_op(skip, L3, tile, cdtype, has_view, interpret, sub_fwd=1,
+             sub_bwd=1):
     def op_impl(trunk, rgb, pts, ray_enc, aux3):
         return _run_fwd(pts, ray_enc if has_view else None, aux3,
                         trunk["w"], trunk["b"], rgb["w"], rgb["b"],
-                        skip, L3, tile, cdtype, interpret)
+                        skip, L3, tile * sub_fwd, cdtype, interpret,
+                        subtiles=sub_fwd)
 
     @jax.custom_vjp
     def op(trunk, rgb, pts, ray_enc, aux3):
@@ -234,7 +243,8 @@ def _make_op(skip, L3, tile, cdtype, has_view, interpret):
         g_rgb, g_dens = g
         outs = _run_bwd(pts, ray_enc if has_view else None, aux3,
                         trunk["w"], trunk["b"], rgb["w"], rgb["b"],
-                        g_rgb, g_dens, skip, L3, tile, cdtype, interpret)
+                        g_rgb, g_dens, skip, L3, tile * sub_bwd, cdtype,
+                        interpret, subtiles=sub_bwd)
         nf, nr = len(trunk["w"]), len(rgb["w"])
         d_trunk = {"w": tuple(outs[:nf]),
                    "b": tuple(o[0] for o in outs[nf:2 * nf])}
@@ -261,6 +271,19 @@ def fused_coarse_field(pts, ray_enc, trunk_params, rgb_params, aux3, skip,
            "b": tuple(lp["b"] for lp in rgb_params)}
     has_view = ray_enc is not None
     enc = ray_enc if has_view else jnp.zeros((pts.shape[0], 1), pts.dtype)
+    # subtile streaming (see fused_st_field): K compute tiles per grid
+    # step.  Default 1: the trunk-training bwd kernel is large and K=2
+    # doubles its unroll — the remote Mosaic compile blew past 25 min
+    # (texture heads-only kernels compile fine at K=2).  Knob kept for
+    # hardware A/Bs.
+    import os
+    sub_fwd = int(os.environ.get("TEXPOSE_COARSE_SUBTILES_FWD", "1"))
+    sub_bwd = int(os.environ.get("TEXPOSE_COARSE_SUBTILES_BWD", "1"))
+    M = pts.shape[0]
+    if M % (int(tile) * sub_fwd):
+        sub_fwd = 1
+    if M % (int(tile) * sub_bwd):
+        sub_bwd = 1
     op = _make_op(tuple(sorted(skip)), int(L3), int(tile), compute_dtype,
-                  bool(has_view), bool(interpret))
+                  bool(has_view), bool(interpret), sub_fwd, sub_bwd)
     return op(trunk, rgb, pts, enc, aux3)

@@ -69,8 +69,9 @@ def main():
 
     def rloss(h):
         out = render(dict(h, mlp_feat=trunk))
-        return (out["rgb"] ** 2).mean() + out["uncert"].mean() \
-            + out["density"][..., -1].mean()
+        tr = (out["trans_density_mean"] if "trans_density_mean" in out
+              else out["density"][..., -1].mean())
+        return (out["rgb"] ** 2).mean() + out["uncert"].mean() + tr
 
     g = jax.jit(jax.grad(rloss))
     print("render grad(heads):", timeit(g, heads), "ms", flush=True)
