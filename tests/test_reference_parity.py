@@ -478,3 +478,62 @@ def test_ray_sampler_parity(ref, rng):
     im_ref = ref_rs.RaySampler.get_image(opt, t(coords), t(image))
     im_ours = get_image(jnp.asarray(coords), jnp.asarray(image))
     np.testing.assert_allclose(np.asarray(im_ours), im_ref.numpy(), atol=1e-5)
+
+
+def test_crop_pipeline_parity(ref, rng):
+    """CDPN crop trio vs reference data/lm.py:411-495 staticmethods on
+    random windows (centered, border-clipped, and corner cases)."""
+    import importlib
+    import cv2
+    if "plyfile" not in sys.modules:
+        # cad_model.py imports plyfile (not installed); the crop statics
+        # under test never touch it
+        stub = types.ModuleType("plyfile")
+        stub.PlyData = object
+        sys.modules["plyfile"] = stub
+    try:
+        lm = importlib.import_module("data.lm")
+    except Exception as e:       # pragma: no cover - env-specific
+        pytest.skip(f"reference data.lm not importable: {e!r}")
+    RefD = lm.Dataset
+    from texpose_tpu.data.crops import (crop_by_pad, get_center_offset,
+                                        preprocess_intrinsics)
+
+    ht, wd, res = 120, 160, 64
+    cases = [np.array([60.0, 80.0]),           # centered
+             np.array([8.0, 80.0]),            # top-clipped
+             np.array([112.0, 152.0]),         # bottom-right-clipped
+             np.array([3.0, 4.0])]             # corner
+    cases += [np.array([rng.uniform(0, ht), rng.uniform(0, wd)])
+              for _ in range(4)]
+    for center in cases:
+        scale = float(rng.uniform(30, 150))
+        img = rng.random((ht, wd, 3)).astype(np.float32)
+        want = RefD.Crop_by_Pad(img, center, scale, res, 3,
+                                cv2.INTER_LINEAR, True)
+        got = crop_by_pad(img, center, scale, res, channel=3)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+        # no-resize variant (used for depth maps)
+        want_nr = RefD.Crop_by_Pad(img, center, scale, res, 3,
+                                   cv2.INTER_LINEAR, False)
+        got_nr = crop_by_pad(img, center, scale, res, channel=3,
+                             resize=False)
+        np.testing.assert_allclose(got_nr, want_nr, atol=1e-6)
+
+        off_ref = RefD.get_center_offset(center, scale, ht, wd)
+        off_got = get_center_offset(center, scale, ht, wd)
+        np.testing.assert_allclose(off_got, off_ref, atol=0)
+
+        K = np.array([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]])
+        resize = res / scale
+        crop_center = center + off_ref
+        want_K = RefD.preprocess_intrinsics(K.copy(), resize,
+                                            crop_center.copy(), res)
+        got_K = preprocess_intrinsics(K, resize, crop_center, res)
+        np.testing.assert_allclose(got_K, want_K, atol=1e-4)
+
+        edge_ref = RefD.get_edge((img[..., 0] > 0.5).astype(np.float32))
+        from texpose_tpu.data.crops import get_edge
+        edge_got = get_edge((img[..., 0] > 0.5).astype(np.float32))
+        np.testing.assert_allclose(edge_got, edge_ref, atol=0)
