@@ -272,12 +272,12 @@ def fused_coarse_field(pts, ray_enc, trunk_params, rgb_params, aux3, skip,
     has_view = ray_enc is not None
     enc = ray_enc if has_view else jnp.zeros((pts.shape[0], 1), pts.dtype)
     # subtile streaming (see fused_st_field): K compute tiles per grid
-    # step.  Default 1: the trunk-training bwd kernel is large and K=2
-    # doubles its unroll — the remote Mosaic compile blew past 25 min
-    # (texture heads-only kernels compile fine at K=2).  Knob kept for
-    # hardware A/Bs.
+    # step.  fwd default 2: measured 9.00→8.89 ms/step on v5e and the
+    # fwd kernel compiles fine.  bwd default 1: the trunk-training bwd
+    # kernel is large and the K=2 unroll blew the remote Mosaic compile
+    # past 25 min.  Env knobs kept for hardware A/Bs.
     import os
-    sub_fwd = int(os.environ.get("TEXPOSE_COARSE_SUBTILES_FWD", "1"))
+    sub_fwd = int(os.environ.get("TEXPOSE_COARSE_SUBTILES_FWD", "2"))
     sub_bwd = int(os.environ.get("TEXPOSE_COARSE_SUBTILES_BWD", "1"))
     M = pts.shape[0]
     if M % (int(tile) * sub_fwd):
