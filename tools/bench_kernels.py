@@ -54,8 +54,10 @@ def main():
     heads = {"mlp_rgb": params["mlp_rgb"], "mlp_trans": params["mlp_trans"]}
 
     import sys as _sys
+    # defaults mirror the production path (nn/fields.apply_nerf_st_raw);
+    # tb=1024 x the default bwd subtiles OOMs scoped VMEM
     tf = int(_sys.argv[1]) if len(_sys.argv) > 1 else 1024
-    tb = int(_sys.argv[2]) if len(_sys.argv) > 2 else 1024
+    tb = int(_sys.argv[2]) if len(_sys.argv) > 2 else 512
 
     def fwd(h, lt_, ll_):
         rgb, dens, trans = fused_st_field(
