@@ -59,21 +59,24 @@ def main():
     tf = int(_sys.argv[1]) if len(_sys.argv) > 1 else 1024
     tb = int(_sys.argv[2]) if len(_sys.argv) > 2 else 512
 
-    def fwd(h, lt_, ll_):
+    # pts/enc MUST be jit arguments: as closed-over constants the compiler
+    # stages them into scoped VMEM wholesale (131072x27 f32 ~ 14M -> OOM)
+    def fwd(h, lt_, ll_, pts_, enc_):
         rgb, dens, trans = fused_st_field(
-            pts, enc, ll_, lt_, params["mlp_feat"], h, aux3, (4,), 10,
+            pts_, enc_, ll_, lt_, params["mlp_feat"], h, aux3, (4,), 10,
             R * N, tile_fwd=tf, tile_bwd=tb)
         return rgb, dens, trans
 
-    jf = jax.jit(lambda h: fwd(h, lt, ll)[0].sum())
-    print("kernel fwd:", timeit(jf, heads), "ms", flush=True)
+    jf = jax.jit(lambda h, p, e: fwd(h, lt, ll, p, e)[0].sum())
+    print("kernel fwd:", timeit(jf, heads, pts, enc), "ms", flush=True)
 
-    def loss(h, lt_, ll_):
-        rgb, dens, trans = fwd(h, lt_, ll_)
+    def loss(h, lt_, ll_, pts_, enc_):
+        rgb, dens, trans = fwd(h, lt_, ll_, pts_, enc_)
         return (rgb ** 2).mean() + (trans ** 2).mean()
 
     jg = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
-    print("kernel fwd+bwd:", timeit(jg, heads, lt, ll), "ms", flush=True)
+    print("kernel fwd+bwd:", timeit(jg, heads, lt, ll, pts, enc), "ms",
+          flush=True)
 
 
 if __name__ == "__main__":
