@@ -27,14 +27,10 @@ A100_REFERENCE_RAYS_PER_SEC = 20480.0
 A100_REFERENCE_VIEWS_PER_SEC = 0.3
 
 
-def eval_views_per_sec(cache, here, reps=5):
-    """480x640 novel-view synthesis throughput (views/s) via the masked
-    bucketed full-frame render (BASELINE.md second headline metric)."""
-    import jax
-    import jax.numpy as jnp
+def _bench_cfg(cache, here, output_sub):
+    """Shared benchmark config bootstrap (both metrics must measure the
+    same model/data envelope)."""
     from texpose_tpu.utils.config import load_yaml, process_options
-    from texpose_tpu.models.texture_gan import TextureGANEngine
-
     cfg = load_yaml(os.path.join(here, "configs", "nerf_lm_adapt_gan.yaml"))
     cfg.yaml = "configs/nerf_lm_adapt_gan.yaml"
     cfg = process_options(cfg)
@@ -42,8 +38,19 @@ def eval_views_per_sec(cache, here, reps=5):
     cfg.data.splits_root = os.path.join(cache, "splits")
     cfg.data.object = "ball"
     cfg.nerf.depth.box_source = "pred_box_init_calib"
-    cfg.output_root = os.path.join(tempfile.gettempdir(),
-                                   "texpose_bench_eval_out")
+    cfg.output_root = os.path.join(tempfile.gettempdir(), output_sub)
+    return cfg
+
+
+def eval_views_per_sec(cache, here, reps=5):
+    """480x640 novel-view synthesis throughput (views/s) via the masked
+    bucketed full-frame render (BASELINE.md second headline metric)."""
+    import jax
+    import jax.numpy as jnp
+    from texpose_tpu.utils.config import process_options
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    cfg = _bench_cfg(cache, here, "texpose_bench_eval_out")
     cfg.syn2real = True
     # official metric is 480x640; the env knob exists for CPU smoke tests
     cfg.data.image_size = json.loads(
@@ -71,13 +78,10 @@ def main():
     import jax
     import jax.numpy as jnp
     from texpose_tpu.data.fixture import generate_fixture
-    from texpose_tpu.utils.config import load_yaml, process_options
+    from texpose_tpu.utils.config import process_options
     from texpose_tpu.models.texture_gan import TextureGANEngine
 
     here = os.path.dirname(os.path.abspath(__file__))
-    cfg = load_yaml(os.path.join(here, "configs", "nerf_lm_adapt_gan.yaml"))
-    cfg.yaml = "configs/nerf_lm_adapt_gan.yaml"
-    cfg = process_options(cfg)
 
     # fixture data at the production crop size (cached across runs)
     cache = os.path.join(tempfile.gettempdir(), "texpose_bench_fixture_v1")
@@ -87,11 +91,7 @@ def main():
         generate_fixture(cache, n_train=16, n_test=1, scene="scene_all",
                          image_scale=1.0, crop_res=128)
         open(marker, "w").close()
-    cfg.data.root = cache
-    cfg.data.splits_root = os.path.join(cache, "splits")
-    cfg.data.object = "ball"
-    cfg.nerf.depth.box_source = "pred_box_init_calib"
-    cfg.output_root = os.path.join(tempfile.gettempdir(), "texpose_bench_out")
+    cfg = _bench_cfg(cache, here, "texpose_bench_out")
     cfg = process_options(cfg)
     cfg.max_iter = 100000
     # perf A/B knob: dispatch fusion depth (gcd-clamped to freq hooks)

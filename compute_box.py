@@ -150,9 +150,14 @@ def main(argv=None):
         else:
             fname = f"{frame:06d}.npz"
         np.savez_compressed(os.path.join(out_dir, fname), data=box)
+        last_vis = (pose, K, box)
     print(f"wrote {len(lines)} box files to {out_dir}")
 
     if opt.vis:
+        if "last_vis" not in locals():
+            print("box QA overlay skipped: no frames processed")
+            return
+        pose, K, box = last_vis
         png = os.path.join(out_dir, "box_vis.png")
         frac = dump_box_vis(png, model, pose, K, box, opt.height, opt.width)
         print(f"box QA overlay → {png} (violation fraction {frac:.2%})")

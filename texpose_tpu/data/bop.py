@@ -26,12 +26,18 @@ def readlines(path):
 def resolve_splits_root(splits_root):
     """Resolve a splits tree: the configured path if it exists, else the
     split assets shipped at the repo root (imported from the reference's
-    splits/lm/** — dataset index files, 13 LineMOD objects x 3 scenes)."""
+    splits/lm/** — dataset index files, 13 LineMOD objects x 3 scenes).
+    An EXPLICITLY configured but missing path is loud: silently training on
+    the shipped lists instead of the user's would be wrong data."""
     if splits_root and os.path.isdir(str(splits_root)):
         return str(splits_root)
     shipped = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), "splits")
+    if splits_root and os.path.isdir(shipped):
+        from ..utils.log import log
+        log.warn(f"data.splits_root={splits_root} does not exist — "
+                 f"falling back to the shipped split assets at {shipped}")
     return shipped if os.path.isdir(shipped) else str(splits_root)
 
 

@@ -198,10 +198,17 @@ def _full():
 
 
 def _fit_rays(tile, rays):
+    """Largest power-of-two ≤ tile that divides rays.  Raises when no
+    divisor ≥ 8 exists — a non-dividing tile would make the grid silently
+    skip the tail rows (uninitialized output)."""
     t = min(tile, rays)
-    while rays % t:
+    while t >= 8 and rays % t:
         t //= 2
-    return max(t, min(rays, 8))
+    if t < 8 or rays % t:
+        raise ValueError(
+            f"fused composite needs B*R divisible by a power of two >= 8; "
+            f"got {rays}")
+    return t
 
 
 def _run_fwd(planes, N, min_uncert, tile_rays, interpret):

@@ -119,6 +119,9 @@ def render_st_core(params, cfg, center, ray, near, far, latent_trans,
     out = composite_static_transient(
         rgb_samples, density_samples, depth_samples, ray, uncert_samples,
         min_uncert=cfg.nerf.get("min_uncert", 0.05))
+    # both branches provide the transient-reg scalar under ONE key so
+    # callers need no fused-vs-plain special case
+    out["trans_density_mean"] = density_samples[..., -1].mean()
     if want_density:
         out["density"] = density_samples
     return out

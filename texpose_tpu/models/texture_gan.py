@@ -255,11 +255,9 @@ class TextureGANEngine(Engine):
             if lw.get("uncert") is not None:
                 loss["uncert"] = uncertainty_reg_loss(out["uncert"])
             if lw.get("trans_reg") is not None:
-                # fused-composite path reduces the transient density
-                # in-kernel (same value as density[...,-1].mean())
-                loss["trans_reg"] = (out["trans_density_mean"]
-                                     if "trans_density_mean" in out
-                                     else out["density"][..., -1].mean())
+                # provided by BOTH composite branches (fused reduces it
+                # in-kernel; plain computes density[...,-1].mean())
+                loss["trans_reg"] = out["trans_density_mean"]
             if lw.get("latent_reg") is not None:
                 # L2 on the per-image latent rows in the batch: keeps the
                 # light/transient embeddings in-distribution so eval-time

@@ -69,9 +69,8 @@ def main():
 
     def rloss(h):
         out = render(dict(h, mlp_feat=trunk))
-        tr = (out["trans_density_mean"] if "trans_density_mean" in out
-              else out["density"][..., -1].mean())
-        return (out["rgb"] ** 2).mean() + out["uncert"].mean() + tr
+        return (out["rgb"] ** 2).mean() + out["uncert"].mean() \
+            + out["trans_density_mean"]
 
     g = jax.jit(jax.grad(rloss))
     print("render grad(heads):", timeit(g, heads), "ms", flush=True)

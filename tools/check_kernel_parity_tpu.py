@@ -90,10 +90,9 @@ def check_st():
         out = render_st_core(p, cfg, center, ray, near, far, lt, ll,
                              jax.random.PRNGKey(0), jnp.asarray(1.0),
                              "train", jnp.bfloat16, want_density=True)
-        tr = (out["trans_density_mean"] if "trans_density_mean" in out
-              else out["density"][..., -1].mean())
         return (out["rgb"] ** 2).mean() + (out["rgb_static"] ** 2).mean() \
-            + (out["uncert"] ** 2).mean() * 0.1 + tr * 1e-3
+            + (out["uncert"] ** 2).mean() * 0.1 \
+            + out["trans_density_mean"] * 1e-3
 
     heads = {k: v for k, v in params.items() if k != "mlp_feat"}
     for fused in (True, False):

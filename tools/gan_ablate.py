@@ -82,7 +82,6 @@ VARIANTS = {
     # vanishes, the driver is noisy-pose misalignment x texture sharpening
     # (an eval-protocol property, not training pathology)
     "gtpose": {"data.pose_source": "gt"},
-    "lab_long": {"lab": 0},
 }
 
 
