@@ -161,3 +161,21 @@ def test_render_st_core_fused_matches_plain(key, monkeypatch):
     flat_o, _ = jax.tree_util.tree_flatten(g_out)
     for a, b in zip(flat_o, flat_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_fused_composite_rejects_nondividing_rays(key):
+    """BR with no power-of-two factor >= 8 must raise (a silently skipped
+    tail would leave uninitialized output rows)."""
+    import pytest
+    from texpose_tpu.kernels.fused_composite import fused_composite_st
+    B, R, N = 65, 4, 8          # BR = 260 > tile; no pow-2 factor >= 8
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    rgb_raw = jax.random.normal(k1, (B * R * N, 3))
+    trans_raw = jax.random.normal(k2, (B * R * N, 5))
+    dens_raw = jax.random.normal(k3, (B * R * N, 1))
+    depth = jnp.linspace(1.0, 2.0, N)[None, None, :, None].repeat(
+        R, 1).repeat(B, 0)
+    ray = jax.random.normal(k4, (B, R, 3))
+    with pytest.raises(ValueError, match="divisible"):
+        fused_composite_st(rgb_raw, trans_raw, dens_raw, depth, ray,
+                           interpret=True)

@@ -131,3 +131,22 @@ def test_compute_surfelinfo_cli(root, tmp_path):
     assert normal.shape == (32, 32, 3)
     lens = np.linalg.norm(normal, axis=-1)
     assert (np.abs(lens[lens > 0.5] - 1) < 1e-3).all()
+
+
+def test_compute_box_vis_empty_split(root, tmp_path):
+    """--vis with an empty split file must not crash (loop-leak guard)."""
+    import compute_box
+    empty = str(tmp_path / "empty.txt")
+    open(empty, "w").write("\n")
+    out = str(tmp_path / "target")
+    compute_box.main([
+        "--data_root", os.path.join(root, "lm"),
+        "--folder", "000001",
+        "--split_file", empty,
+        "--cad_path", os.path.join(root, "lm", "models", "obj_000001.ply"),
+        "--pred_loop", "init_calib",
+        "--height", "120", "--width", "160",
+        "--target_folder", out, "--vis",
+    ])
+    assert not os.path.exists(
+        os.path.join(out, "pred_box_init_calib", "box_vis.png"))
