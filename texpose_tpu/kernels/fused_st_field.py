@@ -373,7 +373,7 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
 
 def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
                    head_params, aux3, skip, L3, rows_per_img,
-                   tile_fwd=1024, tile_bwd=512,
+                   tile_fwd=512, tile_bwd=512,
                    compute_dtype=jnp.bfloat16, interpret=False):
     """Differentiable fused ST-field.
 
@@ -385,11 +385,12 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     computing on tile-row slices (fewer grid steps, same VMEM-width
     intermediates) — perf A/B knobs, default 1.
     """
-    # default 2: measured on v5e (tools/perf_sweep.sh) — fwd 2 tiles/step
-    # 296.6k→300.6k rays/s, +bwd 2 →303.0k (+scan 100: 305.6k); subtile 4
-    # exceeds the 16M scoped-VMEM limit by 4M (compile error)
+    # defaults measured on v5e (tools/perf_sweep.sh + bench_kernels):
+    # fwd tile 512 x 4 subtiles (2048-row stream, narrow compute slices)
+    # beat 1024x2 by ~3% isolated (3.28 vs 3.38 ms); bwd 512x2.  Streaming
+    # more than 2048 rows exceeds the 16M scoped-VMEM limit.
     import os
-    sub_fwd = int(os.environ.get("TEXPOSE_ST_SUBTILES_FWD", "2"))
+    sub_fwd = int(os.environ.get("TEXPOSE_ST_SUBTILES_FWD", "4"))
     sub_bwd = int(os.environ.get("TEXPOSE_ST_SUBTILES_BWD", "2"))
     M = pts.shape[0]
     if M % (int(tile_fwd) * sub_fwd):

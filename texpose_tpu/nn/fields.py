@@ -380,7 +380,7 @@ def _fit_tile(tile, rows):
 
 def apply_nerf_st_raw(params, cfg, points, ray_unit, latent_trans,
                       latent_light, progress=None, compute_dtype=None,
-                      tile_fwd=1024, tile_bwd=512, interpret=False):
+                      tile_fwd=512, tile_bwd=512, interpret=False):
     """Fused-kernel ST field returning RAW head outputs (no activations):
     (rgb_raw [M,3], dens_raw [M,1], trans_raw [M,5]) with M = B·R·N —
     the input contract of kernels/fused_composite.fused_composite_st."""
@@ -406,7 +406,7 @@ def apply_nerf_st_raw(params, cfg, points, ray_unit, latent_trans,
 
 def apply_nerf_st_fused(params, cfg, points, ray_unit, latent_trans,
                         latent_light, progress=None, compute_dtype=None,
-                        tile_fwd=1024, tile_bwd=512, interpret=False):
+                        tile_fwd=512, tile_bwd=512, interpret=False):
     """Fused-kernel ST-field path; same outputs as apply_nerf_st."""
     from .mlp import DENSITY_ACTIVATIONS
     B, R, N, _ = points.shape
