@@ -16,3 +16,19 @@ Layer map (bottom → top):
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS=cpu against site plugins that override it (e.g. the
+# axon TPU plugin's sitecustomize register()): the env var alone can lose
+# the platform race, silently routing "CPU" subprocesses (tests, fleet
+# children) onto the real TPU.  jax.config.update wins if applied before
+# first device use — importing texpose_tpu is always early enough in our
+# CLIs.  No-op when jax is already initialized on the requested platform.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:  # pragma: no cover - already initialized otherwise
+        pass
