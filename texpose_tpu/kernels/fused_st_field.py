@@ -116,7 +116,8 @@ def _heads_forward(feat, ray_enc, pts, light, trans, wr, br, wt, bt, cdtype,
 # ------------------------------------------------------------------ forward
 
 def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
-                pts_ref, enc_ref, aux3_ref, light_ref, trans_ref, *refs):
+                fullblock, pts_ref, enc_ref, aux3_ref, light_ref, trans_ref,
+                *refs):
     wf = refs[:n_trunk]
     bf = refs[n_trunk:2 * n_trunk]
     wr = refs[2 * n_trunk:2 * n_trunk + nr]
@@ -126,6 +127,14 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     rgb_ref, dens_ref, transr_ref, feat_ref = refs[-4:]
 
     S = pts_ref.shape[0] // subtiles
+    if fullblock:
+        # the trunk has no per-image dependence: run its 9 matmuls ONCE on
+        # the whole streamed block (fewer, larger MXU issues); only the
+        # latent-conditioned heads need the per-image subtile loop
+        feat_all, dens_all = _trunk_feat(pts_ref[...], aux3_ref, wf, bf,
+                                         skip, L3, cdtype)
+        dens_ref[...] = dens_all
+        feat_ref[...] = feat_all.astype(feat_ref.dtype)
     for k in range(subtiles):
         sl = slice(k * S, (k + 1) * S)
         # latent tables live whole in VMEM (tiny); slice this tile's row
@@ -133,13 +142,17 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
         light = light_ref[pl.ds(img, 1), :]
         trans = trans_ref[pl.ds(img, 1), :]
         pts = pts_ref[sl, :]
-        feat, dens = _trunk_feat(pts, aux3_ref, wf, bf, skip, L3, cdtype)
+        if fullblock:
+            feat = feat_all[sl, :].astype(jnp.float32)
+        else:
+            feat, dens = _trunk_feat(pts, aux3_ref, wf, bf, skip, L3,
+                                     cdtype)
+            dens_ref[sl, :] = dens
+            feat_ref[sl, :] = feat.astype(feat_ref.dtype)
         rgb_raw, trans_raw = _heads_forward(
             feat, enc_ref[sl, :], pts, light, trans, wr, br, wt, bt, cdtype)
         rgb_ref[sl, :] = rgb_raw
-        dens_ref[sl, :] = dens
         transr_ref[sl, :] = trans_raw
-        feat_ref[sl, :] = feat.astype(feat_ref.dtype)
 
 
 # ----------------------------------------------------------------- backward
@@ -231,7 +244,7 @@ def _full_spec():
 
 def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
              rgb_w, rgb_b, tr_w, tr_b, aux3, skip, L3, tile, rows_per_img,
-             cdtype, interpret, subtiles=1):
+             cdtype, interpret, subtiles=1, fullblock=False):
     # `tile` rows stream per grid step; compute runs on tile/subtiles-row
     # slices (narrow VMEM intermediates, fewer grid steps → less per-step
     # pipeline overhead)
@@ -242,7 +255,7 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     F = trunk_w[-1].shape[1] - 1
     E = ray_enc.shape[1]
     kernel = functools.partial(_fwd_kernel, L3, skip, nr, nt, n_trunk,
-                               tiles_per_img, cdtype, subtiles)
+                               tiles_per_img, cdtype, subtiles, fullblock)
     in_specs = ([_row_spec(tile, 3), _row_spec(tile, E), _full_spec(),
                  _full_spec(), _full_spec()]
                 + [_full_spec()] * (2 * n_trunk + 2 * nr + 2 * nt))
@@ -315,7 +328,7 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
 
 @functools.lru_cache(maxsize=None)
 def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
-             sub_fwd=1, sub_bwd=1):
+             sub_fwd=1, sub_bwd=1, fullblock=False):
     """Build the differentiable fused op for a static config.
 
     Signature: f(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)
@@ -331,7 +344,7 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
                        heads["rgb_w"], heads["rgb_b"],
                        heads["tr_w"], heads["tr_b"],
                        aux3, skip, L3, tile_fwd, rows_per_img, cdtype,
-                       interpret, subtiles=sub_fwd)
+                       interpret, subtiles=sub_fwd, fullblock=fullblock)
         return out
 
     @jax.custom_vjp
@@ -392,6 +405,10 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     import os
     sub_fwd = int(os.environ.get("TEXPOSE_ST_SUBTILES_FWD", "4"))
     sub_bwd = int(os.environ.get("TEXPOSE_ST_SUBTILES_BWD", "2"))
+    # A/B negative on v5e: whole-block trunk (one 2048-row matmul chain)
+    # measured 3.40 vs 3.32 ms for the per-subtile trunk — wider live
+    # intermediates cost more than the saved matmul issues.  Knob kept.
+    fullblock = os.environ.get("TEXPOSE_ST_TRUNK_FULLBLOCK", "0") == "1"
     M = pts.shape[0]
     if M % (int(tile_fwd) * sub_fwd):
         sub_fwd = 1
@@ -405,5 +422,5 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
              "tr_b": tuple(lp["b"] for lp in head_params["mlp_trans"])}
     op = _make_op(tuple(sorted(skip)), int(L3), int(tile_fwd) * sub_fwd,
                   int(tile_bwd) * sub_bwd, int(rows_per_img), compute_dtype,
-                  bool(interpret), sub_fwd, sub_bwd)
+                  bool(interpret), sub_fwd, sub_bwd, fullblock)
     return op(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)
