@@ -29,11 +29,11 @@ A100_REFERENCE_VIEWS_PER_SEC = 0.3
 
 def _bench_cfg(cache, here, output_sub):
     """Shared benchmark config bootstrap (both metrics must measure the
-    same model/data envelope)."""
-    from texpose_tpu.utils.config import load_yaml, process_options
+    same model/data envelope).  Callers run process_options exactly ONCE
+    after applying their overrides."""
+    from texpose_tpu.utils.config import load_yaml
     cfg = load_yaml(os.path.join(here, "configs", "nerf_lm_adapt_gan.yaml"))
     cfg.yaml = "configs/nerf_lm_adapt_gan.yaml"
-    cfg = process_options(cfg)
     cfg.data.root = cache
     cfg.data.splits_root = os.path.join(cache, "splits")
     cfg.data.object = "ball"

@@ -30,5 +30,13 @@ if _os.environ.get("JAX_PLATFORMS") == "cpu":
 
     try:
         _jax.config.update("jax_platforms", "cpu")
-    except Exception:  # pragma: no cover - already initialized otherwise
-        pass
+    except Exception:  # pragma: no cover - backend already initialized
+        # The update can fail only after backend init; verify we actually
+        # ended up on CPU — silently proceeding on TPU re-introduces the
+        # silent-TPU-training / tunnel-wedge hazard this hook prevents.
+        _backend = _jax.default_backend()
+        if _backend != "cpu":
+            raise RuntimeError(
+                f"JAX_PLATFORMS=cpu requested but jax is already "
+                f"initialized on backend {_backend!r}; import texpose_tpu "
+                f"before any jax device use")

@@ -259,7 +259,7 @@ def _make_op(skip, L3, tile, cdtype, has_view, interpret, sub_fwd=1,
 
 def fused_coarse_field(pts, ray_enc, trunk_params, rgb_params, aux3, skip,
                        L3, tile=512, compute_dtype=jnp.bfloat16,
-                       interpret=False):
+                       interpret=False, subtiles_fwd=None, subtiles_bwd=None):
     """Differentiable fused coarse field (trunk trains).
 
     pts [M,3]; ray_enc [M,E] or None (view-independent); returns
@@ -275,10 +275,15 @@ def fused_coarse_field(pts, ray_enc, trunk_params, rgb_params, aux3, skip,
     # step.  fwd default 2: measured 9.00→8.89 ms/step on v5e and the
     # fwd kernel compiles fine.  bwd default 1: the trunk-training bwd
     # kernel is large and the K=2 unroll blew the remote Mosaic compile
-    # past 25 min.  Env knobs kept for hardware A/Bs.
+    # past 25 min.  Callers surface these as cfg.kernels.coarse_subtiles_*;
+    # when None the env knobs apply (hardware A/Bs).
     import os
-    sub_fwd = int(os.environ.get("TEXPOSE_COARSE_SUBTILES_FWD", "2"))
-    sub_bwd = int(os.environ.get("TEXPOSE_COARSE_SUBTILES_BWD", "1"))
+    if subtiles_fwd is None:
+        subtiles_fwd = os.environ.get("TEXPOSE_COARSE_SUBTILES_FWD", "2")
+    if subtiles_bwd is None:
+        subtiles_bwd = os.environ.get("TEXPOSE_COARSE_SUBTILES_BWD", "1")
+    sub_fwd = int(subtiles_fwd)
+    sub_bwd = int(subtiles_bwd)
     M = pts.shape[0]
     if M % (int(tile) * sub_fwd):
         sub_fwd = 1

@@ -250,6 +250,12 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     # pipeline overhead)
     sub = tile // subtiles
     tiles_per_img = rows_per_img // sub
+    if rows_per_img % sub or tiles_per_img <= 0:
+        raise ValueError(
+            f"fused_st fwd: rows_per_img={rows_per_img} must be a positive "
+            f"multiple of the compute subtile {sub} (tile={tile}, "
+            f"subtiles={subtiles}) — per-image latent indexing would be "
+            f"silently wrong otherwise")
     M = pts.shape[0]
     n_trunk, nr, nt = len(trunk_w), len(rgb_w), len(tr_w)
     F = trunk_w[-1].shape[1] - 1
@@ -291,6 +297,12 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
              interpret, subtiles=1):
     sub = tile // subtiles
     tiles_per_img = rows_per_img // sub
+    if rows_per_img % sub or tiles_per_img <= 0:
+        raise ValueError(
+            f"fused_st bwd: rows_per_img={rows_per_img} must be a positive "
+            f"multiple of the compute subtile {sub} (tile={tile}, "
+            f"subtiles={subtiles}) — per-image latent grads would be "
+            f"silently wrong otherwise")
     M = pts.shape[0]
     B = light_rows.shape[0]
     nr, nt = len(rgb_w), len(tr_w)
@@ -387,28 +399,36 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
 def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
                    head_params, aux3, skip, L3, rows_per_img,
                    tile_fwd=512, tile_bwd=512,
-                   compute_dtype=jnp.bfloat16, interpret=False):
+                   compute_dtype=jnp.bfloat16, interpret=False,
+                   subtiles_fwd=None, subtiles_bwd=None, fullblock=None):
     """Differentiable fused ST-field.
 
     pts [M,3], ray_enc [M,E] (pre-encoded, c2f applied), light_rows [B,Dl],
     trans_rows [B,Dt]; rows_per_img = R·N (must divide by both tiles).
     Returns (rgb_raw [M,3], density_raw [M,1], trans_raw [M,5]).
 
-    TEXPOSE_ST_SUBTILES_{FWD,BWD}: stream tile*sub rows per grid step while
-    computing on tile-row slices (fewer grid steps, same VMEM-width
-    intermediates) — perf A/B knobs, default 1.
+    subtiles_{fwd,bwd}: stream tile*sub rows per grid step while computing
+    on tile-row slices (fewer grid steps, same VMEM-width intermediates).
+    Callers surface these as cfg.kernels.st_subtiles_{fwd,bwd}; when None
+    the env knobs TEXPOSE_ST_SUBTILES_{FWD,BWD} apply (perf A/Bs).
     """
     # defaults measured on v5e (tools/perf_sweep.sh + bench_kernels):
     # fwd tile 512 x 4 subtiles (2048-row stream, narrow compute slices)
     # beat 1024x2 by ~3% isolated (3.28 vs 3.38 ms); bwd 512x2.  Streaming
     # more than 2048 rows exceeds the 16M scoped-VMEM limit.
     import os
-    sub_fwd = int(os.environ.get("TEXPOSE_ST_SUBTILES_FWD", "4"))
-    sub_bwd = int(os.environ.get("TEXPOSE_ST_SUBTILES_BWD", "2"))
+    if subtiles_fwd is None:
+        subtiles_fwd = os.environ.get("TEXPOSE_ST_SUBTILES_FWD", "4")
+    if subtiles_bwd is None:
+        subtiles_bwd = os.environ.get("TEXPOSE_ST_SUBTILES_BWD", "2")
+    sub_fwd = int(subtiles_fwd)
+    sub_bwd = int(subtiles_bwd)
     # A/B negative on v5e: whole-block trunk (one 2048-row matmul chain)
     # measured 3.40 vs 3.32 ms for the per-subtile trunk — wider live
     # intermediates cost more than the saved matmul issues.  Knob kept.
-    fullblock = os.environ.get("TEXPOSE_ST_TRUNK_FULLBLOCK", "0") == "1"
+    if fullblock is None:
+        fullblock = os.environ.get("TEXPOSE_ST_TRUNK_FULLBLOCK", "0") == "1"
+    fullblock = bool(fullblock)
     M = pts.shape[0]
     if M % (int(tile_fwd) * sub_fwd):
         sub_fwd = 1

@@ -236,10 +236,13 @@ def apply_nerf_fused(params, cfg, points, ray_unit=None, progress=None,
         enc = None
     aux3 = jnp.stack([_freq(L3, pts.dtype),
                       _c2f_band_weights(cfg, L3, progress).astype(pts.dtype)])
+    kcfg = cfg.get("kernels", {})
     rgb_raw, dens_raw = fused_coarse_field(
         pts, enc, params["mlp_feat"], params["mlp_rgb"], aux3,
         tuple(cfg.arch.skip), L3, tile=_fit_tile(tile, pts.shape[0]),
-        compute_dtype=compute_dtype or jnp.bfloat16, interpret=interpret)
+        compute_dtype=compute_dtype or jnp.bfloat16, interpret=interpret,
+        subtiles_fwd=kcfg.get("coarse_subtiles_fwd"),
+        subtiles_bwd=kcfg.get("coarse_subtiles_bwd"))
     rgb = jax.nn.sigmoid(rgb_raw).reshape(*shape, 3)
     density = DENSITY_ACTIVATIONS[cfg.arch.density_activ](
         dens_raw[:, 0]).reshape(shape)
@@ -396,12 +399,16 @@ def apply_nerf_st_raw(params, cfg, points, ray_unit, latent_trans,
     aux3 = jnp.stack([_freq(L3, pts.dtype),
                       _c2f_band_weights(cfg, L3, progress).astype(pts.dtype)])
     heads = {"mlp_rgb": params["mlp_rgb"], "mlp_trans": params["mlp_trans"]}
+    kcfg = cfg.get("kernels", {})
     return fused_st_field(
         pts, ray_enc, latent_light, latent_trans, params["mlp_feat"], heads,
         aux3, tuple(cfg.arch.skip), L3, R * N,
         tile_fwd=_fit_tile(tile_fwd, R * N), tile_bwd=_fit_tile(tile_bwd,
                                                                 R * N),
-        compute_dtype=compute_dtype or jnp.bfloat16, interpret=interpret)
+        compute_dtype=compute_dtype or jnp.bfloat16, interpret=interpret,
+        subtiles_fwd=kcfg.get("st_subtiles_fwd"),
+        subtiles_bwd=kcfg.get("st_subtiles_bwd"),
+        fullblock=kcfg.get("st_trunk_fullblock"))
 
 
 def apply_nerf_st_fused(params, cfg, points, ray_unit, latent_trans,

@@ -165,10 +165,15 @@ def run_variant(cache, name, overrides, iters, eval_at):
             eva = eng.evaluate_full()
             eng.cfg.render.light = prev
             ev["psnr_anchor"], ev["ssim_anchor"] = eva["psnr"], eva["ssim"]
+            # a mark fires at the first dispatch boundary >= the nominal
+            # step; record the REAL step count so horizons aren't
+            # mislabeled when scan_k doesn't divide the mark
+            ev["step_actual"] = done
             results.append((marks[mi], ev))
             cur = {k: round(float(np.asarray(v)), 4)
                    for k, v in sorted(loss.items())}
-            print(f"  [{name}] @{marks[mi]:6d}: psnr={ev['psnr']:.2f} "
+            print(f"  [{name}] @{marks[mi]:6d} (real {done}): "
+                  f"psnr={ev['psnr']:.2f} "
                   f"ssim={ev['ssim']:.3f} ref-anchor {eva['psnr']:.2f}/"
                   f"{eva['ssim']:.3f} ({done/(time.time()-t0):.0f} it/s) "
                   f"loss={cur}", flush=True)
