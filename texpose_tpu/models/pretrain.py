@@ -59,14 +59,12 @@ class PretrainEngine(Engine):
 
     def setup_optimizer(self):
         cfg = self.cfg
-        lr = cfg.optim.lr
-        lr_end = cfg.optim.get("lr_end")
-        if lr_end:
-            sched = optax.exponential_decay(
-                lr, transition_steps=self.max_iter(), decay_rate=lr_end / lr)
-        else:
-            sched = lr
-        self.optimizer = optax.adam(sched)
+        # torch-oracled construction (models/optim.py): per-iteration
+        # ExponentialLR with the yaml's literal gamma when given (reference
+        # model/nerf_pretrain.py:70-72,94 — lr decays by gamma^max_iter,
+        # NOT to lr_end), else the env variant's (lr_end/lr)^(1/max_iter)
+        from .optim import make_pretrain_optimizer
+        self.optimizer = make_pretrain_optimizer(cfg, self.max_iter())
         self.state["opt_state"] = self.optimizer.init(self.state["params"])
         self.state["key"] = jax.random.PRNGKey(self.cfg.get("seed", 0))
         self.state["it"] = jnp.asarray(0, jnp.int32)
@@ -186,12 +184,23 @@ class PretrainEngine(Engine):
     # ------------------------------------------------------------ validation
 
     def _render_frame(self, params, frame, progress=None):
-        """Full-frame render of a single [1,...] batch slice → [1,HW,C] dict."""
+        """Full-frame render of a single [1,...] batch slice → [1,HW,C] dict.
+
+        With cfg.mesh active the H·W ray axis shard_maps over the device
+        mesh (parallel/mesh.py render_full_nerf_sharded — SURVEY §2c
+        "sequence"=rays); single-chip otherwise."""
         if not hasattr(self, "_render_jit"):
             cfg = self.cfg
+            mesh = self.mesh
 
             @jax.jit
             def fn(params, pose, intr, z_near, z_far, progress):
+                if mesh is not None:
+                    from ..parallel import render_full_nerf_sharded
+                    return render_full_nerf_sharded(
+                        mesh, params, cfg, pose, intr, z_near, z_far,
+                        jax.random.PRNGKey(0), progress=progress,
+                        compute_dtype=_compute_dtype(cfg))
                 return render_full_nerf(
                     params, cfg, pose, intr, z_near, z_far,
                     jax.random.PRNGKey(0),
@@ -210,7 +219,7 @@ class PretrainEngine(Engine):
         progress = it / self.max_iter() if cfg.get("c2f") is not None else 1.0
         losses = []
         for i in range(n):
-            frame = self._frame(self.eval_batch, i)
+            frame = self.eval_frame(i)
             out = self._render_frame(self.state["params"]["nerf"], frame,
                                      progress)
             loss = self.compute_loss(cfg, out, frame)
@@ -230,7 +239,7 @@ class PretrainEngine(Engine):
         PNGs + optional TB here)."""
         from ..utils import vis
         cfg = self.cfg
-        frame = self._frame(self.eval_batch, 0)
+        frame = self.eval_frame(0)
         progress = it / self.max_iter() if cfg.get("c2f") is not None else 1.0
         out = self._render_frame(self.state["params"]["nerf"], frame,
                                  progress)
@@ -268,7 +277,7 @@ class PretrainEngine(Engine):
         os.makedirs(op_dir, exist_ok=True)
         rows = []
         for i in range(len(self.eval_data)):
-            frame = self._frame(self.eval_batch, i)
+            frame = self.eval_frame(i)
             out = self._render_frame(self.state["params"]["nerf"], frame)
             rgb = np.asarray(out["rgb"]).reshape(cfg.H, cfg.W, 3)
             opac = np.asarray(out["opacity"]).reshape(cfg.H, cfg.W)
@@ -302,7 +311,7 @@ class PretrainEngine(Engine):
         cfg = self.cfg
         novel_path = os.path.join(cfg.output_path, "novel_view")
         os.makedirs(novel_path, exist_ok=True)
-        frame = self._frame(self.eval_batch, 0)
+        frame = self.eval_frame(0)
         pose_novel = np.asarray(get_novel_view_poses(
             jnp.asarray(frame["pose"][0]), N=N,
             scale=cfg.nerf.depth.scale * 0.03, motion="gentle"))

@@ -156,6 +156,13 @@ class TextureGANEngine(Engine):
                 log.warn("no vgg_weights provided — perceptual loss uses "
                          "random (fixed) features")
         self.state = dict(params=params, latents=latents, sn_state=sn_state)
+        if cfg.render.get("latent_ema"):
+            # EMA shadow of the latent tables, read by the eval protocols:
+            # mitigates the slow per-image latent drift behind the
+            # long-horizon PSNR decline (CLAUDE.md ablations) without
+            # touching training dynamics
+            self.state["latents_ema"] = jax.tree_util.tree_map(
+                jnp.array, latents)
         return self.state
 
     def max_iter(self):
@@ -168,17 +175,11 @@ class TextureGANEngine(Engine):
         cfg = self.cfg
         max_iter = self.max_iter()
         steps_per_epoch = max(len(self.train_data) // cfg.batch_size, 1)
-        lr, lr_end = cfg.optim.lr, cfg.optim.get("lr_end")
-        if lr_end:
-            # reference: ExponentialLR stepped per-epoch with
-            # gamma=(lr_end/lr)^(1/max_epoch) (:72-82) → staircase decay
-            n_epochs = max(max_iter // steps_per_epoch, 1)
-            sched = optax.exponential_decay(
-                lr, transition_steps=steps_per_epoch,
-                decay_rate=(lr_end / lr) ** (1.0 / n_epochs), staircase=True)
-        else:
-            sched = lr
-        self.opt_nerf = optax.adam(sched)
+        # torch-oracled construction (models/optim.py;
+        # tests/test_optim_parity.py)
+        from .optim import make_generator_optimizer, make_disc_optimizer
+        self.opt_nerf = make_generator_optimizer(cfg, max_iter,
+                                                 steps_per_epoch)
         # only the heads + latents train — the trunk is frozen (reference
         # freezes via requires_grad=False + no_grad; here it is excluded
         # from BOTH the grad computation and the optimizer, so its vjp is
@@ -187,20 +188,8 @@ class TextureGANEngine(Engine):
                       "latents": self.state["latents"]}
         self.state["opt_nerf"] = self.opt_nerf.init(gen_params)
         if cfg.get("gan") is not None:
-            # torch RMSprop defaults: alpha=0.99, eps=1e-8.  The reference
-            # keeps the D lr constant; optim_disc.lr_end optionally gives D
-            # the same staircase decay as G (keeps the D/G lr ratio fixed
-            # over long horizons).
-            dlr, dlr_end = cfg.optim_disc.lr, cfg.optim_disc.get("lr_end")
-            if dlr_end:
-                n_epochs = max(max_iter // steps_per_epoch, 1)
-                dsched = optax.exponential_decay(
-                    dlr, transition_steps=steps_per_epoch,
-                    decay_rate=(dlr_end / dlr) ** (1.0 / n_epochs),
-                    staircase=True)
-            else:
-                dsched = dlr
-            self.opt_disc = optax.rmsprop(dsched, decay=0.99, eps=1e-8)
+            self.opt_disc = make_disc_optimizer(cfg, max_iter,
+                                                steps_per_epoch)
             self.state["opt_disc"] = self.opt_disc.init(
                 self.state["params"]["disc"])
         self.state["key"] = jax.random.PRNGKey(cfg.get("seed", 0))
@@ -386,6 +375,11 @@ class TextureGANEngine(Engine):
                                                  mlp_feat=trunk))
             new_state["latents"] = gen_params["latents"]
             new_state["opt_nerf"] = opt_nerf
+            ema_d = cfg.render.get("latent_ema")
+            if ema_d:
+                new_state["latents_ema"] = jax.tree_util.tree_map(
+                    lambda e, l: ema_d * e + (1.0 - ema_d) * l,
+                    state["latents_ema"], gen_params["latents"])
 
             # ---- discriminator step (reuses the pre-update render) ----
             dloss = {}
@@ -437,6 +431,12 @@ class TextureGANEngine(Engine):
         rng = rng or np.random.default_rng(0)
         return int(cand[rng.integers(len(cand))])
 
+    def _eval_latents_table(self):
+        """Latent tables read by the eval protocols: the EMA shadow when
+        cfg.render.latent_ema is active (long-horizon drift mitigation),
+        else the live training tables (reference behavior)."""
+        return self.state.get("latents_ema") or self.state["latents"]
+
     def _topk_latents(self, pose, k=None):
         """Mean of the top-k nearest-pose latents.  Robust extension of the
         reference's random-pick-among-top-k (:487-502): measured on the
@@ -448,8 +448,9 @@ class TextureGANEngine(Engine):
             jnp.asarray(pose[None, :, :3]),
             jnp.asarray(self.pose_anchor[:, :, :3])))
         cand = np.argsort(rd)[:k]
-        ll = self.state["latents"]["light"][cand].mean(axis=0, keepdims=True)
-        lt = self.state["latents"]["trans"][cand].mean(axis=0, keepdims=True)
+        tab = self._eval_latents_table()
+        ll = tab["light"][cand].mean(axis=0, keepdims=True)
+        lt = tab["trans"][cand].mean(axis=0, keepdims=True)
         return lt, ll
 
     def _render_frame_st(self, frame, latent_trans, latent_light,
@@ -459,6 +460,12 @@ class TextureGANEngine(Engine):
         the rest — the reference's mask-prior acceleration
         (model/nerf_adapt_st_gan.py:652-679) made jit-static."""
         cfg = self.cfg
+        if self.mesh is not None:
+            # cfg.mesh active → ray-axis shard_map over the device mesh
+            # (SURVEY §2c "sequence"=rays; parallel/mesh.py); every chip
+            # renders an H·W shard of the frame
+            return self._render_frame_st_sharded(frame, latent_trans,
+                                                 latent_light, masked)
         obj = np.asarray(frame["obj_mask"]).reshape(-1)
         coverage = float((obj > 0).mean())
         chunk = int(cfg.nerf.rand_rays)
@@ -500,6 +507,31 @@ class TextureGANEngine(Engine):
                                 frame["z_far"], latent_trans, latent_light,
                                 obj_mask)
 
+    def _render_frame_st_sharded(self, frame, latent_trans, latent_light,
+                                 masked=True):
+        """Multi-chip full-frame render: rays shard over the mesh, outputs
+        assemble via the shard_map out_spec (the lazy all_gather); the
+        reference's mask-fill defaults apply afterwards, matching the
+        single-chip path (tested for equality in tests/test_parallel.py)."""
+        cfg = self.cfg
+        if not hasattr(self, "_render_jit_sharded"):
+            from ..parallel import render_full_nerf_st_sharded
+            mesh = self.mesh
+
+            @jax.jit
+            def fn(params, pose, intr, z_near, z_far, lt, ll, obj_mask):
+                return render_full_nerf_st_sharded(
+                    mesh, params, cfg, pose, intr, z_near, z_far, lt, ll,
+                    jax.random.PRNGKey(0), progress=jnp.asarray(1.0),
+                    compute_dtype=_compute_dtype(cfg), obj_mask=obj_mask)
+            self._render_jit_sharded = fn
+        obj_mask = (frame["obj_mask"].reshape(1, -1) > 0).astype(jnp.float32) \
+            if masked else jnp.ones((1, cfg.H * cfg.W), jnp.float32)
+        return self._render_jit_sharded(
+            self.state["params"]["nerf"], frame["pose"], frame["intr"],
+            frame["z_near"], frame["z_far"], latent_trans, latent_light,
+            obj_mask)
+
     def _frame(self, batch, i):
         return {k: v[i:i + 1] for k, v in batch.items()}
 
@@ -513,7 +545,7 @@ class TextureGANEngine(Engine):
         ll = self.state["latents"]["light"][0:1]
         rows = []
         for i in range(n):
-            frame = self._frame(self.eval_batch, i)
+            frame = self.eval_frame(i)
             out = self._render_frame_st(frame, lt, ll)
             mask = (frame["obj_mask"] > 0).astype(jnp.float32).reshape(1, -1, 1)
             image = frame["image"].reshape(1, 3, -1).transpose(0, 2, 1)
@@ -538,7 +570,7 @@ class TextureGANEngine(Engine):
         (reference model/nerf_adapt_st_gan.py:250-311 TB images)."""
         from ..utils import vis
         cfg = self.cfg
-        frame = self._frame(self.eval_batch, 0)
+        frame = self.eval_frame(0)
         lt = self.state["latents"]["trans"][0:1]
         ll = self.state["latents"]["light"][0:1]
         out = self._render_frame_st(frame, lt, ll)
@@ -582,22 +614,21 @@ class TextureGANEngine(Engine):
         raw_hw = getattr(self.eval_data, "raw_hw", None)
         light_mode = cfg.render.get("light", "anchor")
         for i in range(len(self.eval_data)):
-            frame = self._frame(self.eval_batch, i)
+            frame = self.eval_frame(i)
             pose_gt = np.asarray(frame["pose"])[0]
+            tab = self._eval_latents_table()
             if light_mode == "mean":
                 # mean train latent: robust when per-image lighting varies
                 # (pose-proximity anchor selection picks an arbitrary
                 # lighting); reference behavior is "anchor" (:487-502)
-                ll = self.state["latents"]["light"].mean(axis=0,
-                                                         keepdims=True)
-                lt = self.state["latents"]["trans"].mean(axis=0,
-                                                         keepdims=True)
+                ll = tab["light"].mean(axis=0, keepdims=True)
+                lt = tab["trans"].mean(axis=0, keepdims=True)
             elif light_mode == "topk_mean":
                 lt, ll = self._topk_latents(pose_gt)
             else:
                 li = self._select_light_latent(pose_gt, rng=rng)
-                ll = self.state["latents"]["light"][li:li + 1]
-                lt = self.state["latents"]["trans"][li:li + 1]
+                ll = tab["light"][li:li + 1]
+                lt = tab["trans"][li:li + 1]
             if cfg.render.transient == "zero":
                 lt = jnp.zeros((1, cfg.nerf.N_latent_trans))
             out = self._render_frame_st(frame, lt, ll)
