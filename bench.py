@@ -20,6 +20,8 @@ import tempfile
 import numpy as np
 
 A100_REFERENCE_RAYS_PER_SEC = 20480.0
+# v5e-1 peak bf16 throughput — the roofline every reading is audited against
+V5E_PEAK_BF16_TFLOPS = 197.0
 # Estimated reference full-frame eval throughput on A100: ~150 sequential
 # 2048-ray chunk renders per 480x640 frame (SURVEY.md §3 hot loop #4) at
 # ~10 it/s ≈ 0.07 views/s; only the masked object subset renders, so ~0.3
@@ -42,6 +44,42 @@ def _bench_cfg(cache, here, output_sub):
     return cfg
 
 
+def field_flops_per_step(cfg):
+    """Analytic matmul-FLOP lower bound of one texture train step: the ST
+    field fwd + head bwd over M = batch·patch²·samples rows.  Trunk is
+    frozen (fwd only); the fused bwd recomputes the heads and forms dW/dX
+    (≈3× head fwd).  Composite / discriminator / VGG convs are excluded —
+    the bound is what the MFU column audits against, so under-counting is
+    the safe direction.
+    """
+    L3 = int(cfg.arch.posenc.L_3D)
+    Lv = int(cfg.arch.posenc.L_view)
+    in3, inv = 6 * L3 + 3, 6 * Lv + 3
+    skip = set(cfg.arch.skip)
+
+    def dims(spec, d_in):
+        # mirrors nn/fields.py init logic: skip layers concat the posenc
+        ds, prev = [], d_in
+        for li, d in enumerate(spec[1:]):
+            d_prev = prev + (in3 if li in skip else 0)
+            ds.append((d_prev, d))
+            prev = d
+        return ds
+
+    feat = dims(list(cfg.arch.layers_feat), in3)
+    F = feat[-1][1]        # trunk feature width (the density col is +1 on
+    #                        the last layer — ~2·in extra flops, ignored)
+    rgb_in = F + inv + 3 + int(cfg.nerf.N_latent_light)
+    rgb = dims(list(cfg.arch.layers_rgb), rgb_in)
+    trans = dims(list(cfg.arch.layers_trans),
+                 F + int(cfg.nerf.N_latent_trans))
+    t = sum(2 * a * b for a, b in feat)
+    h = sum(2 * a * b for a, b in rgb) + sum(2 * a * b for a, b in trans)
+    M = int(cfg.batch_size) * int(cfg.patch_size) ** 2 \
+        * int(cfg.nerf.sample_intvs)
+    return M * (t + h + 3 * h)               # fwd + (recompute+dW+dX) bwd
+
+
 def eval_views_per_sec(cache, here, reps=5):
     """480x640 novel-view synthesis throughput (views/s) via the masked
     bucketed full-frame render (BASELINE.md second headline metric)."""
@@ -62,7 +100,7 @@ def eval_views_per_sec(cache, here, reps=5):
     eng.load_dataset(eval_split="test", prefetch_train=False)
     eng.build_networks()
     eng.setup_optimizer()
-    frame = eng._frame(eng.eval_batch, 0)
+    frame = eng.eval_frame(0)
     lt = jnp.zeros((1, cfg.nerf.N_latent_trans))
     ll = eng.state["latents"]["light"][0:1]
     out = eng._render_frame_st(frame, lt, ll, masked=True)   # compile
@@ -112,25 +150,48 @@ def main():
         eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
     jax.block_until_ready(loss["all"])
 
-    # best-of-chunks timing: the TPU tunnel adds sporadic latency spikes;
-    # the fastest sustained chunk is the honest steady-state figure
+    # chunked timing with a blocking read per chunk; the TPU tunnel adds
+    # sporadic latency spikes, so record the full chunk distribution and
+    # make the MEDIAN the headline (min kept as the best-case figure)
     n_steps = int(os.environ.get("BENCH_STEPS", "100"))
     n_chunks = 5
     per_chunk = max(n_steps // n_chunks, 1)
-    best = float("inf")
+    chunk_times = []
     for _ in range(n_chunks):
         t0 = time.perf_counter()
         for _ in range(per_chunk):
             eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
         jax.block_until_ready(loss["all"])
-        best = min(best, (time.perf_counter() - t0) / per_chunk)
+        chunk_times.append((time.perf_counter() - t0) / per_chunk)
+    median = float(np.median(chunk_times))
+    best = float(np.min(chunk_times))
 
-    rays_per_sec = rays_per_step * scan_k / best
+    # self-audit: an analytic FLOP lower bound caps any physically possible
+    # reading (CLAUDE.md measurement warning — unscanned timings through
+    # the tunnel have reported >500 TFLOPs); a reading above the roofline
+    # is a measurement bug, never a result
+    flops_step = field_flops_per_step(cfg) * scan_k
+    backend = jax.default_backend()
+    mfu = {}
+    if backend == "tpu":
+        for name, t in (("mfu_pct", median), ("mfu_pct_min", best)):
+            mfu[name] = round(
+                100 * flops_step / t / (V5E_PEAK_BF16_TFLOPS * 1e12), 2)
+        if mfu["mfu_pct_min"] > 100:
+            raise RuntimeError(
+                f"physically impossible reading: min chunk implies "
+                f"{mfu['mfu_pct_min']:.0f}% of the {V5E_PEAK_BF16_TFLOPS} "
+                f"TFLOPs bf16 roofline — timing did not block on the "
+                f"dispatch chain")
+
+    rays_per_sec = rays_per_step * scan_k / median
     result = {
         "metric": "texture_train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / A100_REFERENCE_RAYS_PER_SEC, 3),
+        "value_min_chunk": round(rays_per_step * scan_k / best, 1),
+        **mfu,
     }
 
     # secondary headline metric (BASELINE.md): 480x640 novel-view synthesis

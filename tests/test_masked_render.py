@@ -32,7 +32,7 @@ def engine(tmp_path_factory):
 def test_masked_equals_full_on_object(engine):
     eng = engine
     cfg = eng.cfg
-    frame = eng._frame(eng.eval_batch, 0)
+    frame = eng.eval_frame(0)
     lt = jnp.zeros((1, cfg.nerf.N_latent_trans))
     ll = eng.state["latents"]["light"][0:1]
     full = eng._render_frame_st(frame, lt, ll, masked=False)

@@ -1,0 +1,94 @@
+"""Streaming evaluation: device memory stays O(1 frame) for any split size
+(VERDICT r2 item 2).
+
+The reference evaluates through a batch-1 DataLoader
+(/root/reference/data/base.py:33-41).  Round 2 instead device_put the WHOLE
+eval split, which would OOM at the reference envelope: the 1869-frame Duck
+syn2real test split at 480×640 (README.md:49-64) is ~7.4 MB/frame ≈ 13.8 GB
+on a 16 GB v5e.  Engine.eval_frame now streams one frame at a time with a
+size-1 device cache; this test drives a 32-frame 480×640 split through
+evaluate_full and asserts the device-resident footprint stays frame-sized.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from texpose_tpu.data.fixture import generate_fixture
+from test_texture_gan_e2e import tiny_gan_cfg
+
+N_TEST = 32
+EVAL_H, EVAL_W = 480, 640
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    # raw frames stay small (120×160) for generation speed; the syn2real
+    # dataset's resize path upsamples to the full 480×640 eval envelope
+    return generate_fixture(str(tmp_path_factory.mktemp("bop")),
+                            n_train=4, n_test=N_TEST, scene="scene_all",
+                            image_scale=0.25, crop_res=32)
+
+
+def _live_bytes(exclude_ids):
+    import jax
+    return sum(a.size * a.dtype.itemsize for a in jax.live_arrays()
+               if id(a) not in exclude_ids)
+
+
+def test_evaluate_full_streams_32_frames_480x640(root, tmp_path):
+    import jax
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    cfg = tiny_gan_cfg(root, tmp_path)
+    cfg.syn2real = True
+    cfg.data.image_size = [EVAL_H, EVAL_W]
+    cfg.data.raw_size = [120, 160]
+    cfg.H, cfg.W = EVAL_H, EVAL_W
+    cfg.nerf.sample_intvs = 4            # keep the CPU render cheap
+    cfg.nerf.rand_rays = 4096
+
+    baseline = {id(a) for a in jax.live_arrays()}
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset(eval_split="test", prefetch_train=False)
+    assert len(eng.eval_data) == N_TEST
+    assert not hasattr(eng, "eval_batch")     # the r2 whole-split attr
+    eng.build_networks()
+    eng.setup_optimizer()
+
+    res = eng.evaluate_full()
+    assert np.isfinite(res["psnr"]) and np.isfinite(res["ssim"])
+    out_dir = os.path.join(cfg.output_path, "test_view_last")
+    assert len(os.listdir(out_dir)) == N_TEST
+
+    # frame budget: image 3HW + z_near/z_far 2HW + mask HW (+pose/intr) f32
+    frame_bytes = 6 * EVAL_H * EVAL_W * 4
+    split_bytes = N_TEST * frame_bytes        # what r2 would have held
+    live = _live_bytes(baseline)
+    # params + VGG + a handful of frame-sized render buffers fit in a few
+    # frames' worth; the whole-split prefetch (~236 MB) cannot
+    assert live < split_bytes // 3, (
+        f"device footprint {live/1e6:.1f} MB suggests whole-split "
+        f"prefetch (split={split_bytes/1e6:.1f} MB)")
+
+
+def test_eval_frame_cache_reuses_device_copy(root, tmp_path):
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    cfg = tiny_gan_cfg(root, tmp_path)
+    cfg.name = "cache_test"
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset(eval_split="test", prefetch_train=False)
+    f0 = eng.eval_frame(0)
+    assert eng.eval_frame(0) is f0            # size-1 cache hit
+    f1 = eng.eval_frame(1)
+    assert f1 is not f0
+    assert int(np.asarray(f1["idx"])[0]) == 1
+    f0b = eng.eval_frame(0)                   # slot was replaced
+    assert f0b is not f0
+    np.testing.assert_array_equal(np.asarray(f0b["image"]),
+                                  np.asarray(f0["image"]))

@@ -42,7 +42,7 @@ def main():
     eng.load_dataset(eval_split="test", prefetch_train=False)
     eng.build_networks()
     eng.setup_optimizer()
-    frame = eng._frame(eng.eval_batch, 0)
+    frame = eng.eval_frame(0)
     lt = jnp.zeros((1, cfg.nerf.N_latent_trans))
     ll = eng.state["latents"]["light"][0:1]
     cov = float((np.asarray(frame["obj_mask"]) > 0).mean())
