@@ -188,3 +188,50 @@ def test_dp_step_matches_single_device(engine_kind, tmp_path, tmp_path_factory):
             assert np.isfinite(b[k])
             np.testing.assert_allclose(a[k], b[k], rtol=3e-3, atol=1e-5,
                                        err_msg=k)
+
+
+def test_engine_full_render_routes_through_mesh(tmp_path, tmp_path_factory):
+    """With cfg.mesh active, the texture engine's full-frame render — the
+    surface validate/evaluate_full hit — routes through parallel/mesh.py's
+    shard_map path and matches the single-chip (masked bucketed) render
+    (VERDICT r2 item 5: sharded renderers must not be dead code)."""
+    from texpose_tpu.data.fixture import generate_fixture
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_texture_gan_e2e import tiny_gan_cfg
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+    root = generate_fixture(str(tmp_path_factory.mktemp("bop")),
+                            n_train=4, n_test=1, scene="scene_all",
+                            image_scale=0.25, crop_res=32)
+
+    def build(dp, sub):
+        cfg = tiny_gan_cfg(root, tmp_path / sub)
+        cfg.batch_size = 8                 # DP train step needs 8 | B
+        cfg.mesh = {"dp": dp, "n_devices": None}
+        eng = TextureGANEngine(cfg)
+        eng.load_dataset()
+        eng.build_networks()
+        eng.setup_optimizer()
+        return eng
+
+    e_single = build(False, "single")
+    e_mesh = build(True, "mesh")
+    assert e_mesh.mesh is not None and e_single.mesh is None
+
+    lt = e_single.state["latents"]["trans"][0:1]
+    ll = e_single.state["latents"]["light"][0:1]
+    r1 = e_single._render_frame_st(e_single.eval_frame(0), lt, ll)
+    r2 = e_mesh._render_frame_st(e_mesh.eval_frame(0), lt, ll)
+    assert hasattr(e_mesh, "_render_jit_sharded"), \
+        "mesh engine did not route through the sharded renderer"
+    assert not hasattr(e_single, "_render_jit_sharded")
+
+    shared = set(r1) & set(r2)
+    assert {"rgb", "rgb_static", "uncert", "depth"} <= shared
+    for k in shared:
+        np.testing.assert_allclose(np.asarray(r2[k]), np.asarray(r1[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
+
+    # the engine-surface eval also runs end-to-end on the mesh
+    res = e_mesh.validate(0)
+    assert all(np.isfinite(v) for v in res.values())

@@ -137,7 +137,14 @@ def render_rays_nerf_st(params, cfg, pose, intr, ray_idx, z_near, z_far,
         ndc=cfg.camera.get("ndc", False))
     out = render_st_core(params, cfg, center, ray, near, far, latent_trans,
                          latent_light, key, progress, mode, compute_dtype)
-    out.pop("trans_density_mean", None)    # scalar: breaks chunked assembly
+    # this function's contract is PER-RAY [B,R,C] leaves only: the scalar
+    # and the per-sample compositing internals ([B,R,N]/[B,R,N,1]) would
+    # assemble inconsistently across the chunked/scattered/sharded
+    # full-frame paths (and an [B,HW,N] buffer is N× the frame footprint);
+    # consumers needing them call render_st_core/composite directly
+    for k in ("trans_density_mean", "alpha_static", "alpha_transient",
+              "prob", "density"):
+        out.pop(k, None)
     return out
 
 
