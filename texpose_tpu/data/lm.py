@@ -222,6 +222,17 @@ class LineMODDataset:
         obj_scene_id = self._obj_scene_id(idx)
         _, _, frame = self._line(idx)
         image = self.get_image(idx, obj_scene_id)
+        aug_cfg = cfg.data.get("augment")
+        if aug_cfg and self.split == "train":
+            # image-only, train-only, like the reference base dataset
+            # (data/base.py:75-100; its LM path asserts augment off,
+            # data/lm.py:87).  Seeded per (run seed, frame) so threaded
+            # prefetch stays deterministic.
+            from .augment import generate_augmentation, apply_augmentation
+            rng = np.random.default_rng(
+                (int(cfg.get("seed") or 0) + 1) * 100003 + idx)
+            image = apply_augmentation(image,
+                                       generate_augmentation(aug_cfg, rng))
         _, intr, pose_gt, pose_init = self.get_camera(idx, obj_scene_id)
         z_near, z_far = self.get_range(idx, obj_scene_id)
         obj_mask = self.get_obj_mask(idx, obj_scene_id=obj_scene_id)
