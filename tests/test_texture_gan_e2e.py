@@ -251,3 +251,47 @@ def test_trunk_frozen(fixture_root, tmp_path):
     rgb1 = np.asarray(eng.state["params"]["nerf"]["mlp_rgb"][0]["w"])
     assert np.array_equal(trunk0, trunk1), "trunk moved but must be frozen"
     assert not np.array_equal(rgb0, rgb1), "rgb head did not train"
+
+
+def test_latent_ema_eval_protocol(fixture_root, tmp_path):
+    """cfg.render.latent_ema: training updates an EMA shadow of the latent
+    tables; eval protocols read it (long-horizon drift mitigation), while
+    training uses the live tables."""
+    import jax
+    import jax.numpy as jnp
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    cfg = tiny_gan_cfg(fixture_root, tmp_path)
+    cfg.render.latent_ema = 0.9
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+    init = {k: np.asarray(v).copy()
+            for k, v in eng.state["latents"].items()}
+    assert "latents_ema" in eng.state
+    for it in range(4):
+        eng.state, _ = eng.step_fn(eng.state, eng.train_batch)
+    live = {k: np.asarray(v) for k, v in eng.state["latents"].items()}
+    ema = {k: np.asarray(v) for k, v in eng.state["latents_ema"].items()}
+    for k in live:
+        assert not np.allclose(live[k], init[k])       # latents trained
+        assert not np.allclose(ema[k], live[k])        # ema lags
+        # ema lies between init and live (per-element convex-ish check on
+        # the mean drift)
+        assert abs(ema[k] - init[k]).mean() < abs(live[k] - init[k]).mean()
+    # eval protocols read the EMA table
+    tab = eng._eval_latents_table()
+    for k in ema:
+        np.testing.assert_array_equal(np.asarray(tab[k]), ema[k])
+    res = eng.evaluate_full()
+    assert np.isfinite(res["psnr"])
+
+    # default (no latent_ema): protocols read the live tables
+    cfg2 = tiny_gan_cfg(fixture_root, tmp_path / "plain")
+    eng2 = TextureGANEngine(cfg2)
+    eng2.load_dataset()
+    eng2.build_networks()
+    eng2.setup_optimizer()
+    assert "latents_ema" not in eng2.state
+    assert eng2._eval_latents_table() is eng2.state["latents"]
