@@ -127,3 +127,36 @@ def test_fused_st_subtiles_straddle_images(key, monkeypatch):
                                atol=3e-5)
     np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_p[1]),
                                atol=3e-5)
+
+
+@pytest.mark.skipif(not fused_st_available(), reason="no pallas")
+def test_fused_st_int8_trunk_close_to_f32(key, monkeypatch):
+    """int8 trunk (TEXPOSE_ST_TRUNK_INT8): per-column weight + per-row
+    activation scales keep the field outputs close to the f32 path —
+    loose tolerance; exact parity is impossible and the shipping default
+    stays off until the TPU quality gate proves it flat."""
+    monkeypatch.setenv("TEXPOSE_ST_TRUNK_INT8", "1")
+    cfg = st_cfg()
+    params = init_nerf_st(key, cfg)
+    B, R, N = 2, 4, 16
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    pts = jax.random.normal(k1, (B, R, N, 3))
+    ray = jax.random.normal(k2, (B, R, N, 3))
+    ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    lt = jax.random.normal(k3, (B, 8))
+    ll = jax.random.normal(k4, (B, 12))
+    progress = jnp.asarray(0.4)
+
+    rgb_p, dens_p, unc_p = apply_nerf_st(params, cfg, pts, ray, lt, ll,
+                                         progress=progress)
+    rgb_q, dens_q, unc_q = apply_nerf_st_fused(
+        params, cfg, pts, ray, lt, ll, progress=progress,
+        compute_dtype=jnp.float32, tile_fwd=32, tile_bwd=32, interpret=True)
+    # rgb is post-sigmoid in [0,1]; int8 trunk error shows up at the 1e-2
+    # level, far below the bf16-vs-f32 quality deltas already accepted
+    assert float(jnp.abs(rgb_q - rgb_p).mean()) < 2e-2
+    assert float(jnp.abs(unc_q - unc_p).mean()) < 5e-2
+    # density correlates strongly (geometry preserved)
+    dp = np.asarray(dens_p[..., 0]).ravel()
+    dq = np.asarray(dens_q[..., 0]).ravel()
+    assert np.corrcoef(dp, dq)[0, 1] > 0.999

@@ -63,16 +63,38 @@ def _dot_t2(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _trunk_feat(pts, aux3, w_refs, b_refs, skip, L3, cdtype):
-    """In-VMEM trunk forward → (feat [T,F] f32, density_raw [T,1])."""
-    x = _posenc_rows(pts, L3, aux3[0], aux3[1]).astype(cdtype)
+def _dot_int8(x, wq_ref, ws_ref):
+    """[T,I] f32 × int8-quantized weights → f32 [T,O].
+
+    Weights are offline per-output-column quantized (frozen trunk —
+    calibration is a one-off at trace time); activations quantize per ROW
+    with a dynamic max-abs scale, so the int8 grid adapts to each sample's
+    range.  The MXU runs int8×int8→int32 at 2× the bf16 rate on v5e.
+    """
+    ax = jnp.max(jnp.abs(x), axis=1, keepdims=True)          # [T,1]
+    sx = jnp.maximum(ax, 1e-12) * (1.0 / 127.0)
+    xq = jnp.round(x * (1.0 / sx)).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, wq_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * sx * ws_ref[...]
+
+
+def _trunk_feat(pts, aux3, w_refs, b_refs, skip, L3, cdtype, ws_refs=None):
+    """In-VMEM trunk forward → (feat [T,F] f32, density_raw [T,1]).
+    ws_refs (per-layer [1,O] scales) switches the matmuls to int8."""
+    x = _posenc_rows(pts, L3, aux3[0], aux3[1])
+    if ws_refs is None:
+        x = x.astype(cdtype)
     h = x
     n = len(w_refs)
     dens = None
     for li in range(n):
         if li in skip:
             h = jnp.concatenate([h, x], axis=-1)
-        h = _dot(h.astype(cdtype), w_refs[li][...]) + b_refs[li][...]
+        if ws_refs is not None:
+            h = _dot_int8(h, w_refs[li], ws_refs[li]) + b_refs[li][...]
+        else:
+            h = _dot(h.astype(cdtype), w_refs[li][...]) + b_refs[li][...]
         if li == n - 1:
             dens = h[:, 0:1]
             h = h[:, 1:]
@@ -81,7 +103,11 @@ def _trunk_feat(pts, aux3, w_refs, b_refs, skip, L3, cdtype):
 
 
 def _heads_forward(feat, ray_enc, pts, light, trans, wr, br, wt, bt, cdtype,
-                   want_acts=False):
+                   want_acts=False, w_pack=None):
+    """Both heads on a row slice.  w_pack (optional, [Fr+Ft, 3+5]) is the
+    block-diagonal packing of the two tiny-N final layers — ONE MXU issue
+    instead of two, with the same padded cost (both N=3 and N=5 pad to a
+    128-lane tile anyway)."""
     T = feat.shape[0]
     a0 = jnp.concatenate(
         [feat, ray_enc, pts,
@@ -89,25 +115,35 @@ def _heads_forward(feat, ray_enc, pts, light, trans, wr, br, wt, bt, cdtype,
     acts = {"a0": a0}
     h = a0
     nr = len(wr)
-    for li in range(nr):
+    n_hidden_r = nr - 1 if w_pack is not None else nr
+    for li in range(n_hidden_r):
         z = _dot(h.astype(cdtype), wr[li][...]) + br[li][...]
         if li != nr - 1:
             acts[f"rz{li}"] = z
             h = jnp.maximum(z, 0.0)
         else:
             rgb_raw = z
+    h_rgb_last = h
     t0 = jnp.concatenate(
         [feat, jnp.broadcast_to(trans, (T, trans.shape[-1]))], axis=-1)
     acts["t0"] = t0
     h = t0
     nt = len(wt)
-    for li in range(nt):
+    n_hidden_t = nt - 1 if w_pack is not None else nt
+    for li in range(n_hidden_t):
         z = _dot(h.astype(cdtype), wt[li][...]) + bt[li][...]
         if li != nt - 1:
             acts[f"tz{li}"] = z
             h = jnp.maximum(z, 0.0)
         else:
             trans_raw = z
+    if w_pack is not None:
+        x_pack = jnp.concatenate([h_rgb_last, h], axis=-1)
+        acts["x_pack"] = x_pack
+        z = _dot(x_pack.astype(cdtype), w_pack[...])
+        Cr = br[nr - 1].shape[-1]
+        rgb_raw = z[:, :Cr] + br[nr - 1][...]
+        trans_raw = z[:, Cr:] + bt[nt - 1][...]
     if want_acts:
         return rgb_raw, trans_raw, acts
     return rgb_raw, trans_raw
@@ -116,14 +152,18 @@ def _heads_forward(feat, ray_enc, pts, light, trans, wr, br, wt, bt, cdtype,
 # ------------------------------------------------------------------ forward
 
 def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
-                fullblock, pts_ref, enc_ref, aux3_ref, light_ref, trans_ref,
-                *refs):
+                fullblock, packed, int8, pts_ref, enc_ref, aux3_ref,
+                light_ref, trans_ref, *refs):
     wf = refs[:n_trunk]
     bf = refs[n_trunk:2 * n_trunk]
-    wr = refs[2 * n_trunk:2 * n_trunk + nr]
-    br = refs[2 * n_trunk + nr:2 * n_trunk + 2 * nr]
-    wt = refs[2 * n_trunk + 2 * nr:2 * n_trunk + 2 * nr + nt]
-    bt = refs[2 * n_trunk + 2 * nr + nt:2 * n_trunk + 2 * nr + 2 * nt]
+    o = 2 * n_trunk
+    wsf = refs[o:o + n_trunk] if int8 else None
+    o += n_trunk if int8 else 0
+    wr = refs[o:o + nr]
+    br = refs[o + nr:o + 2 * nr]
+    wt = refs[o + 2 * nr:o + 2 * nr + nt]
+    bt = refs[o + 2 * nr + nt:o + 2 * nr + 2 * nt]
+    w_pack = refs[o + 2 * nr + 2 * nt] if packed else None
     rgb_ref, dens_ref, transr_ref, feat_ref = refs[-4:]
 
     S = pts_ref.shape[0] // subtiles
@@ -132,7 +172,7 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
         # the whole streamed block (fewer, larger MXU issues); only the
         # latent-conditioned heads need the per-image subtile loop
         feat_all, dens_all = _trunk_feat(pts_ref[...], aux3_ref, wf, bf,
-                                         skip, L3, cdtype)
+                                         skip, L3, cdtype, ws_refs=wsf)
         dens_ref[...] = dens_all
         feat_ref[...] = feat_all.astype(feat_ref.dtype)
     for k in range(subtiles):
@@ -146,27 +186,30 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
             feat = feat_all[sl, :].astype(jnp.float32)
         else:
             feat, dens = _trunk_feat(pts, aux3_ref, wf, bf, skip, L3,
-                                     cdtype)
+                                     cdtype, ws_refs=wsf)
             dens_ref[sl, :] = dens
             feat_ref[sl, :] = feat.astype(feat_ref.dtype)
         rgb_raw, trans_raw = _heads_forward(
-            feat, enc_ref[sl, :], pts, light, trans, wr, br, wt, bt, cdtype)
+            feat, enc_ref[sl, :], pts, light, trans, wr, br, wt, bt, cdtype,
+            w_pack=w_pack)
         rgb_ref[sl, :] = rgb_raw
         transr_ref[sl, :] = trans_raw
 
 
 # ----------------------------------------------------------------- backward
 
-def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles,
+def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed,
                 feat_ref, enc_ref, pts_ref, light_ref, trans_ref,
                 g_rgb_ref, g_trans_ref, *refs):
     wr = refs[:nr]
     br = refs[nr:2 * nr]
     wt = refs[2 * nr:2 * nr + nt]
     bt = refs[2 * nr + nt:2 * nr + 2 * nt]
+    extra = 1 if packed else 0
+    w_pack = refs[2 * (nr + nt)] if packed else None
     n_out = 2 * (nr + nt) + 2
-    outs = refs[2 * (nr + nt):2 * (nr + nt) + n_out]
-    scratch = refs[2 * (nr + nt) + n_out:]
+    outs = refs[2 * (nr + nt) + extra:2 * (nr + nt) + extra + n_out]
+    scratch = refs[2 * (nr + nt) + extra + n_out:]
 
     i = pl.program_id(0)
     n_prog = pl.num_programs(0)
@@ -188,13 +231,38 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles,
         trans = trans_ref[pl.ds(img, 1), :]
 
         _, _, acts = _heads_forward(feat, rayenc, pts, light, trans,
-                                    wr, br, wt, bt, cdtype, want_acts=True)
+                                    wr, br, wt, bt, cdtype, want_acts=True,
+                                    w_pack=w_pack)
+        g_rgb = g_rgb_ref[sl, :].astype(jnp.float32)
+        g_tr = g_trans_ref[sl, :].astype(jnp.float32)
+
+        if packed:
+            # both tiny-N final layers in ONE dW issue + ONE dX issue on the
+            # block-diagonal packing (off-diagonal dW blocks are grads of
+            # structural zeros — discarded)
+            Fr = wr[nr - 1].shape[0]
+            Cr = wr[nr - 1].shape[1]
+            g_pack = jnp.concatenate([g_rgb, g_tr], axis=-1)
+            dwp = _dot_t1(acts["x_pack"].astype(cdtype),
+                          g_pack.astype(cdtype))
+            scratch[nr - 1][...] += dwp[:Fr, :Cr]
+            scratch[nr + nr - 1][...] += jnp.sum(g_rgb, axis=0,
+                                                 keepdims=True)
+            scratch[2 * nr + nt - 1][...] += dwp[Fr:, Cr:]
+            scratch[2 * nr + nt + nt - 1][...] += jnp.sum(g_tr, axis=0,
+                                                          keepdims=True)
+            dx = _dot_t2(g_pack.astype(cdtype), w_pack[...])
+            g_rgb = dx[:, :Fr] * (acts[f"rz{nr-2}"] > 0)
+            g_tr = dx[:, Fr:] * (acts[f"tz{nt-2}"] > 0)
+            start_r, start_t = nr - 2, nt - 2
+        else:
+            start_r, start_t = nr - 1, nt - 1
 
         # ---- rgb head backward ----
-        g = g_rgb_ref[sl, :].astype(jnp.float32)
+        g = g_rgb
         hs = [acts["a0"]] + [jnp.maximum(acts[f"rz{k}"], 0.0)
                              for k in range(nr - 1)]
-        for li in range(nr - 1, -1, -1):
+        for li in range(start_r, -1, -1):
             scratch[li][...] += _dot_t1(hs[li].astype(cdtype),
                                         g.astype(cdtype))
             scratch[nr + li][...] += jnp.sum(g, axis=0, keepdims=True)
@@ -205,11 +273,11 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles,
         dlight = jnp.sum(g[:, off:], axis=0, keepdims=True)      # [1,48]
 
         # ---- transient head backward ----
-        g = g_trans_ref[sl, :].astype(jnp.float32)
+        g = g_tr
         hs = [acts["t0"]] + [jnp.maximum(acts[f"tz{k}"], 0.0)
                              for k in range(nt - 1)]
         base = 2 * nr
-        for li in range(nt - 1, -1, -1):
+        for li in range(start_t, -1, -1):
             scratch[base + li][...] += _dot_t1(hs[li].astype(cdtype),
                                                g.astype(cdtype))
             scratch[base + nt + li][...] += jnp.sum(g, axis=0,
@@ -242,9 +310,20 @@ def _full_spec():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
+def _build_w_pack(rgb_w, tr_w, cdtype):
+    """Block-diagonal [Fr+Ft, Cr+Ct] packing of both heads' final layers."""
+    wr_last, wt_last = rgb_w[-1], tr_w[-1]
+    Fr, Cr = wr_last.shape
+    Ft, Ct = wt_last.shape
+    top = jnp.concatenate([wr_last, jnp.zeros((Fr, Ct), wr_last.dtype)], 1)
+    bot = jnp.concatenate([jnp.zeros((Ft, Cr), wt_last.dtype), wt_last], 1)
+    return jnp.concatenate([top, bot], 0).astype(cdtype)
+
+
 def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
              rgb_w, rgb_b, tr_w, tr_b, aux3, skip, L3, tile, rows_per_img,
-             cdtype, interpret, subtiles=1, fullblock=False):
+             cdtype, interpret, subtiles=1, fullblock=False, packed=False,
+             trunk_int8=False):
     # `tile` rows stream per grid step; compute runs on tile/subtiles-row
     # slices (narrow VMEM intermediates, fewer grid steps → less per-step
     # pipeline overhead)
@@ -261,10 +340,13 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     F = trunk_w[-1].shape[1] - 1
     E = ray_enc.shape[1]
     kernel = functools.partial(_fwd_kernel, L3, skip, nr, nt, n_trunk,
-                               tiles_per_img, cdtype, subtiles, fullblock)
+                               tiles_per_img, cdtype, subtiles, fullblock,
+                               packed, trunk_int8)
     in_specs = ([_row_spec(tile, 3), _row_spec(tile, E), _full_spec(),
                  _full_spec(), _full_spec()]
-                + [_full_spec()] * (2 * n_trunk + 2 * nr + 2 * nt))
+                + [_full_spec()] * (2 * n_trunk + 2 * nr + 2 * nt
+                                    + (n_trunk if trunk_int8 else 0)
+                                    + (1 if packed else 0)))
     out_specs = (_row_spec(tile, 3), _row_spec(tile, 1), _row_spec(tile, 5),
                  _row_spec(tile, F))
     # feat residual in the compute dtype: for bf16 compute this is EXACT
@@ -273,9 +355,18 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
                  jax.ShapeDtypeStruct((M, 1), jnp.float32),
                  jax.ShapeDtypeStruct((M, 5), jnp.float32),
                  jax.ShapeDtypeStruct((M, F), cdtype))
-    trunk_wc = [w.astype(cdtype) for w in trunk_w]
+    if trunk_int8:
+        # offline per-output-column weight quantization (trunk frozen)
+        wsf = [jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
+                           1e-12) * (1.0 / 127.0) for w in trunk_w]
+        trunk_wc = [jnp.round(w / s).astype(jnp.int8)
+                    for w, s in zip(trunk_w, wsf)]
+    else:
+        wsf = []
+        trunk_wc = [w.astype(cdtype) for w in trunk_w]
     rgb_wc = [w.astype(cdtype) for w in rgb_w]
     tr_wc = [w.astype(cdtype) for w in tr_w]
+    pack = [_build_w_pack(rgb_w, tr_w, cdtype)] if packed else []
     # measured on v5e (tools/bench_kernels.py): parallel fwd semantics force
     # tile ≤512 (extra in-flight VMEM) and net-lose vs sequential tile 1024
     # (3.98 vs 3.33 ms) — default OFF, switchable for future A/Bs
@@ -289,12 +380,12 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
         compiler_params=None if (interpret or not par)
         else pltpu.CompilerParams(dimension_semantics=("parallel",)),
     )(pts, ray_enc, aux3, light_rows, trans_rows,
-      *trunk_wc, *trunk_b, *rgb_wc, *rgb_b, *tr_wc, *tr_b)
+      *trunk_wc, *trunk_b, *wsf, *rgb_wc, *rgb_b, *tr_wc, *tr_b, *pack)
 
 
 def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
              tr_w, tr_b, g_rgb, g_trans, tile, rows_per_img, cdtype,
-             interpret, subtiles=1):
+             interpret, subtiles=1, packed=False):
     sub = tile // subtiles
     tiles_per_img = rows_per_img // sub
     if rows_per_img % sub or tiles_per_img <= 0:
@@ -309,11 +400,12 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
     F = feat.shape[1]
     E = ray_enc.shape[1]
     kernel = functools.partial(_bwd_kernel, nr, nt, B, tiles_per_img, cdtype,
-                               subtiles)
+                               subtiles, packed)
     in_specs = ([_row_spec(tile, F), _row_spec(tile, E), _row_spec(tile, 3),
                  _full_spec(), _full_spec(),
                  _row_spec(tile, 3), _row_spec(tile, 5)]
-                + [_full_spec()] * (2 * nr + 2 * nt))
+                + [_full_spec()] * (2 * nr + 2 * nt
+                                    + (1 if packed else 0)))
     out_shape = ([jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in rgb_w]
                  + [jax.ShapeDtypeStruct((1,) + b.shape, jnp.float32)
                     for b in rgb_b]
@@ -328,19 +420,21 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
     scratch = [pltpu.VMEM(s.shape, jnp.float32) for s in out_shape]
     rgb_wc = [w.astype(cdtype) for w in rgb_w]
     tr_wc = [w.astype(cdtype) for w in tr_w]
+    pack = [_build_w_pack(rgb_w, tr_w, cdtype)] if packed else []
     return pl.pallas_call(
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=tuple(out_shape), scratch_shapes=scratch,
         interpret=interpret,
     )(feat, ray_enc, pts, light_rows, trans_rows, g_rgb, g_trans,
-      *rgb_wc, *rgb_b, *tr_wc, *tr_b)
+      *rgb_wc, *rgb_b, *tr_wc, *tr_b, *pack)
 
 
 # -------------------------------------------------------------- custom vjp
 
 @functools.lru_cache(maxsize=None)
 def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
-             sub_fwd=1, sub_bwd=1, fullblock=False):
+             sub_fwd=1, sub_bwd=1, fullblock=False, packed=False,
+             trunk_int8=False):
     """Build the differentiable fused op for a static config.
 
     Signature: f(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)
@@ -356,7 +450,8 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
                        heads["rgb_w"], heads["rgb_b"],
                        heads["tr_w"], heads["tr_b"],
                        aux3, skip, L3, tile_fwd, rows_per_img, cdtype,
-                       interpret, subtiles=sub_fwd, fullblock=fullblock)
+                       interpret, subtiles=sub_fwd, fullblock=fullblock,
+                       packed=packed, trunk_int8=trunk_int8)
         return out
 
     @jax.custom_vjp
@@ -379,7 +474,7 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
                         heads["rgb_w"], heads["rgb_b"],
                         heads["tr_w"], heads["tr_b"],
                         g_rgb, g_trans, tile_bwd, rows_per_img, cdtype,
-                        interpret, subtiles=sub_bwd)
+                        interpret, subtiles=sub_bwd, packed=packed)
         nr, nt = len(heads["rgb_w"]), len(heads["tr_w"])
         d_heads = {
             "rgb_w": tuple(outs[:nr]),
@@ -400,7 +495,8 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
                    head_params, aux3, skip, L3, rows_per_img,
                    tile_fwd=512, tile_bwd=512,
                    compute_dtype=jnp.bfloat16, interpret=False,
-                   subtiles_fwd=None, subtiles_bwd=None, fullblock=None):
+                   subtiles_fwd=None, subtiles_bwd=None, fullblock=None,
+                   packed=None, trunk_int8=None):
     """Differentiable fused ST-field.
 
     pts [M,3], ray_enc [M,E] (pre-encoded, c2f applied), light_rows [B,Dl],
@@ -429,6 +525,20 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     if fullblock is None:
         fullblock = os.environ.get("TEXPOSE_ST_TRUNK_FULLBLOCK", "0") == "1"
     fullblock = bool(fullblock)
+    # pack the two tiny-N final head layers (out 3 / out 5, each padding to
+    # a 128-lane MXU tile) into ONE block-diagonal issue in fwd, bwd dW and
+    # bwd dX — same padded cost, fewer matmul issues (the kernel is
+    # compute-pipeline bound, CLAUDE.md r2 analysis)
+    if packed is None:
+        packed = os.environ.get("TEXPOSE_ST_PACK_HEADS", "1") == "1"
+    packed = bool(packed) and len(head_params["mlp_rgb"]) >= 2 \
+        and len(head_params["mlp_trans"]) >= 2
+    # int8 trunk matmuls (2× MXU rate on v5e; frozen trunk → offline
+    # per-column weight scales + per-row dynamic activation scales).
+    # Default OFF until the quality gate proves it flat.
+    if trunk_int8 is None:
+        trunk_int8 = os.environ.get("TEXPOSE_ST_TRUNK_INT8", "0") == "1"
+    trunk_int8 = bool(trunk_int8)
     M = pts.shape[0]
     if M % (int(tile_fwd) * sub_fwd):
         sub_fwd = 1
@@ -442,5 +552,6 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
              "tr_b": tuple(lp["b"] for lp in head_params["mlp_trans"])}
     op = _make_op(tuple(sorted(skip)), int(L3), int(tile_fwd) * sub_fwd,
                   int(tile_bwd) * sub_bwd, int(rows_per_img), compute_dtype,
-                  bool(interpret), sub_fwd, sub_bwd, fullblock)
+                  bool(interpret), sub_fwd, sub_bwd, fullblock, packed,
+                  trunk_int8)
     return op(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)

@@ -408,7 +408,9 @@ def apply_nerf_st_raw(params, cfg, points, ray_unit, latent_trans,
         compute_dtype=compute_dtype or jnp.bfloat16, interpret=interpret,
         subtiles_fwd=kcfg.get("st_subtiles_fwd"),
         subtiles_bwd=kcfg.get("st_subtiles_bwd"),
-        fullblock=kcfg.get("st_trunk_fullblock"))
+        fullblock=kcfg.get("st_trunk_fullblock"),
+        packed=kcfg.get("st_pack_heads"),
+        trunk_int8=kcfg.get("st_trunk_int8"))
 
 
 def apply_nerf_st_fused(params, cfg, points, ray_unit, latent_trans,

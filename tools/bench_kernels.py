@@ -78,6 +78,20 @@ def main():
     print("kernel fwd+bwd:", timeit(jg, heads, lt, ll, pts, enc), "ms",
           flush=True)
 
+    # section timing: the trunk alone (fused_trunk kernel) — locates the
+    # fwd bottleneck (trunk ≈59% of the padded MXU units; a much larger
+    # share of measured time ⇒ issue-overhead-bound, int8 won't pay)
+    if os.environ.get("BENCH_KERNELS_SECTIONS", "1") != "0":
+        from texpose_tpu.kernels.fused_trunk import fused_trunk_forward
+        tw = tuple(lp["w"] for lp in params["mlp_feat"])
+        tb_ = tuple(lp["b"] for lp in params["mlp_feat"])
+        for tile in (512, 1024, 2048):
+            jt = jax.jit(lambda p: fused_trunk_forward(
+                p, jnp.ones((10,)), tw, tb_, (4,), 10,
+                compute_dtype=jnp.bfloat16, tile=tile)[0].sum())
+            print(f"trunk-only fwd (tile {tile}):", timeit(jt, pts), "ms",
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()
