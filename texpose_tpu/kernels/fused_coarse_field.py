@@ -29,7 +29,8 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 from .fused_trunk import _posenc_rows, _freq
-from .fused_st_field import _dot, _dot_t1, _dot_t2
+from .fused_st_field import (_dot, _dot_t1, _dot_t2, make_posenc_mm_aux,
+                             split_trunk_weights_mm)
 
 
 def fused_coarse_available():
@@ -37,10 +38,13 @@ def fused_coarse_available():
 
 
 def _field_forward(pts, enc_view, aux3, wf, bf, wr, br, skip, L3, cdtype,
-                   want_acts=False):
+                   want_acts=False, x_pre=None):
     """Full coarse field on a row tile.  Returns (rgb_raw [T,3],
-    dens_raw [T,1]) and optionally every pre-ReLU activation."""
-    x = _posenc_rows(pts, L3, aux3[0], aux3[1])
+    dens_raw [T,1]) and optionally every pre-ReLU activation.
+    x_pre: posenc streamed from outside the kernel (the in-kernel
+    narrow-lane build is ~60% of trunk time; mxu_probe r3) — the coarse
+    BWD recomputes the field, so it saves the build twice per step."""
+    x = _posenc_rows(pts, L3, aux3[0], aux3[1]) if x_pre is None else x_pre
     acts = {"x": x}
     h = x
     nf = len(wf)
@@ -78,8 +82,88 @@ def _field_forward(pts, enc_view, aux3, wf, bf, wr, br, skip, L3, cdtype,
     return rgb_raw, dens_raw
 
 
-def _fwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles,
+def _field_forward_mm(pts, enc_view, auxm_ref, wf, bf, wr, br, skip,
+                      cdtype, want_acts=False, mm_refs=None):
+    """Matmul-form posenc coarse field (see fused_st_field.
+    make_posenc_mm_aux): the [T,3+6L] encoding never materializes — the
+    first/skip trunk layers consume (pts, sin-bands) via row-split weights,
+    eliminating every narrow-lane concat of the element-wise build."""
+    D = auxm_ref[0:3, :]
+    phase = auxm_ref[3:4, :]
+    wb = auxm_ref[4:5, :]
+    spec = jax.lax.dot_general(pts, D, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32) + phase
+    sinw = (jnp.sin(spec) * wb).astype(cdtype)
+    ptsc = pts.astype(cdtype)
+    E = sinw.shape[1]
+    acts = {"sinw": sinw, "ptsc": ptsc}
+    skip_sorted = sorted(skip)
+
+    def pieces(li):
+        if mm_refs is None:
+            w = wf[li]
+            if li == 0:
+                return w[0:3, :], w[3:3 + E, :], None
+            F = w.shape[0] - 3 - E
+            return w[F:F + 3, :], w[F + 3:, :], w[0:F, :]
+        if li == 0:
+            return mm_refs[0][...], mm_refs[1][...], None
+        k = 2 + 3 * skip_sorted.index(li)
+        return mm_refs[k + 1][...], mm_refs[k + 2][...], mm_refs[k][...]
+
+    h = None
+    nf = len(wf)
+    dens_raw = None
+    for li in range(nf):
+        if li == 0:
+            w_pts, w_sin, _ = pieces(li)
+            z = _dot(ptsc, w_pts) + _dot(sinw, w_sin) + bf[li][...]
+        elif li in skip:
+            w_pts, w_sin, w_h = pieces(li)
+            acts[f"fa{li}"] = h
+            z = (_dot(h.astype(cdtype), w_h) + _dot(ptsc, w_pts)
+                 + _dot(sinw, w_sin) + bf[li][...])
+        else:
+            acts[f"fa{li}"] = h
+            z = _dot(h.astype(cdtype), wf[li][...]) + bf[li][...]
+        if li == nf - 1:
+            dens_raw = z[:, 0:1]
+            acts["fz_last"] = z
+            h = jnp.maximum(z[:, 1:], 0.0)
+        else:
+            acts[f"fz{li}"] = z
+            h = jnp.maximum(z, 0.0)
+    feat = h
+    parts = [feat]
+    if enc_view is not None:
+        parts.append(enc_view)
+    parts.append(pts)
+    a0 = jnp.concatenate(parts, axis=-1)
+    acts["r_a0"] = a0
+    h = a0
+    nr = len(wr)
+    for li in range(nr):
+        acts[f"ra{li}"] = h
+        z = _dot(h.astype(cdtype), wr[li][...]) + br[li][...]
+        if li != nr - 1:
+            acts[f"rz{li}"] = z
+            h = jnp.maximum(z, 0.0)
+        else:
+            rgb_raw = z
+    if want_acts:
+        return rgb_raw, dens_raw, acts
+    return rgb_raw, dens_raw
+
+
+def _fwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles, enc_mode,
                 pts_ref, enc_ref, aux3_ref, *refs):
+    enc_extra = refs[0] if enc_mode != "kernel" else None
+    refs = refs[1:] if enc_mode != "kernel" else refs
+    mm_refs = None
+    if enc_mode == "matmul":
+        n_mm = 2 + 3 * len(skip)
+        mm_refs = refs[:n_mm]
+        refs = refs[n_mm:]
     wf = refs[:nf]
     bf = refs[nf:2 * nf]
     wr = refs[2 * nf:2 * nf + nr]
@@ -90,14 +174,27 @@ def _fwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles,
         sl = slice(k * S, (k + 1) * S)
         pts = pts_ref[sl, :]
         enc_view = enc_ref[sl, :] if has_view else None
-        rgb_raw, dens_raw = _field_forward(pts, enc_view, aux3_ref, wf, bf,
-                                           wr, br, skip, L3, cdtype)
+        if enc_mode == "matmul":
+            rgb_raw, dens_raw = _field_forward_mm(
+                pts, enc_view, enc_extra, wf, bf, wr, br, skip, cdtype,
+                mm_refs=mm_refs)
+        else:
+            rgb_raw, dens_raw = _field_forward(
+                pts, enc_view, aux3_ref, wf, bf, wr, br, skip, L3, cdtype,
+                x_pre=enc_extra[sl, :] if enc_mode == "outside" else None)
         rgb_ref[sl, :] = rgb_raw
         dens_ref[sl, :] = dens_raw
 
 
-def _bwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles,
+def _bwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles, enc_mode,
                 pts_ref, enc_ref, aux3_ref, g_rgb_ref, g_dens_ref, *refs):
+    enc_extra = refs[0] if enc_mode != "kernel" else None
+    refs = refs[1:] if enc_mode != "kernel" else refs
+    mm_refs = None
+    if enc_mode == "matmul":
+        n_mm = 2 + 3 * len(skip)
+        mm_refs = refs[:n_mm]
+        refs = refs[n_mm:]
     wf = refs[:nf]
     bf = refs[nf:2 * nf]
     wr = refs[2 * nf:2 * nf + nr]
@@ -120,8 +217,16 @@ def _bwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles,
         sl = slice(k * S, (k + 1) * S)
         pts = pts_ref[sl, :]
         enc_view = enc_ref[sl, :] if has_view else None
-        _, _, acts = _field_forward(pts, enc_view, aux3_ref, wf, bf, wr, br,
-                                    skip, L3, cdtype, want_acts=True)
+        if enc_mode == "matmul":
+            _, _, acts = _field_forward_mm(pts, enc_view, enc_extra, wf, bf,
+                                           wr, br, skip, cdtype,
+                                           want_acts=True, mm_refs=mm_refs)
+        else:
+            _, _, acts = _field_forward(pts, enc_view, aux3_ref, wf, bf,
+                                        wr, br, skip, L3, cdtype,
+                                        want_acts=True,
+                                        x_pre=enc_extra[sl, :]
+                                        if enc_mode == "outside" else None)
 
         # ---- rgb head backward ----
         g = g_rgb_ref[sl, :].astype(jnp.float32)
@@ -142,15 +247,36 @@ def _bwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles,
             [g_dens, g_feat * (acts["fz_last"][:, 1:] > 0)], axis=-1)
         g = g_last
         for li in range(nf - 1, -1, -1):
-            scratch[li][...] += _dot_t1(acts[f"fa{li}"].astype(cdtype),
-                                        g.astype(cdtype))
+            gc = g.astype(cdtype)
+            if enc_mode == "matmul" and li == 0:
+                # layer 0 consumed (pts, sin-bands) via split rows; its dW
+                # splits the same way and pts/posenc get no dX at all.
+                # (concat the blocks as VALUES — sub-slice scratch writes
+                # at rows 0:3 would be sublane-misaligned)
+                scratch[li][...] += jnp.concatenate(
+                    [_dot_t1(acts["ptsc"], gc),
+                     _dot_t1(acts["sinw"], gc)], axis=0)
+            elif enc_mode == "matmul" and li in skip:
+                scratch[li][...] += jnp.concatenate(
+                    [_dot_t1(acts[f"fa{li}"].astype(cdtype), gc),
+                     _dot_t1(acts["ptsc"], gc),
+                     _dot_t1(acts["sinw"], gc)], axis=0)
+            else:
+                scratch[li][...] += _dot_t1(acts[f"fa{li}"].astype(cdtype),
+                                            gc)
             scratch[nf + li][...] += jnp.sum(g, axis=0, keepdims=True)
             if li > 0:
-                g = _dot_t2(g.astype(cdtype), wf[li][...])
-                if li in skip:
-                    # layer li consumed concat([h_{li-1}, x]); keep only
-                    # the activation block (posenc x not differentiated)
-                    g = g[:, :acts[f"fz{li-1}"].shape[1]]
+                if enc_mode == "matmul" and li in skip:
+                    # dX only through the activation rows (posenc rows get
+                    # no gradient) — fewer flops than slicing afterwards
+                    Fh = acts[f"fa{li}"].shape[1]
+                    g = _dot_t2(gc, wf[li][0:Fh, :])
+                else:
+                    g = _dot_t2(gc, wf[li][...])
+                    if li in skip:
+                        # layer li consumed concat([h_{li-1}, x]); keep only
+                        # the activation block (posenc x not differentiated)
+                        g = g[:, :acts[f"fz{li-1}"].shape[1]]
                 g = g * (acts[f"fz{li-1}"] > 0)
 
     @pl.when(i == n_prog - 1)
@@ -168,16 +294,26 @@ def _full():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
+def _enc_specs(enc_mode, enc_extra, tile, n_mm=0):
+    if enc_mode == "outside":
+        return [_row_spec(tile, enc_extra.shape[1])]
+    if enc_mode == "matmul":
+        return [_full()] * (1 + n_mm)
+    return []
+
+
 def _run_fwd(pts, enc_view, aux3, wf, bf, wr, br, skip, L3, tile, cdtype,
-             interpret, subtiles=1):
+             interpret, subtiles=1, enc_mode="kernel", enc_extra=None):
     M = pts.shape[0]
     nf, nr = len(wf), len(wr)
     has_view = enc_view is not None
     kernel = functools.partial(_fwd_kernel, L3, skip, nf, nr, has_view,
-                               cdtype, subtiles)
+                               cdtype, subtiles, enc_mode)
     enc_in = enc_view if has_view else jnp.zeros((M, 1), pts.dtype)
     in_specs = ([_row_spec(tile, 3),
                  _row_spec(tile, enc_in.shape[1]), _full()]
+                + _enc_specs(enc_mode, enc_extra, tile,
+                             n_mm=2 + 3 * len(skip))
                 + [_full()] * (2 * nf + 2 * nr))
     out_specs = (_row_spec(tile, 3), _row_spec(tile, 1))
     out_shape = (jax.ShapeDtypeStruct((M, 3), jnp.float32),
@@ -190,19 +326,25 @@ def _run_fwd(pts, enc_view, aux3, wf, bf, wr, br, skip, L3, tile, cdtype,
         # forward row tiles are independent → parallel grid semantics
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
-    )(pts, enc_in, aux3, *wfc, *bf, *wrc, *br)
+    )(pts, enc_in, aux3, *([enc_extra] if enc_mode != "kernel" else []),
+      *(split_trunk_weights_mm(wfc, skip, 6 * L3)
+        if enc_mode == "matmul" else []),
+      *wfc, *bf, *wrc, *br)
 
 
 def _run_bwd(pts, enc_view, aux3, wf, bf, wr, br, g_rgb, g_dens, skip, L3,
-             tile, cdtype, interpret, subtiles=1):
+             tile, cdtype, interpret, subtiles=1, enc_mode="kernel",
+             enc_extra=None):
     M = pts.shape[0]
     nf, nr = len(wf), len(wr)
     has_view = enc_view is not None
     kernel = functools.partial(_bwd_kernel, L3, skip, nf, nr, has_view,
-                               cdtype, subtiles)
+                               cdtype, subtiles, enc_mode)
     enc_in = enc_view if has_view else jnp.zeros((M, 1), pts.dtype)
     in_specs = ([_row_spec(tile, 3), _row_spec(tile, enc_in.shape[1]),
                  _full(), _row_spec(tile, 3), _row_spec(tile, 1)]
+                + _enc_specs(enc_mode, enc_extra, tile,
+                             n_mm=2 + 3 * len(skip))
                 + [_full()] * (2 * nf + 2 * nr))
     out_shape = ([jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wf]
                  + [jax.ShapeDtypeStruct((1,) + b.shape, jnp.float32)
@@ -218,17 +360,31 @@ def _run_bwd(pts, enc_view, aux3, wf, bf, wr, br, g_rgb, g_dens, skip, L3,
         kernel, grid=(M // tile,), in_specs=in_specs,
         out_specs=out_specs, out_shape=tuple(out_shape),
         scratch_shapes=scratch, interpret=interpret,
-    )(pts, enc_in, aux3, g_rgb, g_dens, *wfc, *bf, *wrc, *br)
+    )(pts, enc_in, aux3, g_rgb, g_dens,
+      *([enc_extra] if enc_mode != "kernel" else []),
+      *(split_trunk_weights_mm(wfc, skip, 6 * L3)
+        if enc_mode == "matmul" else []),
+      *wfc, *bf, *wrc, *br)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_op(skip, L3, tile, cdtype, has_view, interpret, sub_fwd=1,
-             sub_bwd=1):
+             sub_bwd=1, enc_mode="matmul"):
+    def _enc(pts, aux3):
+        # posenc constants/rows consumed by fwd AND bwd (see
+        # _field_forward_mm / _field_forward)
+        if enc_mode == "matmul":
+            return make_posenc_mm_aux(L3, aux3[1])
+        if enc_mode == "outside":
+            return _posenc_rows(pts, L3, aux3[0], aux3[1])
+        return None
+
     def op_impl(trunk, rgb, pts, ray_enc, aux3):
         return _run_fwd(pts, ray_enc if has_view else None, aux3,
                         trunk["w"], trunk["b"], rgb["w"], rgb["b"],
                         skip, L3, tile * sub_fwd, cdtype, interpret,
-                        subtiles=sub_fwd)
+                        subtiles=sub_fwd, enc_mode=enc_mode,
+                        enc_extra=_enc(pts, aux3))
 
     @jax.custom_vjp
     def op(trunk, rgb, pts, ray_enc, aux3):
@@ -244,7 +400,8 @@ def _make_op(skip, L3, tile, cdtype, has_view, interpret, sub_fwd=1,
         outs = _run_bwd(pts, ray_enc if has_view else None, aux3,
                         trunk["w"], trunk["b"], rgb["w"], rgb["b"],
                         g_rgb, g_dens, skip, L3, tile * sub_bwd, cdtype,
-                        interpret, subtiles=sub_bwd)
+                        interpret, subtiles=sub_bwd, enc_mode=enc_mode,
+                        enc_extra=_enc(pts, aux3))
         nf, nr = len(trunk["w"]), len(rgb["w"])
         d_trunk = {"w": tuple(outs[:nf]),
                    "b": tuple(o[0] for o in outs[nf:2 * nf])}
@@ -259,7 +416,8 @@ def _make_op(skip, L3, tile, cdtype, has_view, interpret, sub_fwd=1,
 
 def fused_coarse_field(pts, ray_enc, trunk_params, rgb_params, aux3, skip,
                        L3, tile=512, compute_dtype=jnp.bfloat16,
-                       interpret=False, subtiles_fwd=None, subtiles_bwd=None):
+                       interpret=False, subtiles_fwd=None, subtiles_bwd=None,
+                       enc_mode=None):
     """Differentiable fused coarse field (trunk trains).
 
     pts [M,3]; ray_enc [M,E] or None (view-independent); returns
@@ -284,11 +442,15 @@ def fused_coarse_field(pts, ray_enc, trunk_params, rgb_params, aux3, skip,
         subtiles_bwd = os.environ.get("TEXPOSE_COARSE_SUBTILES_BWD", "1")
     sub_fwd = int(subtiles_fwd)
     sub_bwd = int(subtiles_bwd)
+    if enc_mode is None:
+        enc_mode = os.environ.get("TEXPOSE_COARSE_POSENC", "matmul")
+    assert enc_mode in ("kernel", "outside", "matmul"), enc_mode
     M = pts.shape[0]
     if M % (int(tile) * sub_fwd):
         sub_fwd = 1
     if M % (int(tile) * sub_bwd):
         sub_bwd = 1
     op = _make_op(tuple(sorted(skip)), int(L3), int(tile), compute_dtype,
-                  bool(has_view), bool(interpret), sub_fwd, sub_bwd)
+                  bool(has_view), bool(interpret), sub_fwd, sub_bwd,
+                  str(enc_mode))
     return op(trunk, rgb, pts, enc, aux3)

@@ -79,10 +79,102 @@ def _dot_int8(x, wq_ref, ws_ref):
     return acc.astype(jnp.float32) * sx * ws_ref[...]
 
 
-def _trunk_feat(pts, aux3, w_refs, b_refs, skip, L3, cdtype, ws_refs=None):
+def make_posenc_mm_aux(L, c2f_w, dtype=jnp.float32):
+    """[5, 6L] packed constants for the matmul-form posenc:
+    rows 0-2 = D (pts @ D gives each band's angle), row 3 = phase
+    (+π/2 turns sin into cos), row 4 = per-band c2f window.
+
+    Why: the element-wise posenc builds [T,63] out of [T,10] pieces — dozens
+    of narrow-lane concats that cost ~2 ms per 131k rows in-kernel AND in
+    XLA (mxu_probe r3: the matmul chain itself runs at ~180 TFLOPs).  As a
+    [T,3]x[3,6L] matmul + one aligned sin over [T,6L], the encoding has no
+    lane surgery at all; the identity columns never materialize — the
+    trunk's first/skip layers consume (pts, sin-bands) through row-split
+    weights instead.
+    """
+    L = int(L)
+    freqs = (2.0 ** np.arange(L)) * np.pi
+    D = np.zeros((3, 6 * L), np.float32)
+    phase = np.zeros((1, 6 * L), np.float32)
+    for d in range(3):
+        o = d * 2 * L
+        D[d, o:o + L] = freqs           # sin bands
+        D[d, o + L:o + 2 * L] = freqs   # cos bands (phase-shifted sin)
+        phase[0, o + L:o + 2 * L] = np.pi / 2
+    wb = jnp.tile(jnp.concatenate([c2f_w, c2f_w]), 3)[None, :]
+    return jnp.concatenate([jnp.asarray(D), jnp.asarray(phase),
+                            wb.astype(jnp.float32)], axis=0).astype(dtype)
+
+
+def split_trunk_weights_mm(trunk_wc, skip, E):
+    """Trace-time row-split of the first/skip trunk weights for the
+    matmul-form posenc: [w0_pts, w0_sin] + per-skip [w_h, w_pts, w_sin].
+    Passing the pieces as separate kernel inputs avoids in-kernel ref
+    slicing at sublane-misaligned rows (3:3+E), which forces a weight
+    relayout every tile."""
+    parts = [trunk_wc[0][:3], trunk_wc[0][3:3 + E]]
+    for li in sorted(skip):
+        w = trunk_wc[li]
+        F = w.shape[0] - 3 - E
+        parts += [w[:F], w[F:F + 3], w[F + 3:F + 3 + E]]
+    return parts
+
+
+def _trunk_feat_mm(pts, auxm_ref, w_refs, b_refs, skip, cdtype,
+                   mm_refs=None):
+    """Matmul-form posenc trunk: see make_posenc_mm_aux.  mm_refs: the
+    split_trunk_weights_mm pieces (falls back to ref slicing if absent)."""
+    D = auxm_ref[0:3, :]
+    phase = auxm_ref[3:4, :]
+    wb = auxm_ref[4:5, :]
+    spec = jax.lax.dot_general(pts, D, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32) + phase
+    sinw = (jnp.sin(spec) * wb).astype(cdtype)
+    ptsc = pts.astype(cdtype)
+    E = sinw.shape[1]
+    n = len(w_refs)
+    skip_sorted = sorted(skip)
+
+    def pieces(li):
+        if mm_refs is None:
+            w = w_refs[li]
+            if li == 0:
+                return w[0:3, :], w[3:3 + E, :], None
+            F = w.shape[0] - 3 - E
+            return w[F:F + 3, :], w[F + 3:F + 3 + E, :], w[0:F, :]
+        if li == 0:
+            return mm_refs[0][...], mm_refs[1][...], None
+        k = 2 + 3 * skip_sorted.index(li)
+        return mm_refs[k + 1][...], mm_refs[k + 2][...], mm_refs[k][...]
+
+    h = None
+    dens = None
+    for li in range(n):
+        if li == 0:
+            w_pts, w_sin, _ = pieces(li)
+            z = _dot(ptsc, w_pts) + _dot(sinw, w_sin) + b_refs[li][...]
+        elif li in skip:
+            w_pts, w_sin, w_h = pieces(li)
+            z = (_dot(h.astype(cdtype), w_h) + _dot(ptsc, w_pts)
+                 + _dot(sinw, w_sin) + b_refs[li][...])
+        else:
+            z = _dot(h.astype(cdtype), w_refs[li][...]) + b_refs[li][...]
+        if li == n - 1:
+            dens = z[:, 0:1]
+            z = z[:, 1:]
+        h = jnp.maximum(z, 0.0)
+    return h, dens
+
+
+def _trunk_feat(pts, aux3, w_refs, b_refs, skip, L3, cdtype, ws_refs=None,
+                x_pre=None):
     """In-VMEM trunk forward → (feat [T,F] f32, density_raw [T,1]).
-    ws_refs (per-layer [1,O] scales) switches the matmuls to int8."""
-    x = _posenc_rows(pts, L3, aux3[0], aux3[1])
+    ws_refs (per-layer [1,O] scales) switches the matmuls to int8.
+    x_pre: posenc computed OUTSIDE the kernel (streamed [T,3+6L]) — the
+    in-kernel narrow-lane posenc build costs ~2 ms per 131k rows (60% of
+    the old forward; mxu_probe r3), while the matmul chain itself runs at
+    ~180 TFLOPs."""
+    x = _posenc_rows(pts, L3, aux3[0], aux3[1]) if x_pre is None else x_pre
     if ws_refs is None:
         x = x.astype(cdtype)
     h = x
@@ -152,8 +244,19 @@ def _heads_forward(feat, ray_enc, pts, light, trans, wr, br, wt, bt, cdtype,
 # ------------------------------------------------------------------ forward
 
 def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
-                fullblock, packed, int8, pts_ref, enc_ref, aux3_ref,
-                light_ref, trans_ref, *refs):
+                fullblock, packed, int8, enc_mode, pts_ref, enc_ref,
+                aux3_ref, light_ref, trans_ref, *refs):
+    # enc_mode: "kernel" (legacy in-kernel elementwise posenc), "outside"
+    # (posenc streamed from XLA; refs[0] = [tile, 3+6L] rows), "matmul"
+    # (refs[0] = make_posenc_mm_aux constants + split weight pieces;
+    # see _trunk_feat_mm)
+    enc_extra = refs[0] if enc_mode != "kernel" else None
+    refs = refs[1:] if enc_mode != "kernel" else refs
+    mm_refs = None
+    if enc_mode == "matmul":
+        n_mm = 2 + 3 * len(skip)
+        mm_refs = refs[:n_mm]
+        refs = refs[n_mm:]
     wf = refs[:n_trunk]
     bf = refs[n_trunk:2 * n_trunk]
     o = 2 * n_trunk
@@ -167,12 +270,22 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     rgb_ref, dens_ref, transr_ref, feat_ref = refs[-4:]
 
     S = pts_ref.shape[0] // subtiles
+    def trunk(pts_blk, sl=None):
+        if enc_mode == "matmul":
+            return _trunk_feat_mm(pts_blk, enc_extra, wf, bf, skip, cdtype,
+                                  mm_refs=mm_refs)
+        x_pre = None
+        if enc_mode == "outside":
+            x_pre = (enc_extra[...] if sl is None
+                     else enc_extra[sl, :]).astype(cdtype)
+        return _trunk_feat(pts_blk, aux3_ref, wf, bf, skip, L3, cdtype,
+                           ws_refs=wsf, x_pre=x_pre)
+
     if fullblock:
         # the trunk has no per-image dependence: run its 9 matmuls ONCE on
         # the whole streamed block (fewer, larger MXU issues); only the
         # latent-conditioned heads need the per-image subtile loop
-        feat_all, dens_all = _trunk_feat(pts_ref[...], aux3_ref, wf, bf,
-                                         skip, L3, cdtype, ws_refs=wsf)
+        feat_all, dens_all = trunk(pts_ref[...])
         dens_ref[...] = dens_all
         feat_ref[...] = feat_all.astype(feat_ref.dtype)
     for k in range(subtiles):
@@ -185,8 +298,7 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
         if fullblock:
             feat = feat_all[sl, :].astype(jnp.float32)
         else:
-            feat, dens = _trunk_feat(pts, aux3_ref, wf, bf, skip, L3,
-                                     cdtype, ws_refs=wsf)
+            feat, dens = trunk(pts, sl)
             dens_ref[sl, :] = dens
             feat_ref[sl, :] = feat.astype(feat_ref.dtype)
         rgb_raw, trans_raw = _heads_forward(
@@ -323,7 +435,7 @@ def _build_w_pack(rgb_w, tr_w, cdtype):
 def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
              rgb_w, rgb_b, tr_w, tr_b, aux3, skip, L3, tile, rows_per_img,
              cdtype, interpret, subtiles=1, fullblock=False, packed=False,
-             trunk_int8=False):
+             trunk_int8=False, enc_mode="kernel", enc_extra=None):
     # `tile` rows stream per grid step; compute runs on tile/subtiles-row
     # slices (narrow VMEM intermediates, fewer grid steps → less per-step
     # pipeline overhead)
@@ -341,9 +453,17 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     E = ray_enc.shape[1]
     kernel = functools.partial(_fwd_kernel, L3, skip, nr, nt, n_trunk,
                                tiles_per_img, cdtype, subtiles, fullblock,
-                               packed, trunk_int8)
+                               packed, trunk_int8, enc_mode)
+    n_mm = (2 + 3 * len(skip)) if enc_mode == "matmul" else 0
+    if enc_mode == "outside":
+        enc_spec = [_row_spec(tile, enc_extra.shape[1])]
+    elif enc_mode == "matmul":
+        enc_spec = [_full_spec()] * (1 + n_mm)
+    else:
+        enc_spec = []
     in_specs = ([_row_spec(tile, 3), _row_spec(tile, E), _full_spec(),
                  _full_spec(), _full_spec()]
+                + enc_spec
                 + [_full_spec()] * (2 * n_trunk + 2 * nr + 2 * nt
                                     + (n_trunk if trunk_int8 else 0)
                                     + (1 if packed else 0)))
@@ -372,6 +492,8 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     # (3.98 vs 3.33 ms) — default OFF, switchable for future A/Bs
     import os
     par = os.environ.get("TEXPOSE_ST_FWD_PARALLEL", "0") != "0"
+    mm_parts = split_trunk_weights_mm(trunk_wc, skip, 6 * L3) \
+        if enc_mode == "matmul" else []
     return pl.pallas_call(
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
@@ -380,6 +502,7 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
         compiler_params=None if (interpret or not par)
         else pltpu.CompilerParams(dimension_semantics=("parallel",)),
     )(pts, ray_enc, aux3, light_rows, trans_rows,
+      *([enc_extra] if enc_mode != "kernel" else []), *mm_parts,
       *trunk_wc, *trunk_b, *wsf, *rgb_wc, *rgb_b, *tr_wc, *tr_b, *pack)
 
 
@@ -434,7 +557,7 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
 @functools.lru_cache(maxsize=None)
 def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
              sub_fwd=1, sub_bwd=1, fullblock=False, packed=False,
-             trunk_int8=False):
+             trunk_int8=False, enc_mode="matmul"):
     """Build the differentiable fused op for a static config.
 
     Signature: f(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)
@@ -445,13 +568,22 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
     """
 
     def fwd_only(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3):
+        if enc_mode == "matmul":
+            # concat-free posenc (see make_posenc_mm_aux): the element-wise
+            # build costs ~2 ms / 131k rows wherever it runs
+            enc_extra = make_posenc_mm_aux(L3, aux3[1])
+        elif enc_mode == "outside":
+            enc_extra = _posenc_rows(pts, L3, aux3[0], aux3[1])
+        else:
+            enc_extra = None
         out = _run_fwd(pts, ray_enc, light_rows, trans_rows,
                        trunk["w"], trunk["b"],
                        heads["rgb_w"], heads["rgb_b"],
                        heads["tr_w"], heads["tr_b"],
                        aux3, skip, L3, tile_fwd, rows_per_img, cdtype,
                        interpret, subtiles=sub_fwd, fullblock=fullblock,
-                       packed=packed, trunk_int8=trunk_int8)
+                       packed=packed, trunk_int8=trunk_int8,
+                       enc_mode=enc_mode, enc_extra=enc_extra)
         return out
 
     @jax.custom_vjp
@@ -496,7 +628,7 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
                    tile_fwd=512, tile_bwd=512,
                    compute_dtype=jnp.bfloat16, interpret=False,
                    subtiles_fwd=None, subtiles_bwd=None, fullblock=None,
-                   packed=None, trunk_int8=None):
+                   packed=None, trunk_int8=None, enc_mode=None):
     """Differentiable fused ST-field.
 
     pts [M,3], ray_enc [M,E] (pre-encoded, c2f applied), light_rows [B,Dl],
@@ -539,6 +671,13 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     if trunk_int8 is None:
         trunk_int8 = os.environ.get("TEXPOSE_ST_TRUNK_INT8", "0") == "1"
     trunk_int8 = bool(trunk_int8)
+    # posenc mode: "matmul" (concat-free, default), "outside" (XLA build
+    # streamed in), "kernel" (legacy in-kernel elementwise build)
+    if enc_mode is None:
+        enc_mode = os.environ.get("TEXPOSE_ST_POSENC", "matmul")
+    if trunk_int8 and enc_mode == "matmul":
+        enc_mode = "outside"      # int8 path needs the materialized x
+    assert enc_mode in ("kernel", "outside", "matmul"), enc_mode
     M = pts.shape[0]
     if M % (int(tile_fwd) * sub_fwd):
         sub_fwd = 1
@@ -553,5 +692,5 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     op = _make_op(tuple(sorted(skip)), int(L3), int(tile_fwd) * sub_fwd,
                   int(tile_bwd) * sub_bwd, int(rows_per_img), compute_dtype,
                   bool(interpret), sub_fwd, sub_bwd, fullblock, packed,
-                  trunk_int8)
+                  trunk_int8, enc_mode)
     return op(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)

@@ -115,8 +115,27 @@ def _plain_forward(pts, c2f_w, weights, biases, skip, L, compute_dtype):
     return h, density_raw
 
 
-def _kernel(L, skip, n_layers, compute_dtype,
+def _kernel(L, skip, n_layers, compute_dtype, enc_mode,
             pts_ref, aux_ref, *refs):
+    # enc_mode "matmul": refs lead with make_posenc_mm_aux constants + the
+    # split_trunk_weights_mm pieces — the element-wise posenc build costs
+    # ~60% of trunk time (mxu_probe r3); the matmul form has no narrow-lane
+    # concats at all
+    if enc_mode == "matmul":
+        from .fused_st_field import _trunk_feat_mm
+        skip_t = tuple(sorted(skip))
+        auxm_ref = refs[0]
+        n_mm = 2 + 3 * len(skip_t)
+        mm_refs = refs[1:1 + n_mm]
+        refs = refs[1 + n_mm:]
+        w_refs = refs[:n_layers]
+        b_refs = refs[n_layers:2 * n_layers]
+        feat_ref, dens_ref = refs[2 * n_layers:]
+        feat, dens = _trunk_feat_mm(pts_ref[...], auxm_ref, w_refs, b_refs,
+                                    skip_t, compute_dtype, mm_refs=mm_refs)
+        dens_ref[...] = dens
+        feat_ref[...] = feat
+        return
     w_refs = refs[:n_layers]
     b_refs = refs[n_layers:2 * n_layers]
     feat_ref, dens_ref = refs[2 * n_layers:]
@@ -143,6 +162,7 @@ def _kernel(L, skip, n_layers, compute_dtype,
 
 def _pallas_forward(pts, c2f_w, weights, biases, skip, L, compute_dtype,
                     tile=512, interpret=False):
+    import os
     M = pts.shape[0]
     pad = (-M) % tile
     pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
@@ -150,12 +170,22 @@ def _pallas_forward(pts, c2f_w, weights, biases, skip, L, compute_dtype,
     feat_dim = weights[-1].shape[1] - 1
     grid = ((M + pad) // tile,)
 
+    enc_mode = os.environ.get("TEXPOSE_TRUNK_POSENC", "matmul")
     kernel = functools.partial(_kernel, L, skip, n,
-                               compute_dtype or jnp.float32)
+                               compute_dtype or jnp.float32, enc_mode)
     aux = jnp.stack([_freq(L, pts.dtype), c2f_w.astype(pts.dtype)])  # [2,L]
     in_specs = [pl.BlockSpec((tile, 3), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM)]       # aux [2,L]
+    enc_args = []
+    cdtype = compute_dtype or jnp.float32
+    if enc_mode == "matmul":
+        from .fused_st_field import (make_posenc_mm_aux,
+                                     split_trunk_weights_mm)
+        wc = [w.astype(cdtype) for w in weights]
+        enc_args = ([make_posenc_mm_aux(L, c2f_w.astype(jnp.float32))]
+                    + split_trunk_weights_mm(wc, tuple(sorted(skip)), 6 * L))
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(enc_args)
     for w in weights:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     for b in biases:
@@ -177,7 +207,7 @@ def _pallas_forward(pts, c2f_w, weights, biases, skip, L, compute_dtype,
         # row tiles are independent → let Mosaic pipeline/overlap grid steps
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
-    )(pts_p, aux, *weights_c, *biases)
+    )(pts_p, aux, *enc_args, *weights_c, *biases)
     return feat[:M], dens[:M, 0]
 
 

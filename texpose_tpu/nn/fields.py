@@ -242,7 +242,8 @@ def apply_nerf_fused(params, cfg, points, ray_unit=None, progress=None,
         tuple(cfg.arch.skip), L3, tile=_fit_tile(tile, pts.shape[0]),
         compute_dtype=compute_dtype or jnp.bfloat16, interpret=interpret,
         subtiles_fwd=kcfg.get("coarse_subtiles_fwd"),
-        subtiles_bwd=kcfg.get("coarse_subtiles_bwd"))
+        subtiles_bwd=kcfg.get("coarse_subtiles_bwd"),
+        enc_mode=kcfg.get("coarse_posenc"))
     rgb = jax.nn.sigmoid(rgb_raw).reshape(*shape, 3)
     density = DENSITY_ACTIVATIONS[cfg.arch.density_activ](
         dens_raw[:, 0]).reshape(shape)
@@ -410,7 +411,8 @@ def apply_nerf_st_raw(params, cfg, points, ray_unit, latent_trans,
         subtiles_bwd=kcfg.get("st_subtiles_bwd"),
         fullblock=kcfg.get("st_trunk_fullblock"),
         packed=kcfg.get("st_pack_heads"),
-        trunk_int8=kcfg.get("st_trunk_int8"))
+        trunk_int8=kcfg.get("st_trunk_int8"),
+        enc_mode=kcfg.get("st_posenc"))
 
 
 def apply_nerf_st_fused(params, cfg, points, ray_unit, latent_trans,

@@ -86,6 +86,9 @@ VARIANTS = {
     # dynamics untouched); r3 candidate vs latreg for the 20k gate
     "ema": {"render.latent_ema": 0.999},
     "ema_latreg": {"render.latent_ema": 0.999, "latent_reg": -2},
+    # int8 trunk kernel quality gate (perf candidate; ship only if flat)
+    "int8": {"kernels.st_trunk_int8": True},
+    "ema_int8": {"render.latent_ema": 0.999, "kernels.st_trunk_int8": True},
 }
 
 

@@ -1,22 +1,19 @@
-"""Dev utility: trustworthy MXU micro-benchmarks through the TPU tunnel.
+"""Dev utility: MXU micro-benchmarks that survive the TPU tunnel.
 
-Every measurement is a lax.scan-CHAINED computation inside ONE jit whose
-scalar result is read back to the host (np.asarray) — the only timing
-pattern this tunnel does not fake (CLAUDE.md measurement warning; plain
-block_until_ready timings have reported 40,000 "TFLOPs").
+Measurement protocol (the only one that cannot be faked here):
+  * every timing ends in float(np.asarray(...)) — a real host read;
+  * each case is timed at TWO in-kernel chain depths (L_hi vs L_lo) and
+    reported as the DIFFERENCE per extra matmul — the ~20 ms tunnel
+    round-trip and dispatch overhead cancel exactly;
+  * block_until_ready and bare dispatch loops are worthless: this tunnel
+    has "measured" a [131072,256]x[256,256] chain at 3,648 TFLOPs.
 
-Probes (select with argv, default 'shapes'):
-  shapes  — chained pallas matmuls at trunk-class shapes, varying N/K
-            width and the number of interleaved independent chains (ILP):
-            locates the per-shape MXU ceiling behind the 48-TFLOPs trunk.
-  xla     — the same chained matmul in plain XLA (no pallas) for the
-            compiler baseline.
-  int8    — int8×int8→int32 chained pallas matmul vs bf16.
-
-Keep each probe SMALL: remote compiles are minutes; a killed client can
-wedge the tunnel for everyone.
+Probes chained [tile,K]x[K,K] matmuls over a 131k-row grid (the trunk
+envelope), varying width K and interleaved independent chains (ILP).
 """
 
+import functools
+import os
 import sys
 import time
 
@@ -28,111 +25,128 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+ROWS = 131072
+L_LO, L_HI = 4, 68          # 64 extra matmuls between the two depths
 
-def timed(fn, flops, reps=3):
-    out = fn()
-    _ = float(np.asarray(out))            # compile + blocking read
+
+def read_timed(f, *a, reps=5):
+    """min wall time of dispatch + host read (compile on first call)."""
+    r = f(*a)
+    _ = float(np.asarray(r))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        _ = float(np.asarray(fn()))
+        _ = float(np.asarray(f(*a)))
         best = min(best, time.perf_counter() - t0)
-    return best * 1000, flops / best / 1e12
+    return best * 1000
 
 
-def chain_kernel(n_layers, n_chains, dtype, acc_dtype, x_ref, w_ref, o_ref):
-    """Per grid step: n_chains independent chains of n_layers dependent
-    matmuls on [S, K]×[K, N] (same weight — dependency is what matters)."""
-    w = w_ref[...]
+def _kernel(n_layers, n_chains, in_dtype, acc, n_weights, x_ref, *refs):
+    w_refs = refs[:n_weights]
+    o_ref = refs[n_weights]
     S = x_ref.shape[0] // n_chains
+    outs = []
     for c in range(n_chains):
         h = x_ref[pl.ds(c * S, S), :]
-        for _ in range(n_layers):
+        for li in range(n_layers):
+            # cycling distinct weights forces an MXU weight reload per
+            # matmul — the realistic MLP pattern; n_weights=1 is the
+            # weight-stationary best case
+            w = w_refs[li % n_weights][...]
             h = jax.lax.dot_general(
-                h.astype(dtype), w, (((1,), (0,)), ((), ())),
-                preferred_element_type=acc_dtype)
-            if acc_dtype == jnp.int32:
+                h.astype(in_dtype), w, (((1,), (0,)), ((), ())),
+                preferred_element_type=acc)
+            if acc == jnp.int32:
                 h = jnp.maximum(h >> 7, -127)
             else:
                 h = jnp.maximum(h, 0.0)
-        o_ref[pl.ds(c * S, S), :] = h[:, :o_ref.shape[1]].astype(o_ref.dtype)
+        outs.append(h)
+    for c, h in enumerate(outs):
+        o_ref[pl.ds(c * S, S), :] = h.astype(o_ref.dtype)
 
 
-def probe_shapes(cases, dtype=jnp.bfloat16, acc=jnp.float32, scan_k=30,
-                 n_layers=8, rows=2048):
-    for (K, N, n_chains) in cases:
-        if N < K:      # chain needs square-ish flow; keep N==K here
-            continue
-        w_np = (np.random.randn(K, N) * 0.05).astype(np.float32)
-        x_np = np.random.randn(rows, K).astype(np.float32)
-        if acc == jnp.int32:
-            w_in = jnp.asarray(np.clip(np.round(w_np * 127), -127, 127),
-                               jnp.int8)
-            x_in = jnp.asarray(np.clip(np.round(x_np * 16), -127, 127),
-                               jnp.int8)
-            out_dtype = jnp.int8
-        else:
-            w_in = jnp.asarray(w_np, dtype)
-            x_in = jnp.asarray(x_np, dtype)
-            out_dtype = dtype
-
-        import functools
-        kern = functools.partial(chain_kernel, n_layers, n_chains, dtype
-                                 if acc != jnp.int32 else jnp.int8, acc)
-        import os
-        call = pl.pallas_call(
-            kern,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((rows, K), out_dtype),
-            interpret=os.environ.get("MXU_PROBE_INTERPRET") == "1",
-        )
-
-        def fn():
-            def body(x, _):
-                y = call(x, w_in)
-                return y, ()
-            y, _ = jax.lax.scan(body, x_in, None, length=scan_k)
-            return y[0, 0].astype(jnp.float32)
-
-        jfn = jax.jit(fn)
-        flops = 2.0 * rows * K * N * n_layers * scan_k
-        ms, tf = timed(jfn, flops)
-        unit = "TOPs" if acc == jnp.int32 else "TFLOPs"
-        print(f"K={K:4d} N={N:4d} chains={n_chains}  "
-              f"{ms/scan_k/n_layers:7.4f} ms/matmul  {tf:6.1f} {unit}",
-              flush=True)
+def _build(K, n_chains, n_layers, tile, int8, interpret, n_weights=1):
+    if int8:
+        in_dtype, acc, out_dtype = jnp.int8, jnp.int32, jnp.int8
+    else:
+        in_dtype, acc, out_dtype = jnp.bfloat16, jnp.float32, jnp.bfloat16
+    kern = functools.partial(_kernel, n_layers, n_chains, in_dtype, acc,
+                             n_weights)
+    call = pl.pallas_call(
+        kern,
+        grid=(ROWS // tile,),
+        in_specs=[pl.BlockSpec((tile, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_weights,
+        out_specs=pl.BlockSpec((tile, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ROWS, K), out_dtype),
+        interpret=interpret,
+    )
+    return jax.jit(
+        lambda x, *ws: call(x, *ws).astype(jnp.float32)[0, 0])
 
 
-def probe_xla(scan_k=50, rows=131072, K=256, N=256):
-    w = jnp.asarray(np.random.randn(K, N).astype(np.float32) * 0.05,
-                    jnp.bfloat16)
-    x = jnp.asarray(np.random.randn(rows, K).astype(np.float32),
-                    jnp.bfloat16)
+def probe(K=256, n_chains=1, tile=2048, int8=False, interpret=None,
+          l_lo=L_LO, l_hi=L_HI, n_weights=1):
+    if interpret is None:
+        interpret = os.environ.get("MXU_PROBE_INTERPRET") == "1"
+    if int8:
+        ws = [jnp.asarray(np.random.randint(-90, 90, (K, K)), jnp.int8)
+              for _ in range(n_weights)]
+        x = jnp.asarray(np.random.randint(-90, 90, (ROWS, K)), jnp.int8)
+    else:
+        ws = [jnp.asarray(np.random.randn(K, K) * 0.05, jnp.bfloat16)
+              for _ in range(n_weights)]
+        x = jnp.asarray(np.random.randn(ROWS, K), jnp.bfloat16)
+    t_lo = read_timed(_build(K, n_chains, l_lo, tile, int8, interpret,
+                             n_weights), x, *ws)
+    t_hi = read_timed(_build(K, n_chains, l_hi, tile, int8, interpret,
+                             n_weights), x, *ws)
+    n_extra = l_hi - l_lo
+    per = (t_hi - t_lo) / n_extra                      # ms per matmul layer
+    flops = 2.0 * ROWS * K * K
+    unit = "TOPs" if int8 else "TFLOPs"
+    print(f"K={K:4d} chains={n_chains} tile={tile} nw={n_weights} "
+          f"{'int8' if int8 else 'bf16'}: {per:7.4f} ms/layer "
+          f"({t_lo:6.2f}->{t_hi:6.2f})  {flops/per/1e9:6.1f} {unit}",
+          flush=True)
 
-    def fn():
-        def body(h, _):
-            z = jax.lax.dot_general(h, w, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            return jnp.maximum(z, 0.0).astype(jnp.bfloat16), ()
-        y, _ = jax.lax.scan(body, x, None, length=scan_k)
-        return y[0, 0].astype(jnp.float32)
 
-    ms, tf = timed(jax.jit(fn), 2.0 * rows * K * N * scan_k)
-    print(f"plain XLA [{rows},{K}]x[{K},{N}] chain: "
-          f"{ms/scan_k:7.4f} ms/matmul  {tf:6.1f} TFLOPs", flush=True)
+def probe_xla(K=256, l_lo=L_LO, l_hi=L_HI):
+    w = jnp.asarray(np.random.randn(K, K) * 0.05, jnp.bfloat16)
+    x = jnp.asarray(np.random.randn(ROWS, K), jnp.bfloat16)
+
+    def chain(n):
+        def f(x, w):
+            h = x
+            for _ in range(n):
+                z = jax.lax.dot_general(h, w, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                h = jnp.maximum(z, 0.0).astype(jnp.bfloat16)
+            return h.astype(jnp.float32)[0, 0]
+        return jax.jit(f)
+    t_lo = read_timed(chain(l_lo), x, w)
+    t_hi = read_timed(chain(l_hi), x, w)
+    per = (t_hi - t_lo) / (l_hi - l_lo)
+    print(f"plain XLA K={K}: {per:7.4f} ms/layer ({t_lo:6.2f}->{t_hi:6.2f})"
+          f"  {2.0*ROWS*K*K/per/1e9:6.1f} TFLOPs", flush=True)
 
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "shapes"
     if which == "shapes":
-        probe_shapes([(256, 256, 1), (256, 256, 4),
-                      (512, 512, 1), (128, 128, 1)])
+        # deep chains (Δ=256 layers ≈ 20+ ms of compute — far above the
+        # ±2 ms tunnel jitter that corrupted the shallow version)
+        probe(256, 1, l_lo=4, l_hi=260)
+        probe(256, 2, l_lo=4, l_hi=260)
+        probe(256, 1, l_lo=4, l_hi=260, n_weights=8)   # realistic reloads
+        probe(256, 4, l_lo=4, l_hi=260, n_weights=8)
+        probe(256, 1, l_lo=4, l_hi=260, n_weights=8, tile=8192)
     elif which == "xla":
         probe_xla()
     elif which == "int8":
-        probe_shapes([(256, 256, 1), (256, 256, 4), (512, 512, 1)],
-                     acc=jnp.int32)
+        probe(256, 1, int8=True, l_lo=4, l_hi=260)
+        probe(256, 1, int8=True, l_lo=4, l_hi=260, n_weights=8)
     else:
         raise SystemExit(f"unknown probe {which}")
