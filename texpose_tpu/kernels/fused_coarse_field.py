@@ -91,8 +91,11 @@ def _field_forward_mm(pts, enc_view, auxm_ref, wf, bf, wr, br, skip,
     D = auxm_ref[0:3, :]
     phase = auxm_ref[3:4, :]
     wb = auxm_ref[4:5, :]
+    # HIGHEST is load-bearing: see fused_st_field._trunk_feat_mm — DEFAULT
+    # computes this f32 matmul at bf16 and wrecks the high-band angles.
     spec = jax.lax.dot_general(pts, D, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32) + phase
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST) + phase
     sinw = (jnp.sin(spec) * wb).astype(cdtype)
     ptsc = pts.astype(cdtype)
     E = sinw.shape[1]

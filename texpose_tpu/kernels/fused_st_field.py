@@ -106,29 +106,47 @@ def make_posenc_mm_aux(L, c2f_w, dtype=jnp.float32):
                             wb.astype(jnp.float32)], axis=0).astype(dtype)
 
 
-def split_trunk_weights_mm(trunk_wc, skip, E):
+def split_trunk_weights_mm(trunk_wc, skip, E, trunk_b=None):
     """Trace-time row-split of the first/skip trunk weights for the
     matmul-form posenc: [w0_pts, w0_sin] + per-skip [w_h, w_pts, w_sin].
     Passing the pieces as separate kernel inputs avoids in-kernel ref
     slicing at sublane-misaligned rows (3:3+E), which forces a weight
-    relayout every tile."""
+    relayout every tile.
+
+    With trunk_b, also appends the LAST layer's weight/bias with the
+    density column rotated to the END: the reference convention puts
+    density at column 0, so feat = z[:, 1:] — a LANE-misaligned slice of
+    a [T,257] block that relayouts the whole feature map every tile.
+    Permuted, both slices land on 128-lane boundaries.  Only valid when
+    the last layer is not a skip layer."""
     parts = [trunk_wc[0][:3], trunk_wc[0][3:3 + E]]
     for li in sorted(skip):
         w = trunk_wc[li]
         F = w.shape[0] - 3 - E
         parts += [w[:F], w[F:F + 3], w[F + 3:F + 3 + E]]
+    if trunk_b is not None:
+        wn, bn = trunk_wc[-1], trunk_b[-1]
+        parts += [jnp.concatenate([wn[:, 1:], wn[:, 0:1]], axis=1),
+                  jnp.concatenate([bn[..., 1:], bn[..., 0:1]], axis=-1)]
     return parts
 
 
 def _trunk_feat_mm(pts, auxm_ref, w_refs, b_refs, skip, cdtype,
-                   mm_refs=None):
+                   mm_refs=None, perm_last=False):
     """Matmul-form posenc trunk: see make_posenc_mm_aux.  mm_refs: the
-    split_trunk_weights_mm pieces (falls back to ref slicing if absent)."""
+    split_trunk_weights_mm pieces (falls back to ref slicing if absent);
+    perm_last: mm_refs carries the density-col-rotated last layer — both
+    output slices become lane-aligned."""
     D = auxm_ref[0:3, :]
     phase = auxm_ref[3:4, :]
     wb = auxm_ref[4:5, :]
+    # Precision.HIGHEST is load-bearing: DEFAULT runs the f32 matmul as a
+    # single bf16 MXU pass, and a bf16-rounded angle at band 2^9·π is off
+    # by O(radians) — sin() output becomes noise (on-TPU parity failed at
+    # grad rel ~0.5 before this).  K=3, so the multi-pass cost is nil.
     spec = jax.lax.dot_general(pts, D, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32) + phase
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST) + phase
     sinw = (jnp.sin(spec) * wb).astype(cdtype)
     ptsc = pts.astype(cdtype)
     E = sinw.shape[1]
@@ -150,6 +168,7 @@ def _trunk_feat_mm(pts, auxm_ref, w_refs, b_refs, skip, cdtype,
     h = None
     dens = None
     for li in range(n):
+        last = li == n - 1
         if li == 0:
             w_pts, w_sin, _ = pieces(li)
             z = _dot(ptsc, w_pts) + _dot(sinw, w_sin) + b_refs[li][...]
@@ -157,9 +176,14 @@ def _trunk_feat_mm(pts, auxm_ref, w_refs, b_refs, skip, cdtype,
             w_pts, w_sin, w_h = pieces(li)
             z = (_dot(h.astype(cdtype), w_h) + _dot(ptsc, w_pts)
                  + _dot(sinw, w_sin) + b_refs[li][...])
+        elif last and perm_last:
+            # density column rotated to the end → both slices lane-aligned
+            z = _dot(h.astype(cdtype), mm_refs[-2][...]) + mm_refs[-1][...]
+            F = z.shape[1] - 1
+            return jnp.maximum(z[:, :F], 0.0), z[:, F:F + 1]
         else:
             z = _dot(h.astype(cdtype), w_refs[li][...]) + b_refs[li][...]
-        if li == n - 1:
+        if last:
             dens = z[:, 0:1]
             z = z[:, 1:]
         h = jnp.maximum(z, 0.0)
@@ -253,8 +277,9 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     enc_extra = refs[0] if enc_mode != "kernel" else None
     refs = refs[1:] if enc_mode != "kernel" else refs
     mm_refs = None
+    perm_last = enc_mode == "matmul" and (n_trunk - 1) not in skip
     if enc_mode == "matmul":
-        n_mm = 2 + 3 * len(skip)
+        n_mm = 2 + 3 * len(skip) + (2 if perm_last else 0)
         mm_refs = refs[:n_mm]
         refs = refs[n_mm:]
     wf = refs[:n_trunk]
@@ -273,7 +298,7 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     def trunk(pts_blk, sl=None):
         if enc_mode == "matmul":
             return _trunk_feat_mm(pts_blk, enc_extra, wf, bf, skip, cdtype,
-                                  mm_refs=mm_refs)
+                                  mm_refs=mm_refs, perm_last=perm_last)
         x_pre = None
         if enc_mode == "outside":
             x_pre = (enc_extra[...] if sl is None
@@ -454,7 +479,9 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     kernel = functools.partial(_fwd_kernel, L3, skip, nr, nt, n_trunk,
                                tiles_per_img, cdtype, subtiles, fullblock,
                                packed, trunk_int8, enc_mode)
-    n_mm = (2 + 3 * len(skip)) if enc_mode == "matmul" else 0
+    perm_last = (n_trunk - 1) not in skip
+    n_mm = (2 + 3 * len(skip) + (2 if perm_last else 0)) \
+        if enc_mode == "matmul" else 0
     if enc_mode == "outside":
         enc_spec = [_row_spec(tile, enc_extra.shape[1])]
     elif enc_mode == "matmul":
@@ -492,7 +519,9 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     # (3.98 vs 3.33 ms) — default OFF, switchable for future A/Bs
     import os
     par = os.environ.get("TEXPOSE_ST_FWD_PARALLEL", "0") != "0"
-    mm_parts = split_trunk_weights_mm(trunk_wc, skip, 6 * L3) \
+    mm_parts = split_trunk_weights_mm(
+        trunk_wc, skip, 6 * L3,
+        trunk_b=trunk_b if perm_last else None) \
         if enc_mode == "matmul" else []
     return pl.pallas_call(
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,

@@ -124,15 +124,17 @@ def _kernel(L, skip, n_layers, compute_dtype, enc_mode,
     if enc_mode == "matmul":
         from .fused_st_field import _trunk_feat_mm
         skip_t = tuple(sorted(skip))
+        perm_last = (n_layers - 1) not in skip_t
         auxm_ref = refs[0]
-        n_mm = 2 + 3 * len(skip_t)
+        n_mm = 2 + 3 * len(skip_t) + (2 if perm_last else 0)
         mm_refs = refs[1:1 + n_mm]
         refs = refs[1 + n_mm:]
         w_refs = refs[:n_layers]
         b_refs = refs[n_layers:2 * n_layers]
         feat_ref, dens_ref = refs[2 * n_layers:]
         feat, dens = _trunk_feat_mm(pts_ref[...], auxm_ref, w_refs, b_refs,
-                                    skip_t, compute_dtype, mm_refs=mm_refs)
+                                    skip_t, compute_dtype, mm_refs=mm_refs,
+                                    perm_last=perm_last)
         dens_ref[...] = dens
         feat_ref[...] = feat
         return
@@ -183,8 +185,11 @@ def _pallas_forward(pts, c2f_w, weights, biases, skip, L, compute_dtype,
         from .fused_st_field import (make_posenc_mm_aux,
                                      split_trunk_weights_mm)
         wc = [w.astype(cdtype) for w in weights]
+        perm_last = (len(weights) - 1) not in skip
         enc_args = ([make_posenc_mm_aux(L, c2f_w.astype(jnp.float32))]
-                    + split_trunk_weights_mm(wc, tuple(sorted(skip)), 6 * L))
+                    + split_trunk_weights_mm(
+                        wc, tuple(sorted(skip)), 6 * L,
+                        trunk_b=list(biases) if perm_last else None))
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(enc_args)
     for w in weights:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))

@@ -55,8 +55,9 @@ def main():
 
     import sys as _sys
     # defaults mirror the production path (nn/fields.apply_nerf_st_raw);
-    # tb=1024 x the default bwd subtiles OOMs scoped VMEM
-    tf = int(_sys.argv[1]) if len(_sys.argv) > 1 else 1024
+    # tb=1024 x the default bwd subtiles OOMs scoped VMEM, and tf=1024
+    # with the perm_last matmul-posenc weights OOMs scoped VMEM by 4M
+    tf = int(_sys.argv[1]) if len(_sys.argv) > 1 else 512
     tb = int(_sys.argv[2]) if len(_sys.argv) > 2 else 512
 
     # pts/enc MUST be jit arguments: as closed-over constants the compiler
