@@ -132,11 +132,19 @@ def split_trunk_weights_mm(trunk_wc, skip, E, trunk_b=None):
 
 
 def _trunk_feat_mm(pts, auxm_ref, w_refs, b_refs, skip, cdtype,
-                   mm_refs=None, perm_last=False):
+                   mm_refs=None, perm_last=False, ws_refs=None,
+                   last_scale=None):
     """Matmul-form posenc trunk: see make_posenc_mm_aux.  mm_refs: the
     split_trunk_weights_mm pieces (falls back to ref slicing if absent);
     perm_last: mm_refs carries the density-col-rotated last layer — both
-    output slices become lane-aligned."""
+    output slices become lane-aligned.
+
+    ws_refs (per-layer [1,O] scales, entries used only for plain hidden
+    layers) switches those layers' matmuls to int8 (_dot_int8); with
+    last_scale, the rotated last layer is int8 too.  Layer 0 and the skip
+    layers stay in cdtype — they carry the f32-exact sin bands (≈20% of
+    trunk FLOPs), so int8 composes with the concat-free posenc instead of
+    forcing the materialized "outside" encoding."""
     D = auxm_ref[0:3, :]
     phase = auxm_ref[3:4, :]
     wb = auxm_ref[4:5, :]
@@ -178,9 +186,16 @@ def _trunk_feat_mm(pts, auxm_ref, w_refs, b_refs, skip, cdtype,
                  + _dot(sinw, w_sin) + b_refs[li][...])
         elif last and perm_last:
             # density column rotated to the end → both slices lane-aligned
-            z = _dot(h.astype(cdtype), mm_refs[-2][...]) + mm_refs[-1][...]
+            if last_scale is not None:
+                wn, bn = mm_refs[-3], mm_refs[-2]
+                z = _dot_int8(h, wn, last_scale) + bn[...]
+            else:
+                z = _dot(h.astype(cdtype), mm_refs[-2][...]) \
+                    + mm_refs[-1][...]
             F = z.shape[1] - 1
             return jnp.maximum(z[:, :F], 0.0), z[:, F:F + 1]
+        elif ws_refs is not None:
+            z = _dot_int8(h, w_refs[li], ws_refs[li]) + b_refs[li][...]
         else:
             z = _dot(h.astype(cdtype), w_refs[li][...]) + b_refs[li][...]
         if last:
@@ -278,8 +293,11 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     refs = refs[1:] if enc_mode != "kernel" else refs
     mm_refs = None
     perm_last = enc_mode == "matmul" and (n_trunk - 1) not in skip
+    int8_mm = int8 and enc_mode == "matmul"
     if enc_mode == "matmul":
-        n_mm = 2 + 3 * len(skip) + (2 if perm_last else 0)
+        # int8_mm appends the rotated last-layer scale as one more mm piece
+        n_mm = 2 + 3 * len(skip) + \
+            ((3 if int8_mm else 2) if perm_last else 0)
         mm_refs = refs[:n_mm]
         refs = refs[n_mm:]
     wf = refs[:n_trunk]
@@ -297,8 +315,11 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     S = pts_ref.shape[0] // subtiles
     def trunk(pts_blk, sl=None):
         if enc_mode == "matmul":
-            return _trunk_feat_mm(pts_blk, enc_extra, wf, bf, skip, cdtype,
-                                  mm_refs=mm_refs, perm_last=perm_last)
+            return _trunk_feat_mm(
+                pts_blk, enc_extra, wf, bf, skip, cdtype,
+                mm_refs=mm_refs, perm_last=perm_last,
+                ws_refs=wsf if int8_mm else None,
+                last_scale=mm_refs[-1] if (int8_mm and perm_last) else None)
         x_pre = None
         if enc_mode == "outside":
             x_pre = (enc_extra[...] if sl is None
@@ -480,7 +501,9 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
                                tiles_per_img, cdtype, subtiles, fullblock,
                                packed, trunk_int8, enc_mode)
     perm_last = (n_trunk - 1) not in skip
-    n_mm = (2 + 3 * len(skip) + (2 if perm_last else 0)) \
+    int8_mm = trunk_int8 and enc_mode == "matmul"
+    n_mm = (2 + 3 * len(skip)
+            + ((3 if int8_mm else 2) if perm_last else 0)) \
         if enc_mode == "matmul" else 0
     if enc_mode == "outside":
         enc_spec = [_row_spec(tile, enc_extra.shape[1])]
@@ -506,8 +529,18 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
         # offline per-output-column weight quantization (trunk frozen)
         wsf = [jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
                            1e-12) * (1.0 / 127.0) for w in trunk_w]
-        trunk_wc = [jnp.round(w / s).astype(jnp.int8)
-                    for w, s in zip(trunk_w, wsf)]
+        if int8_mm:
+            # matmul posenc composes: only the plain hidden layers run
+            # int8 (the kernel reads w_refs[li] for those); layer 0 / skip
+            # / last are consumed via the cdtype mm pieces below
+            trunk_wc = [
+                jnp.round(w / s).astype(jnp.int8)
+                if (0 < li < n_trunk - 1 and li not in skip)
+                else w.astype(cdtype)
+                for li, (w, s) in enumerate(zip(trunk_w, wsf))]
+        else:
+            trunk_wc = [jnp.round(w / s).astype(jnp.int8)
+                        for w, s in zip(trunk_w, wsf)]
     else:
         wsf = []
         trunk_wc = [w.astype(cdtype) for w in trunk_w]
@@ -519,10 +552,23 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     # (3.98 vs 3.33 ms) — default OFF, switchable for future A/Bs
     import os
     par = os.environ.get("TEXPOSE_ST_FWD_PARALLEL", "0") != "0"
-    mm_parts = split_trunk_weights_mm(
-        trunk_wc, skip, 6 * L3,
-        trunk_b=trunk_b if perm_last else None) \
-        if enc_mode == "matmul" else []
+    if enc_mode == "matmul":
+        mm_parts = split_trunk_weights_mm(
+            trunk_wc, skip, 6 * L3,
+            trunk_b=None if int8_mm else (trunk_b if perm_last else None))
+        if int8_mm and perm_last:
+            # rotated-density last layer, int8: quantize per OUTPUT column
+            # after the rotation so the scale row rotates with it
+            wn, bn = trunk_w[-1], trunk_b[-1]
+            wn_rot = jnp.concatenate([wn[:, 1:], wn[:, 0:1]], axis=1)
+            sn = jnp.maximum(
+                jnp.max(jnp.abs(wn_rot), axis=0, keepdims=True),
+                1e-12) * (1.0 / 127.0)
+            mm_parts += [jnp.round(wn_rot / sn).astype(jnp.int8),
+                         jnp.concatenate([bn[..., 1:], bn[..., 0:1]],
+                                         axis=-1), sn]
+    else:
+        mm_parts = []
     return pl.pallas_call(
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
@@ -704,8 +750,6 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     # streamed in), "kernel" (legacy in-kernel elementwise build)
     if enc_mode is None:
         enc_mode = os.environ.get("TEXPOSE_ST_POSENC", "matmul")
-    if trunk_int8 and enc_mode == "matmul":
-        enc_mode = "outside"      # int8 path needs the materialized x
     assert enc_mode in ("kernel", "outside", "matmul"), enc_mode
     M = pts.shape[0]
     if M % (int(tile_fwd) * sub_fwd):
