@@ -30,7 +30,7 @@ except Exception:  # pragma: no cover
 
 from .fused_trunk import _posenc_rows, _freq
 from .fused_st_field import (_dot, _dot_t1, _dot_t2, make_posenc_mm_aux,
-                             split_trunk_weights_mm)
+                             make_sinw, split_trunk_weights_mm)
 
 
 def fused_coarse_available():
@@ -83,20 +83,30 @@ def _field_forward(pts, enc_view, aux3, wf, bf, wr, br, skip, L3, cdtype,
 
 
 def _field_forward_mm(pts, enc_view, auxm_ref, wf, bf, wr, br, skip,
-                      cdtype, want_acts=False, mm_refs=None):
+                      cdtype, want_acts=False, mm_refs=None,
+                      sinw_pre=None):
     """Matmul-form posenc coarse field (see fused_st_field.
     make_posenc_mm_aux): the [T,3+6L] encoding never materializes — the
     first/skip trunk layers consume (pts, sin-bands) via row-split weights,
-    eliminating every narrow-lane concat of the element-wise build."""
-    D = auxm_ref[0:3, :]
-    phase = auxm_ref[3:4, :]
-    wb = auxm_ref[4:5, :]
-    # HIGHEST is load-bearing: see fused_st_field._trunk_feat_mm — DEFAULT
-    # computes this f32 matmul at bf16 and wrecks the high-band angles.
-    spec = jax.lax.dot_general(pts, D, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST) + phase
-    sinw = (jnp.sin(spec) * wb).astype(cdtype)
+    eliminating every narrow-lane concat of the element-wise build.
+
+    sinw_pre ("sinext"): sin bands built outside in XLA and streamed —
+    skips the in-kernel HIGHEST angle matmul (fwd AND the bwd recompute,
+    so the coarse kernel saves it twice per step)."""
+    if sinw_pre is not None:
+        sinw = sinw_pre.astype(cdtype)
+    else:
+        D = auxm_ref[0:3, :]
+        phase = auxm_ref[3:4, :]
+        wb = auxm_ref[4:5, :]
+        # HIGHEST is load-bearing: see fused_st_field._trunk_feat_mm —
+        # DEFAULT computes this f32 matmul at bf16 and wrecks the
+        # high-band angles.
+        spec = jax.lax.dot_general(
+            pts, D, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) + phase
+        sinw = (jnp.sin(spec) * wb).astype(cdtype)
     ptsc = pts.astype(cdtype)
     E = sinw.shape[1]
     acts = {"sinw": sinw, "ptsc": ptsc}
@@ -163,7 +173,8 @@ def _fwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles, enc_mode,
     enc_extra = refs[0] if enc_mode != "kernel" else None
     refs = refs[1:] if enc_mode != "kernel" else refs
     mm_refs = None
-    if enc_mode == "matmul":
+    mm_form = enc_mode in ("matmul", "sinext")
+    if mm_form:
         n_mm = 2 + 3 * len(skip)
         mm_refs = refs[:n_mm]
         refs = refs[n_mm:]
@@ -177,10 +188,13 @@ def _fwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles, enc_mode,
         sl = slice(k * S, (k + 1) * S)
         pts = pts_ref[sl, :]
         enc_view = enc_ref[sl, :] if has_view else None
-        if enc_mode == "matmul":
+        if mm_form:
             rgb_raw, dens_raw = _field_forward_mm(
-                pts, enc_view, enc_extra, wf, bf, wr, br, skip, cdtype,
-                mm_refs=mm_refs)
+                pts, enc_view,
+                enc_extra if enc_mode == "matmul" else None,
+                wf, bf, wr, br, skip, cdtype, mm_refs=mm_refs,
+                sinw_pre=enc_extra[sl, :] if enc_mode == "sinext"
+                else None)
         else:
             rgb_raw, dens_raw = _field_forward(
                 pts, enc_view, aux3_ref, wf, bf, wr, br, skip, L3, cdtype,
@@ -194,7 +208,8 @@ def _bwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles, enc_mode,
     enc_extra = refs[0] if enc_mode != "kernel" else None
     refs = refs[1:] if enc_mode != "kernel" else refs
     mm_refs = None
-    if enc_mode == "matmul":
+    mm_form = enc_mode in ("matmul", "sinext")
+    if mm_form:
         n_mm = 2 + 3 * len(skip)
         mm_refs = refs[:n_mm]
         refs = refs[n_mm:]
@@ -220,10 +235,14 @@ def _bwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles, enc_mode,
         sl = slice(k * S, (k + 1) * S)
         pts = pts_ref[sl, :]
         enc_view = enc_ref[sl, :] if has_view else None
-        if enc_mode == "matmul":
-            _, _, acts = _field_forward_mm(pts, enc_view, enc_extra, wf, bf,
-                                           wr, br, skip, cdtype,
-                                           want_acts=True, mm_refs=mm_refs)
+        if mm_form:
+            _, _, acts = _field_forward_mm(
+                pts, enc_view,
+                enc_extra if enc_mode == "matmul" else None,
+                wf, bf, wr, br, skip, cdtype,
+                want_acts=True, mm_refs=mm_refs,
+                sinw_pre=enc_extra[sl, :] if enc_mode == "sinext"
+                else None)
         else:
             _, _, acts = _field_forward(pts, enc_view, aux3_ref, wf, bf,
                                         wr, br, skip, L3, cdtype,
@@ -251,7 +270,7 @@ def _bwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles, enc_mode,
         g = g_last
         for li in range(nf - 1, -1, -1):
             gc = g.astype(cdtype)
-            if enc_mode == "matmul" and li == 0:
+            if mm_form and li == 0:
                 # layer 0 consumed (pts, sin-bands) via split rows; its dW
                 # splits the same way and pts/posenc get no dX at all.
                 # (concat the blocks as VALUES — sub-slice scratch writes
@@ -259,7 +278,7 @@ def _bwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles, enc_mode,
                 scratch[li][...] += jnp.concatenate(
                     [_dot_t1(acts["ptsc"], gc),
                      _dot_t1(acts["sinw"], gc)], axis=0)
-            elif enc_mode == "matmul" and li in skip:
+            elif mm_form and li in skip:
                 scratch[li][...] += jnp.concatenate(
                     [_dot_t1(acts[f"fa{li}"].astype(cdtype), gc),
                      _dot_t1(acts["ptsc"], gc),
@@ -269,7 +288,7 @@ def _bwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles, enc_mode,
                                             gc)
             scratch[nf + li][...] += jnp.sum(g, axis=0, keepdims=True)
             if li > 0:
-                if enc_mode == "matmul" and li in skip:
+                if mm_form and li in skip:
                     # dX only through the activation rows (posenc rows get
                     # no gradient) — fewer flops than slicing afterwards
                     Fh = acts[f"fa{li}"].shape[1]
@@ -302,6 +321,8 @@ def _enc_specs(enc_mode, enc_extra, tile, n_mm=0):
         return [_row_spec(tile, enc_extra.shape[1])]
     if enc_mode == "matmul":
         return [_full()] * (1 + n_mm)
+    if enc_mode == "sinext":
+        return [_row_spec(tile, enc_extra.shape[1])] + [_full()] * n_mm
     return []
 
 
@@ -331,7 +352,7 @@ def _run_fwd(pts, enc_view, aux3, wf, bf, wr, br, skip, L3, tile, cdtype,
             dimension_semantics=("parallel",)),
     )(pts, enc_in, aux3, *([enc_extra] if enc_mode != "kernel" else []),
       *(split_trunk_weights_mm(wfc, skip, 6 * L3)
-        if enc_mode == "matmul" else []),
+        if enc_mode in ("matmul", "sinext") else []),
       *wfc, *bf, *wrc, *br)
 
 
@@ -366,7 +387,7 @@ def _run_bwd(pts, enc_view, aux3, wf, bf, wr, br, g_rgb, g_dens, skip, L3,
     )(pts, enc_in, aux3, g_rgb, g_dens,
       *([enc_extra] if enc_mode != "kernel" else []),
       *(split_trunk_weights_mm(wfc, skip, 6 * L3)
-        if enc_mode == "matmul" else []),
+        if enc_mode in ("matmul", "sinext") else []),
       *wfc, *bf, *wrc, *br)
 
 
@@ -378,6 +399,8 @@ def _make_op(skip, L3, tile, cdtype, has_view, interpret, sub_fwd=1,
         # _field_forward_mm / _field_forward)
         if enc_mode == "matmul":
             return make_posenc_mm_aux(L3, aux3[1])
+        if enc_mode == "sinext":
+            return make_sinw(pts, L3, aux3[1], cdtype)
         if enc_mode == "outside":
             return _posenc_rows(pts, L3, aux3[0], aux3[1])
         return None
@@ -445,9 +468,12 @@ def fused_coarse_field(pts, ray_enc, trunk_params, rgb_params, aux3, skip,
         subtiles_bwd = os.environ.get("TEXPOSE_COARSE_SUBTILES_BWD", "1")
     sub_fwd = int(subtiles_fwd)
     sub_bwd = int(subtiles_bwd)
+    # "sinext" default: the coarse bwd RECOMPUTES the field, so the saved
+    # in-kernel HIGHEST angle matmul pays off twice per step (see
+    # fused_st_field.make_sinw; ST A/B on v5e: fwd −11%, fwd+bwd −6%)
     if enc_mode is None:
-        enc_mode = os.environ.get("TEXPOSE_COARSE_POSENC", "matmul")
-    assert enc_mode in ("kernel", "outside", "matmul"), enc_mode
+        enc_mode = os.environ.get("TEXPOSE_COARSE_POSENC", "sinext")
+    assert enc_mode in ("kernel", "outside", "matmul", "sinext"), enc_mode
     M = pts.shape[0]
     if M % (int(tile) * sub_fwd):
         sub_fwd = 1

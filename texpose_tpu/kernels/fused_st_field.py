@@ -106,6 +106,26 @@ def make_posenc_mm_aux(L, c2f_w, dtype=jnp.float32):
                             wb.astype(jnp.float32)], axis=0).astype(dtype)
 
 
+def make_sinw(pts, L, c2f_w, dtype=jnp.bfloat16):
+    """[M, 6L] weighted sin bands built OUTSIDE the kernel ("sinext" mode),
+    column-ordered to match make_posenc_mm_aux (per dim d: L sin bands then
+    L cos bands at offset d·2L).
+
+    Why: the in-kernel matmul-form angle computation needs
+    Precision.HIGHEST (a bf16-rounded angle at band 2^9·π is noise), and
+    the multi-pass HIGHEST matmul costs ~0.47 ms per 131k-row trunk pass
+    on v5e (tools/mxu_probe.py trunk stages, r3) — serial time inside the
+    compute pipeline.  Built element-wise in XLA it is EXACT f32 (no
+    matmul rounding at all) and the [M,6L] result streams into the kernel
+    as a pipelined HBM load (~16 MB bf16 ≈ 0.02 ms)."""
+    L = int(L)
+    freqs = jnp.asarray((2.0 ** np.arange(L)) * np.pi, jnp.float32)
+    ang = pts.astype(jnp.float32)[:, :, None] * freqs          # [M,3,L]
+    blk = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    w = jnp.concatenate([c2f_w, c2f_w]).astype(jnp.float32)[None, None, :]
+    return (blk * w).reshape(pts.shape[0], 6 * L).astype(dtype)
+
+
 def split_trunk_weights_mm(trunk_wc, skip, E, trunk_b=None):
     """Trace-time row-split of the first/skip trunk weights for the
     matmul-form posenc: [w0_pts, w0_sin] + per-skip [w_h, w_pts, w_sin].
@@ -133,7 +153,7 @@ def split_trunk_weights_mm(trunk_wc, skip, E, trunk_b=None):
 
 def _trunk_feat_mm(pts, auxm_ref, w_refs, b_refs, skip, cdtype,
                    mm_refs=None, perm_last=False, ws_refs=None,
-                   last_scale=None):
+                   last_scale=None, sinw_pre=None):
     """Matmul-form posenc trunk: see make_posenc_mm_aux.  mm_refs: the
     split_trunk_weights_mm pieces (falls back to ref slicing if absent);
     perm_last: mm_refs carries the density-col-rotated last layer — both
@@ -144,18 +164,27 @@ def _trunk_feat_mm(pts, auxm_ref, w_refs, b_refs, skip, cdtype,
     last_scale, the rotated last layer is int8 too.  Layer 0 and the skip
     layers stay in cdtype — they carry the f32-exact sin bands (≈20% of
     trunk FLOPs), so int8 composes with the concat-free posenc instead of
-    forcing the materialized "outside" encoding."""
-    D = auxm_ref[0:3, :]
-    phase = auxm_ref[3:4, :]
-    wb = auxm_ref[4:5, :]
-    # Precision.HIGHEST is load-bearing: DEFAULT runs the f32 matmul as a
-    # single bf16 MXU pass, and a bf16-rounded angle at band 2^9·π is off
-    # by O(radians) — sin() output becomes noise (on-TPU parity failed at
-    # grad rel ~0.5 before this).  K=3, so the multi-pass cost is nil.
-    spec = jax.lax.dot_general(pts, D, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST) + phase
-    sinw = (jnp.sin(spec) * wb).astype(cdtype)
+    forcing the materialized "outside" encoding.
+
+    sinw_pre ("sinext" mode): the weighted sin bands computed OUTSIDE the
+    kernel (make_sinw) and streamed in — skips the in-kernel HIGHEST
+    angle matmul (~0.47 ms per 131k-row pass on v5e)."""
+    if sinw_pre is not None:
+        sinw = sinw_pre.astype(cdtype)
+    else:
+        D = auxm_ref[0:3, :]
+        phase = auxm_ref[3:4, :]
+        wb = auxm_ref[4:5, :]
+        # Precision.HIGHEST is load-bearing: DEFAULT runs the f32 matmul
+        # as a single bf16 MXU pass, and a bf16-rounded angle at band
+        # 2^9·π is off by O(radians) — sin() output becomes noise (on-TPU
+        # parity failed at grad rel ~0.5 before this).  K=3, so the
+        # multi-pass cost is nil.
+        spec = jax.lax.dot_general(
+            pts, D, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) + phase
+        sinw = (jnp.sin(spec) * wb).astype(cdtype)
     ptsc = pts.astype(cdtype)
     E = sinw.shape[1]
     n = len(w_refs)
@@ -288,13 +317,15 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     # enc_mode: "kernel" (legacy in-kernel elementwise posenc), "outside"
     # (posenc streamed from XLA; refs[0] = [tile, 3+6L] rows), "matmul"
     # (refs[0] = make_posenc_mm_aux constants + split weight pieces;
-    # see _trunk_feat_mm)
+    # see _trunk_feat_mm), "sinext" (refs[0] = streamed [tile, 6L] weighted
+    # sin bands from make_sinw + the same split weight pieces)
     enc_extra = refs[0] if enc_mode != "kernel" else None
     refs = refs[1:] if enc_mode != "kernel" else refs
     mm_refs = None
-    perm_last = enc_mode == "matmul" and (n_trunk - 1) not in skip
-    int8_mm = int8 and enc_mode == "matmul"
-    if enc_mode == "matmul":
+    mm_form = enc_mode in ("matmul", "sinext")
+    perm_last = mm_form and (n_trunk - 1) not in skip
+    int8_mm = int8 and mm_form
+    if mm_form:
         # int8_mm appends the rotated last-layer scale as one more mm piece
         n_mm = 2 + 3 * len(skip) + \
             ((3 if int8_mm else 2) if perm_last else 0)
@@ -314,12 +345,18 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
 
     S = pts_ref.shape[0] // subtiles
     def trunk(pts_blk, sl=None):
-        if enc_mode == "matmul":
+        if mm_form:
+            sinw_pre = None
+            if enc_mode == "sinext":
+                sinw_pre = (enc_extra[...] if sl is None
+                            else enc_extra[sl, :])
             return _trunk_feat_mm(
-                pts_blk, enc_extra, wf, bf, skip, cdtype,
+                pts_blk, enc_extra if enc_mode == "matmul" else None,
+                wf, bf, skip, cdtype,
                 mm_refs=mm_refs, perm_last=perm_last,
                 ws_refs=wsf if int8_mm else None,
-                last_scale=mm_refs[-1] if (int8_mm and perm_last) else None)
+                last_scale=mm_refs[-1] if (int8_mm and perm_last) else None,
+                sinw_pre=sinw_pre)
         x_pre = None
         if enc_mode == "outside":
             x_pre = (enc_extra[...] if sl is None
@@ -501,14 +538,19 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
                                tiles_per_img, cdtype, subtiles, fullblock,
                                packed, trunk_int8, enc_mode)
     perm_last = (n_trunk - 1) not in skip
-    int8_mm = trunk_int8 and enc_mode == "matmul"
+    mm_form = enc_mode in ("matmul", "sinext")
+    int8_mm = trunk_int8 and mm_form
     n_mm = (2 + 3 * len(skip)
             + ((3 if int8_mm else 2) if perm_last else 0)) \
-        if enc_mode == "matmul" else 0
+        if mm_form else 0
     if enc_mode == "outside":
         enc_spec = [_row_spec(tile, enc_extra.shape[1])]
     elif enc_mode == "matmul":
         enc_spec = [_full_spec()] * (1 + n_mm)
+    elif enc_mode == "sinext":
+        # streamed sin bands tile first, then the full-VMEM weight pieces
+        enc_spec = [_row_spec(tile, enc_extra.shape[1])] \
+            + [_full_spec()] * n_mm
     else:
         enc_spec = []
     in_specs = ([_row_spec(tile, 3), _row_spec(tile, E), _full_spec(),
@@ -552,7 +594,7 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     # (3.98 vs 3.33 ms) — default OFF, switchable for future A/Bs
     import os
     par = os.environ.get("TEXPOSE_ST_FWD_PARALLEL", "0") != "0"
-    if enc_mode == "matmul":
+    if mm_form:
         mm_parts = split_trunk_weights_mm(
             trunk_wc, skip, 6 * L3,
             trunk_b=None if int8_mm else (trunk_b if perm_last else None))
@@ -645,8 +687,12 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
     def fwd_only(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3):
         if enc_mode == "matmul":
             # concat-free posenc (see make_posenc_mm_aux): the element-wise
-            # build costs ~2 ms / 131k rows wherever it runs
+            # build costs ~2 ms / 131k rows wherever it runs IN-KERNEL
             enc_extra = make_posenc_mm_aux(L3, aux3[1])
+        elif enc_mode == "sinext":
+            # f32-exact weighted sin bands built in XLA, streamed in (the
+            # kernel keeps the split-weight matmul-form trunk)
+            enc_extra = make_sinw(pts, L3, aux3[1], cdtype)
         elif enc_mode == "outside":
             enc_extra = _posenc_rows(pts, L3, aux3[0], aux3[1])
         else:
@@ -746,11 +792,14 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     if trunk_int8 is None:
         trunk_int8 = os.environ.get("TEXPOSE_ST_TRUNK_INT8", "0") == "1"
     trunk_int8 = bool(trunk_int8)
-    # posenc mode: "matmul" (concat-free, default), "outside" (XLA build
-    # streamed in), "kernel" (legacy in-kernel elementwise build)
+    # posenc mode: "sinext" (matmul-form trunk + XLA-built sin bands
+    # streamed in — no in-kernel HIGHEST angle matmul; default, measured
+    # fwd 2.32 vs 2.62 ms / fwd+bwd 4.54 vs 4.85 on v5e), "matmul"
+    # (concat-free, fully in-kernel), "outside" (full XLA posenc streamed
+    # in), "kernel" (legacy in-kernel elementwise build)
     if enc_mode is None:
-        enc_mode = os.environ.get("TEXPOSE_ST_POSENC", "matmul")
-    assert enc_mode in ("kernel", "outside", "matmul"), enc_mode
+        enc_mode = os.environ.get("TEXPOSE_ST_POSENC", "sinext")
+    assert enc_mode in ("kernel", "outside", "matmul", "sinext"), enc_mode
     M = pts.shape[0]
     if M % (int(tile_fwd) * sub_fwd):
         sub_fwd = 1

@@ -120,12 +120,15 @@ def _kernel(L, skip, n_layers, compute_dtype, enc_mode,
     # enc_mode "matmul": refs lead with make_posenc_mm_aux constants + the
     # split_trunk_weights_mm pieces — the element-wise posenc build costs
     # ~60% of trunk time (mxu_probe r3); the matmul form has no narrow-lane
-    # concats at all
-    if enc_mode == "matmul":
+    # concats at all.  "sinext": refs lead with the streamed [tile, 6L]
+    # weighted sin bands (make_sinw) instead of the aux constants — skips
+    # the in-kernel HIGHEST angle matmul (~0.47 ms/131k-row pass).
+    if enc_mode in ("matmul", "sinext"):
         from .fused_st_field import _trunk_feat_mm
         skip_t = tuple(sorted(skip))
         perm_last = (n_layers - 1) not in skip_t
-        auxm_ref = refs[0]
+        auxm_ref = refs[0] if enc_mode == "matmul" else None
+        sinw_pre = refs[0][...] if enc_mode == "sinext" else None
         n_mm = 2 + 3 * len(skip_t) + (2 if perm_last else 0)
         mm_refs = refs[1:1 + n_mm]
         refs = refs[1 + n_mm:]
@@ -134,7 +137,7 @@ def _kernel(L, skip, n_layers, compute_dtype, enc_mode,
         feat_ref, dens_ref = refs[2 * n_layers:]
         feat, dens = _trunk_feat_mm(pts_ref[...], auxm_ref, w_refs, b_refs,
                                     skip_t, compute_dtype, mm_refs=mm_refs,
-                                    perm_last=perm_last)
+                                    perm_last=perm_last, sinw_pre=sinw_pre)
         dens_ref[...] = dens
         feat_ref[...] = feat
         return
@@ -172,7 +175,9 @@ def _pallas_forward(pts, c2f_w, weights, biases, skip, L, compute_dtype,
     feat_dim = weights[-1].shape[1] - 1
     grid = ((M + pad) // tile,)
 
-    enc_mode = os.environ.get("TEXPOSE_TRUNK_POSENC", "matmul")
+    # "sinext" default: measured trunk-only 1.65 vs 1.84 ms on v5e (the
+    # in-kernel HIGHEST angle matmul leaves the serial compute pipeline)
+    enc_mode = os.environ.get("TEXPOSE_TRUNK_POSENC", "sinext")
     kernel = functools.partial(_kernel, L, skip, n,
                                compute_dtype or jnp.float32, enc_mode)
     aux = jnp.stack([_freq(L, pts.dtype), c2f_w.astype(pts.dtype)])  # [2,L]
@@ -181,16 +186,24 @@ def _pallas_forward(pts, c2f_w, weights, biases, skip, L, compute_dtype,
                 pl.BlockSpec(memory_space=pltpu.VMEM)]       # aux [2,L]
     enc_args = []
     cdtype = compute_dtype or jnp.float32
-    if enc_mode == "matmul":
-        from .fused_st_field import (make_posenc_mm_aux,
+    if enc_mode in ("matmul", "sinext"):
+        from .fused_st_field import (make_posenc_mm_aux, make_sinw,
                                      split_trunk_weights_mm)
         wc = [w.astype(cdtype) for w in weights]
         perm_last = (len(weights) - 1) not in skip
-        enc_args = ([make_posenc_mm_aux(L, c2f_w.astype(jnp.float32))]
+        if enc_mode == "matmul":
+            enc0 = make_posenc_mm_aux(L, c2f_w.astype(jnp.float32))
+            enc0_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        else:
+            enc0 = make_sinw(pts_p, L, c2f_w.astype(jnp.float32), cdtype)
+            enc0_spec = pl.BlockSpec((tile, 6 * L), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+        enc_args = ([enc0]
                     + split_trunk_weights_mm(
                         wc, tuple(sorted(skip)), 6 * L,
                         trunk_b=list(biases) if perm_last else None))
-        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(enc_args)
+        in_specs += [enc0_spec] \
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(enc_args) - 1)
     for w in weights:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     for b in biases:
