@@ -131,3 +131,22 @@ def test_fused_trunk_sinext_matches_plain(key, monkeypatch):
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+
+
+@pytest.mark.skipif(not fused_trunk_available(), reason="no pallas")
+def test_fused_trunk_xext_matches_plain(key, monkeypatch):
+    """"xext" enc mode (pts folded into the streamed sin-band block) on the fwd-only trunk kernel (streamed XLA sin
+    bands), including the row-padding path (M not a tile multiple)."""
+    monkeypatch.setenv("TEXPOSE_TRUNK_POSENC", "xext")
+    L, skip = 6, (2,)
+    enc = 3 + 6 * L
+    dims = [(enc, 64), (64, 64), (64 + enc, 64), (64, 65)]
+    ws, bs = _params(key, dims)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (777, 3))
+    c2f = jnp.array([1.0, 1.0, 0.8, 0.3, 0.0, 0.0])
+
+    f1, d1 = plain_trunk_forward(pts, c2f, ws, bs, skip, L)
+    f2, d2 = fused_trunk_forward(pts, c2f, ws, bs, skip, L, tile=256,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)

@@ -30,7 +30,8 @@ except Exception:  # pragma: no cover
 
 from .fused_trunk import _posenc_rows, _freq
 from .fused_st_field import (_dot, _dot_t1, _dot_t2, make_posenc_mm_aux,
-                             make_sinw, split_trunk_weights_mm)
+                             make_sinw, make_xext, split_trunk_weights_mm,
+                             split_trunk_weights_x)
 
 
 def fused_coarse_available():
@@ -84,7 +85,7 @@ def _field_forward(pts, enc_view, aux3, wf, bf, wr, br, skip, L3, cdtype,
 
 def _field_forward_mm(pts, enc_view, auxm_ref, wf, bf, wr, br, skip,
                       cdtype, want_acts=False, mm_refs=None,
-                      sinw_pre=None):
+                      sinw_pre=None, x_pre=None):
     """Matmul-form posenc coarse field (see fused_st_field.
     make_posenc_mm_aux): the [T,3+6L] encoding never materializes — the
     first/skip trunk layers consume (pts, sin-bands) via row-split weights,
@@ -92,7 +93,56 @@ def _field_forward_mm(pts, enc_view, auxm_ref, wf, bf, wr, br, skip,
 
     sinw_pre ("sinext"): sin bands built outside in XLA and streamed —
     skips the in-kernel HIGHEST angle matmul (fwd AND the bwd recompute,
-    so the coarse kernel saves it twice per step)."""
+    so the coarse kernel saves it twice per step).
+
+    x_pre ("xext"): combined (pts, sin-bands) stream + split_trunk_
+    weights_x pieces — layer 0/skip run ONE K=3+6L matmul, and the bwd
+    dW for those layers accumulates as one issue off acts["x63"]."""
+    if x_pre is not None:
+        xc = x_pre.astype(cdtype)
+        acts = {"x63": xc}
+        skip_sorted = sorted(skip)
+        h = None
+        nf = len(wf)
+        dens_raw = None
+        for li in range(nf):
+            if li == 0:
+                z = _dot(xc, mm_refs[0][...]) + bf[li][...]
+            elif li in skip:
+                k = 1 + 2 * skip_sorted.index(li)
+                acts[f"fa{li}"] = h
+                z = (_dot(h.astype(cdtype), mm_refs[k][...])
+                     + _dot(xc, mm_refs[k + 1][...]) + bf[li][...])
+            else:
+                acts[f"fa{li}"] = h
+                z = _dot(h.astype(cdtype), wf[li][...]) + bf[li][...]
+            if li == nf - 1:
+                dens_raw = z[:, 0:1]
+                acts["fz_last"] = z
+                h = jnp.maximum(z[:, 1:], 0.0)
+            else:
+                acts[f"fz{li}"] = z
+                h = jnp.maximum(z, 0.0)
+        feat = h
+        parts = [feat]
+        if enc_view is not None:
+            parts.append(enc_view)
+        parts.append(pts)
+        a0 = jnp.concatenate(parts, axis=-1)
+        acts["r_a0"] = a0
+        h = a0
+        nr = len(wr)
+        for li in range(nr):
+            acts[f"ra{li}"] = h
+            z = _dot(h.astype(cdtype), wr[li][...]) + br[li][...]
+            if li != nr - 1:
+                acts[f"rz{li}"] = z
+                h = jnp.maximum(z, 0.0)
+            else:
+                rgb_raw = z
+        if want_acts:
+            return rgb_raw, dens_raw, acts
+        return rgb_raw, dens_raw
     if sinw_pre is not None:
         sinw = sinw_pre.astype(cdtype)
     else:
@@ -173,9 +223,10 @@ def _fwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles, enc_mode,
     enc_extra = refs[0] if enc_mode != "kernel" else None
     refs = refs[1:] if enc_mode != "kernel" else refs
     mm_refs = None
-    mm_form = enc_mode in ("matmul", "sinext")
+    mm_form = enc_mode in ("matmul", "sinext", "xext")
     if mm_form:
-        n_mm = 2 + 3 * len(skip)
+        n_mm = (1 + 2 * len(skip)) if enc_mode == "xext" \
+            else (2 + 3 * len(skip))
         mm_refs = refs[:n_mm]
         refs = refs[n_mm:]
     wf = refs[:nf]
@@ -194,7 +245,8 @@ def _fwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles, enc_mode,
                 enc_extra if enc_mode == "matmul" else None,
                 wf, bf, wr, br, skip, cdtype, mm_refs=mm_refs,
                 sinw_pre=enc_extra[sl, :] if enc_mode == "sinext"
-                else None)
+                else None,
+                x_pre=enc_extra[sl, :] if enc_mode == "xext" else None)
         else:
             rgb_raw, dens_raw = _field_forward(
                 pts, enc_view, aux3_ref, wf, bf, wr, br, skip, L3, cdtype,
@@ -208,9 +260,10 @@ def _bwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles, enc_mode,
     enc_extra = refs[0] if enc_mode != "kernel" else None
     refs = refs[1:] if enc_mode != "kernel" else refs
     mm_refs = None
-    mm_form = enc_mode in ("matmul", "sinext")
+    mm_form = enc_mode in ("matmul", "sinext", "xext")
     if mm_form:
-        n_mm = 2 + 3 * len(skip)
+        n_mm = (1 + 2 * len(skip)) if enc_mode == "xext" \
+            else (2 + 3 * len(skip))
         mm_refs = refs[:n_mm]
         refs = refs[n_mm:]
     wf = refs[:nf]
@@ -242,7 +295,8 @@ def _bwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles, enc_mode,
                 wf, bf, wr, br, skip, cdtype,
                 want_acts=True, mm_refs=mm_refs,
                 sinw_pre=enc_extra[sl, :] if enc_mode == "sinext"
-                else None)
+                else None,
+                x_pre=enc_extra[sl, :] if enc_mode == "xext" else None)
         else:
             _, _, acts = _field_forward(pts, enc_view, aux3_ref, wf, bf,
                                         wr, br, skip, L3, cdtype,
@@ -270,7 +324,15 @@ def _bwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles, enc_mode,
         g = g_last
         for li in range(nf - 1, -1, -1):
             gc = g.astype(cdtype)
-            if mm_form and li == 0:
+            if enc_mode == "xext" and li == 0:
+                # xext: (pts, sin-bands) live as ONE streamed block — the
+                # full layer-0 dW is a single issue
+                scratch[li][...] += _dot_t1(acts["x63"], gc)
+            elif enc_mode == "xext" and li in skip:
+                scratch[li][...] += jnp.concatenate(
+                    [_dot_t1(acts[f"fa{li}"].astype(cdtype), gc),
+                     _dot_t1(acts["x63"], gc)], axis=0)
+            elif mm_form and li == 0:
                 # layer 0 consumed (pts, sin-bands) via split rows; its dW
                 # splits the same way and pts/posenc get no dX at all.
                 # (concat the blocks as VALUES — sub-slice scratch writes
@@ -316,13 +378,17 @@ def _full():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
-def _enc_specs(enc_mode, enc_extra, tile, n_mm=0):
+def _enc_specs(enc_mode, enc_extra, tile, skip=()):
     if enc_mode == "outside":
         return [_row_spec(tile, enc_extra.shape[1])]
     if enc_mode == "matmul":
-        return [_full()] * (1 + n_mm)
+        return [_full()] * (1 + 2 + 3 * len(skip))
     if enc_mode == "sinext":
-        return [_row_spec(tile, enc_extra.shape[1])] + [_full()] * n_mm
+        return [_row_spec(tile, enc_extra.shape[1])] \
+            + [_full()] * (2 + 3 * len(skip))
+    if enc_mode == "xext":
+        return [_row_spec(tile, enc_extra.shape[1])] \
+            + [_full()] * (1 + 2 * len(skip))
     return []
 
 
@@ -336,8 +402,7 @@ def _run_fwd(pts, enc_view, aux3, wf, bf, wr, br, skip, L3, tile, cdtype,
     enc_in = enc_view if has_view else jnp.zeros((M, 1), pts.dtype)
     in_specs = ([_row_spec(tile, 3),
                  _row_spec(tile, enc_in.shape[1]), _full()]
-                + _enc_specs(enc_mode, enc_extra, tile,
-                             n_mm=2 + 3 * len(skip))
+                + _enc_specs(enc_mode, enc_extra, tile, skip=skip)
                 + [_full()] * (2 * nf + 2 * nr))
     out_specs = (_row_spec(tile, 3), _row_spec(tile, 1))
     out_shape = (jax.ShapeDtypeStruct((M, 3), jnp.float32),
@@ -351,7 +416,9 @@ def _run_fwd(pts, enc_view, aux3, wf, bf, wr, br, skip, L3, tile, cdtype,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
     )(pts, enc_in, aux3, *([enc_extra] if enc_mode != "kernel" else []),
-      *(split_trunk_weights_mm(wfc, skip, 6 * L3)
+      *(split_trunk_weights_x(wfc, skip, 6 * L3)
+        if enc_mode == "xext" else
+        split_trunk_weights_mm(wfc, skip, 6 * L3)
         if enc_mode in ("matmul", "sinext") else []),
       *wfc, *bf, *wrc, *br)
 
@@ -367,8 +434,7 @@ def _run_bwd(pts, enc_view, aux3, wf, bf, wr, br, g_rgb, g_dens, skip, L3,
     enc_in = enc_view if has_view else jnp.zeros((M, 1), pts.dtype)
     in_specs = ([_row_spec(tile, 3), _row_spec(tile, enc_in.shape[1]),
                  _full(), _row_spec(tile, 3), _row_spec(tile, 1)]
-                + _enc_specs(enc_mode, enc_extra, tile,
-                             n_mm=2 + 3 * len(skip))
+                + _enc_specs(enc_mode, enc_extra, tile, skip=skip)
                 + [_full()] * (2 * nf + 2 * nr))
     out_shape = ([jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wf]
                  + [jax.ShapeDtypeStruct((1,) + b.shape, jnp.float32)
@@ -386,7 +452,9 @@ def _run_bwd(pts, enc_view, aux3, wf, bf, wr, br, g_rgb, g_dens, skip, L3,
         scratch_shapes=scratch, interpret=interpret,
     )(pts, enc_in, aux3, g_rgb, g_dens,
       *([enc_extra] if enc_mode != "kernel" else []),
-      *(split_trunk_weights_mm(wfc, skip, 6 * L3)
+      *(split_trunk_weights_x(wfc, skip, 6 * L3)
+        if enc_mode == "xext" else
+        split_trunk_weights_mm(wfc, skip, 6 * L3)
         if enc_mode in ("matmul", "sinext") else []),
       *wfc, *bf, *wrc, *br)
 
@@ -401,6 +469,8 @@ def _make_op(skip, L3, tile, cdtype, has_view, interpret, sub_fwd=1,
             return make_posenc_mm_aux(L3, aux3[1])
         if enc_mode == "sinext":
             return make_sinw(pts, L3, aux3[1], cdtype)
+        if enc_mode == "xext":
+            return make_xext(pts, L3, aux3[1], cdtype)
         if enc_mode == "outside":
             return _posenc_rows(pts, L3, aux3[0], aux3[1])
         return None
@@ -473,7 +543,8 @@ def fused_coarse_field(pts, ray_enc, trunk_params, rgb_params, aux3, skip,
     # fused_st_field.make_sinw; ST A/B on v5e: fwd −11%, fwd+bwd −6%)
     if enc_mode is None:
         enc_mode = os.environ.get("TEXPOSE_COARSE_POSENC", "sinext")
-    assert enc_mode in ("kernel", "outside", "matmul", "sinext"), enc_mode
+    assert enc_mode in ("kernel", "outside", "matmul", "sinext",
+                        "xext"), enc_mode
     M = pts.shape[0]
     if M % (int(tile) * sub_fwd):
         sub_fwd = 1

@@ -126,6 +126,33 @@ def make_sinw(pts, L, c2f_w, dtype=jnp.bfloat16):
     return (blk * w).reshape(pts.shape[0], 6 * L).astype(dtype)
 
 
+def make_xext(pts, L, c2f_w, dtype=jnp.bfloat16):
+    """[M, 3+6L] streamed trunk input for "xext" mode: pts columns folded
+    into the sin-band block so layer 0 / skip layers consume ONE K=3+6L
+    matmul instead of a pathological K=3 issue plus a K=6L issue (the
+    trunk stage probe prices a K=3 [2048,3]x[3,256] issue at ~3x a full
+    K=256 issue — the MXU pass is latency-, not FLOP-, bound)."""
+    return jnp.concatenate(
+        [pts.astype(dtype), make_sinw(pts, L, c2f_w, dtype)], axis=1)
+
+
+def split_trunk_weights_x(trunk_wc, skip, E, trunk_b=None):
+    """Trace-time split for "xext": [w0_x] + per-skip [w_h, w_x], where
+    w_x covers the (pts, sin-bands) rows as ONE [3+E, O] block (the
+    streamed make_xext columns).  With trunk_b, appends the density-
+    rotated last layer exactly like split_trunk_weights_mm."""
+    parts = [trunk_wc[0][:3 + E]]
+    for li in sorted(skip):
+        w = trunk_wc[li]
+        F = w.shape[0] - 3 - E
+        parts += [w[:F], w[F:F + 3 + E]]
+    if trunk_b is not None:
+        wn, bn = trunk_wc[-1], trunk_b[-1]
+        parts += [jnp.concatenate([wn[:, 1:], wn[:, 0:1]], axis=1),
+                  jnp.concatenate([bn[..., 1:], bn[..., 0:1]], axis=-1)]
+    return parts
+
+
 def split_trunk_weights_mm(trunk_wc, skip, E, trunk_b=None):
     """Trace-time row-split of the first/skip trunk weights for the
     matmul-form posenc: [w0_pts, w0_sin] + per-skip [w_h, w_pts, w_sin].
@@ -153,7 +180,7 @@ def split_trunk_weights_mm(trunk_wc, skip, E, trunk_b=None):
 
 def _trunk_feat_mm(pts, auxm_ref, w_refs, b_refs, skip, cdtype,
                    mm_refs=None, perm_last=False, ws_refs=None,
-                   last_scale=None, sinw_pre=None):
+                   last_scale=None, sinw_pre=None, x_pre=None):
     """Matmul-form posenc trunk: see make_posenc_mm_aux.  mm_refs: the
     split_trunk_weights_mm pieces (falls back to ref slicing if absent);
     perm_last: mm_refs carries the density-col-rotated last layer — both
@@ -168,7 +195,43 @@ def _trunk_feat_mm(pts, auxm_ref, w_refs, b_refs, skip, cdtype,
 
     sinw_pre ("sinext" mode): the weighted sin bands computed OUTSIDE the
     kernel (make_sinw) and streamed in — skips the in-kernel HIGHEST
-    angle matmul (~0.47 ms per 131k-row pass on v5e)."""
+    angle matmul (~0.47 ms per 131k-row pass on v5e).
+
+    x_pre ("xext" mode): the combined (pts, sin-bands) [T, 3+6L] stream
+    (make_xext) with mm_refs from split_trunk_weights_x — layer 0 / skip
+    become ONE K=3+6L matmul (no pathological K=3 issue at all)."""
+    if x_pre is not None:
+        xc = x_pre.astype(cdtype)
+        n = len(w_refs)
+        skip_sorted = sorted(skip)
+        h = None
+        dens = None
+        for li in range(n):
+            last = li == n - 1
+            if li == 0:
+                z = _dot(xc, mm_refs[0][...]) + b_refs[li][...]
+            elif li in skip:
+                k = 1 + 2 * skip_sorted.index(li)
+                z = (_dot(h.astype(cdtype), mm_refs[k][...])
+                     + _dot(xc, mm_refs[k + 1][...]) + b_refs[li][...])
+            elif last and perm_last:
+                if last_scale is not None:
+                    wn, bn = mm_refs[-3], mm_refs[-2]
+                    z = _dot_int8(h, wn, last_scale) + bn[...]
+                else:
+                    z = _dot(h.astype(cdtype), mm_refs[-2][...]) \
+                        + mm_refs[-1][...]
+                F = z.shape[1] - 1
+                return jnp.maximum(z[:, :F], 0.0), z[:, F:F + 1]
+            elif ws_refs is not None:
+                z = _dot_int8(h, w_refs[li], ws_refs[li]) + b_refs[li][...]
+            else:
+                z = _dot(h.astype(cdtype), w_refs[li][...]) + b_refs[li][...]
+            if last:
+                dens = z[:, 0:1]
+                z = z[:, 1:]
+            h = jnp.maximum(z, 0.0)
+        return h, dens
     if sinw_pre is not None:
         sinw = sinw_pre.astype(cdtype)
     else:
@@ -322,13 +385,14 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     enc_extra = refs[0] if enc_mode != "kernel" else None
     refs = refs[1:] if enc_mode != "kernel" else refs
     mm_refs = None
-    mm_form = enc_mode in ("matmul", "sinext")
+    mm_form = enc_mode in ("matmul", "sinext", "xext")
     perm_last = mm_form and (n_trunk - 1) not in skip
     int8_mm = int8 and mm_form
     if mm_form:
         # int8_mm appends the rotated last-layer scale as one more mm piece
-        n_mm = 2 + 3 * len(skip) + \
-            ((3 if int8_mm else 2) if perm_last else 0)
+        base_mm = (1 + 2 * len(skip)) if enc_mode == "xext" \
+            else (2 + 3 * len(skip))
+        n_mm = base_mm + ((3 if int8_mm else 2) if perm_last else 0)
         mm_refs = refs[:n_mm]
         refs = refs[n_mm:]
     wf = refs[:n_trunk]
@@ -346,17 +410,21 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     S = pts_ref.shape[0] // subtiles
     def trunk(pts_blk, sl=None):
         if mm_form:
-            sinw_pre = None
-            if enc_mode == "sinext":
-                sinw_pre = (enc_extra[...] if sl is None
-                            else enc_extra[sl, :])
+            sinw_pre = x_pre = None
+            if enc_mode in ("sinext", "xext"):
+                blk = (enc_extra[...] if sl is None
+                       else enc_extra[sl, :])
+                if enc_mode == "sinext":
+                    sinw_pre = blk
+                else:
+                    x_pre = blk
             return _trunk_feat_mm(
                 pts_blk, enc_extra if enc_mode == "matmul" else None,
                 wf, bf, skip, cdtype,
                 mm_refs=mm_refs, perm_last=perm_last,
                 ws_refs=wsf if int8_mm else None,
                 last_scale=mm_refs[-1] if (int8_mm and perm_last) else None,
-                sinw_pre=sinw_pre)
+                sinw_pre=sinw_pre, x_pre=x_pre)
         x_pre = None
         if enc_mode == "outside":
             x_pre = (enc_extra[...] if sl is None
@@ -538,17 +606,18 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
                                tiles_per_img, cdtype, subtiles, fullblock,
                                packed, trunk_int8, enc_mode)
     perm_last = (n_trunk - 1) not in skip
-    mm_form = enc_mode in ("matmul", "sinext")
+    mm_form = enc_mode in ("matmul", "sinext", "xext")
     int8_mm = trunk_int8 and mm_form
-    n_mm = (2 + 3 * len(skip)
-            + ((3 if int8_mm else 2) if perm_last else 0)) \
+    base_mm = (1 + 2 * len(skip)) if enc_mode == "xext" \
+        else (2 + 3 * len(skip))
+    n_mm = (base_mm + ((3 if int8_mm else 2) if perm_last else 0)) \
         if mm_form else 0
     if enc_mode == "outside":
         enc_spec = [_row_spec(tile, enc_extra.shape[1])]
     elif enc_mode == "matmul":
         enc_spec = [_full_spec()] * (1 + n_mm)
-    elif enc_mode == "sinext":
-        # streamed sin bands tile first, then the full-VMEM weight pieces
+    elif enc_mode in ("sinext", "xext"):
+        # streamed rows tile first, then the full-VMEM weight pieces
         enc_spec = [_row_spec(tile, enc_extra.shape[1])] \
             + [_full_spec()] * n_mm
     else:
@@ -595,7 +664,9 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     import os
     par = os.environ.get("TEXPOSE_ST_FWD_PARALLEL", "0") != "0"
     if mm_form:
-        mm_parts = split_trunk_weights_mm(
+        split_fn = split_trunk_weights_x if enc_mode == "xext" \
+            else split_trunk_weights_mm
+        mm_parts = split_fn(
             trunk_wc, skip, 6 * L3,
             trunk_b=None if int8_mm else (trunk_b if perm_last else None))
         if int8_mm and perm_last:
@@ -693,6 +764,10 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
             # f32-exact weighted sin bands built in XLA, streamed in (the
             # kernel keeps the split-weight matmul-form trunk)
             enc_extra = make_sinw(pts, L3, aux3[1], cdtype)
+        elif enc_mode == "xext":
+            # (pts, sin bands) folded into ONE streamed block — layer 0 /
+            # skip run a single K=3+6L matmul (no K=3 issue)
+            enc_extra = make_xext(pts, L3, aux3[1], cdtype)
         elif enc_mode == "outside":
             enc_extra = _posenc_rows(pts, L3, aux3[0], aux3[1])
         else:
@@ -794,12 +869,14 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     trunk_int8 = bool(trunk_int8)
     # posenc mode: "sinext" (matmul-form trunk + XLA-built sin bands
     # streamed in — no in-kernel HIGHEST angle matmul; default, measured
-    # fwd 2.32 vs 2.62 ms / fwd+bwd 4.54 vs 4.85 on v5e), "matmul"
-    # (concat-free, fully in-kernel), "outside" (full XLA posenc streamed
-    # in), "kernel" (legacy in-kernel elementwise build)
+    # fwd 2.32 vs 2.62 ms / fwd+bwd 4.54 vs 4.85 on v5e), "xext" (pts
+    # folded into the stream — layer 0/skip run one K=3+6L matmul),
+    # "matmul" (concat-free, fully in-kernel), "outside" (full XLA posenc
+    # streamed in), "kernel" (legacy in-kernel elementwise build)
     if enc_mode is None:
         enc_mode = os.environ.get("TEXPOSE_ST_POSENC", "sinext")
-    assert enc_mode in ("kernel", "outside", "matmul", "sinext"), enc_mode
+    assert enc_mode in ("kernel", "outside", "matmul", "sinext",
+                        "xext"), enc_mode
     M = pts.shape[0]
     if M % (int(tile_fwd) * sub_fwd):
         sub_fwd = 1

@@ -123,13 +123,16 @@ def _kernel(L, skip, n_layers, compute_dtype, enc_mode,
     # concats at all.  "sinext": refs lead with the streamed [tile, 6L]
     # weighted sin bands (make_sinw) instead of the aux constants — skips
     # the in-kernel HIGHEST angle matmul (~0.47 ms/131k-row pass).
-    if enc_mode in ("matmul", "sinext"):
+    if enc_mode in ("matmul", "sinext", "xext"):
         from .fused_st_field import _trunk_feat_mm
         skip_t = tuple(sorted(skip))
         perm_last = (n_layers - 1) not in skip_t
         auxm_ref = refs[0] if enc_mode == "matmul" else None
         sinw_pre = refs[0][...] if enc_mode == "sinext" else None
-        n_mm = 2 + 3 * len(skip_t) + (2 if perm_last else 0)
+        x_pre = refs[0][...] if enc_mode == "xext" else None
+        base_mm = (1 + 2 * len(skip_t)) if enc_mode == "xext" \
+            else (2 + 3 * len(skip_t))
+        n_mm = base_mm + (2 if perm_last else 0)
         mm_refs = refs[1:1 + n_mm]
         refs = refs[1 + n_mm:]
         w_refs = refs[:n_layers]
@@ -137,7 +140,8 @@ def _kernel(L, skip, n_layers, compute_dtype, enc_mode,
         feat_ref, dens_ref = refs[2 * n_layers:]
         feat, dens = _trunk_feat_mm(pts_ref[...], auxm_ref, w_refs, b_refs,
                                     skip_t, compute_dtype, mm_refs=mm_refs,
-                                    perm_last=perm_last, sinw_pre=sinw_pre)
+                                    perm_last=perm_last, sinw_pre=sinw_pre,
+                                    x_pre=x_pre)
         dens_ref[...] = dens
         feat_ref[...] = feat
         return
@@ -186,20 +190,27 @@ def _pallas_forward(pts, c2f_w, weights, biases, skip, L, compute_dtype,
                 pl.BlockSpec(memory_space=pltpu.VMEM)]       # aux [2,L]
     enc_args = []
     cdtype = compute_dtype or jnp.float32
-    if enc_mode in ("matmul", "sinext"):
+    if enc_mode in ("matmul", "sinext", "xext"):
         from .fused_st_field import (make_posenc_mm_aux, make_sinw,
-                                     split_trunk_weights_mm)
+                                     make_xext, split_trunk_weights_mm,
+                                     split_trunk_weights_x)
         wc = [w.astype(cdtype) for w in weights]
         perm_last = (len(weights) - 1) not in skip
         if enc_mode == "matmul":
             enc0 = make_posenc_mm_aux(L, c2f_w.astype(jnp.float32))
             enc0_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-        else:
+        elif enc_mode == "sinext":
             enc0 = make_sinw(pts_p, L, c2f_w.astype(jnp.float32), cdtype)
             enc0_spec = pl.BlockSpec((tile, 6 * L), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
+        else:
+            enc0 = make_xext(pts_p, L, c2f_w.astype(jnp.float32), cdtype)
+            enc0_spec = pl.BlockSpec((tile, 3 + 6 * L), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+        split_fn = split_trunk_weights_x if enc_mode == "xext" \
+            else split_trunk_weights_mm
         enc_args = ([enc0]
-                    + split_trunk_weights_mm(
+                    + split_fn(
                         wc, tuple(sorted(skip)), 6 * L,
                         trunk_b=list(biases) if perm_last else None))
         in_specs += [enc0_spec] \
