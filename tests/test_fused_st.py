@@ -264,3 +264,42 @@ def test_fused_st_xext_matches_plain(key, monkeypatch):
                                atol=3e-5)
     for leaf in jax.tree_util.tree_leaves(g_f[0]["mlp_feat"]):
         assert float(jnp.abs(leaf).max()) == 0.0
+
+
+@pytest.mark.skipif(not fused_st_available(), reason="no pallas")
+def test_fused_st_split_heads_off_matches_plain(key, monkeypatch):
+    """Legacy concat-form heads (TEXPOSE_ST_SPLIT_HEADS=0): the default
+    flipped to the split layer-0 form, so pin the old path's value AND
+    head/latent gradient parity against the plain implementation."""
+    monkeypatch.setenv("TEXPOSE_ST_SPLIT_HEADS", "0")
+    cfg = st_cfg()
+    params = init_nerf_st(key, cfg)
+    B, R, N = 2, 4, 16
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    pts = jax.random.normal(k1, (B, R, N, 3))
+    ray = jax.random.normal(k2, (B, R, N, 3))
+    ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    lt = jax.random.normal(k3, (B, 8))
+    ll = jax.random.normal(k4, (B, 12))
+    progress = jnp.asarray(0.4)
+
+    def loss(fn, p, lt_, ll_, **kw):
+        rgb, dens, unc = fn(p, cfg, pts, ray, lt_, ll_, progress=progress,
+                            **kw)
+        return (rgb ** 2).mean() + unc.mean() + dens[..., 1].mean()
+
+    g_p = jax.grad(lambda p, a, b: loss(apply_nerf_st, p, a, b),
+                   argnums=(0, 1, 2))(params, lt, ll)
+    g_f = jax.grad(lambda p, a, b: loss(
+        apply_nerf_st_fused, p, a, b, compute_dtype=jnp.float32,
+        tile_fwd=32, tile_bwd=32, interpret=True),
+        argnums=(0, 1, 2))(params, lt, ll)
+    for hk in ("mlp_rgb", "mlp_trans"):
+        for a, b in zip(jax.tree_util.tree_leaves(g_p[0][hk]),
+                        jax.tree_util.tree_leaves(g_f[0][hk])):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=3e-5)
+    np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_p[1]),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(g_f[2]), np.asarray(g_p[2]),
+                               atol=3e-5)

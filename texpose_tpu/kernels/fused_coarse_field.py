@@ -24,6 +24,7 @@ import jax.numpy as jnp
 try:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    from ._params import compiler_params as _compiler_params
     _PALLAS_OK = True
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
@@ -413,8 +414,7 @@ def _run_fwd(pts, enc_view, aux3, wf, bf, wr, br, skip, L3, tile, cdtype,
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
         # forward row tiles are independent → parallel grid semantics
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+        compiler_params=_compiler_params(interpret, parallel=True),
     )(pts, enc_in, aux3, *([enc_extra] if enc_mode != "kernel" else []),
       *(split_trunk_weights_x(wfc, skip, 6 * L3)
         if enc_mode == "xext" else
@@ -450,6 +450,7 @@ def _run_bwd(pts, enc_view, aux3, wf, bf, wr, br, g_rgb, g_dens, skip, L3,
         kernel, grid=(M // tile,), in_specs=in_specs,
         out_specs=out_specs, out_shape=tuple(out_shape),
         scratch_shapes=scratch, interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(pts, enc_in, aux3, g_rgb, g_dens,
       *([enc_extra] if enc_mode != "kernel" else []),
       *(split_trunk_weights_x(wfc, skip, 6 * L3)

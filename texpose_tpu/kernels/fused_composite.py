@@ -38,6 +38,7 @@ import jax.numpy as jnp
 try:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    from ._params import compiler_params as _compiler_params
     _PALLAS_OK = True
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
@@ -221,6 +222,7 @@ def _run_fwd(planes, N, min_uncert, tile_rays, interpret):
         out_specs=_row_spec(tr, N_OUT),
         out_shape=jax.ShapeDtypeStruct((BR, N_OUT), jnp.float32),
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(*planes, _tri_excl(N), _tri_suffix(N))
 
 
@@ -236,6 +238,7 @@ def _run_bwd(planes, g, N, min_uncert, tile_rays, interpret):
     return pl.pallas_call(
         kernel, grid=(BR // tr,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(*planes, g, _tri_excl(N), _tri_suffix(N))
 
 

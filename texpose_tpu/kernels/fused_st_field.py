@@ -35,6 +35,7 @@ import jax.numpy as jnp
 try:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    from ._params import compiler_params as _compiler_params
     _PALLAS_OK = True
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
@@ -326,20 +327,40 @@ def _trunk_feat(pts, aux3, w_refs, b_refs, skip, L3, cdtype, ws_refs=None,
 
 
 def _heads_forward(feat, ray_enc, pts, light, trans, wr, br, wt, bt, cdtype,
-                   want_acts=False, w_pack=None):
+                   want_acts=False, w_pack=None, split=False):
     """Both heads on a row slice.  w_pack (optional, [Fr+Ft, 3+5]) is the
     block-diagonal packing of the two tiny-N final layers — ONE MXU issue
     instead of two, with the same padded cost (both N=3 and N=5 pad to a
-    128-lane tile anyway)."""
+    128-lane tile anyway).
+
+    split=True: the concat-free layer-0 form (mirrors the trunk's
+    matmul-form posenc fix).  wr[0] is the (w_feat, w_encpts) ref pair,
+    ray_enc is the streamed [T, E+3] (enc ⊕ pts) block, and light/trans
+    are the PRE-MATMULED per-image rows light@W_l / trans@W_t ([1, O],
+    computed once per step in XLA) — layer 0 becomes two MXU issues plus
+    a broadcast row add: no [T,334]/[T,272] concat builds, no [T,48]
+    latent broadcasts, and backward skips both heads' layer-0 dX issues
+    entirely (d_latent falls out of the row-sum of dz0)."""
     T = feat.shape[0]
-    a0 = jnp.concatenate(
-        [feat, ray_enc, pts,
-         jnp.broadcast_to(light, (T, light.shape[-1]))], axis=-1)
-    acts = {"a0": a0}
-    h = a0
+    acts = {}
     nr = len(wr)
+    nt = len(wt)
+    if split:
+        z = (_dot(feat.astype(cdtype), wr[0][0][...])
+             + _dot(ray_enc.astype(cdtype), wr[0][1][...])
+             + light + br[0][...])
+        acts["rz0"] = z
+        h = jnp.maximum(z, 0.0)
+        r_lo = 1
+    else:
+        a0 = jnp.concatenate(
+            [feat, ray_enc, pts,
+             jnp.broadcast_to(light, (T, light.shape[-1]))], axis=-1)
+        acts["a0"] = a0
+        h = a0
+        r_lo = 0
     n_hidden_r = nr - 1 if w_pack is not None else nr
-    for li in range(n_hidden_r):
+    for li in range(r_lo, n_hidden_r):
         z = _dot(h.astype(cdtype), wr[li][...]) + br[li][...]
         if li != nr - 1:
             acts[f"rz{li}"] = z
@@ -347,13 +368,20 @@ def _heads_forward(feat, ray_enc, pts, light, trans, wr, br, wt, bt, cdtype,
         else:
             rgb_raw = z
     h_rgb_last = h
-    t0 = jnp.concatenate(
-        [feat, jnp.broadcast_to(trans, (T, trans.shape[-1]))], axis=-1)
-    acts["t0"] = t0
-    h = t0
-    nt = len(wt)
+    if split:
+        z = (_dot(feat.astype(cdtype), wt[0][...])
+             + trans + bt[0][...])
+        acts["tz0"] = z
+        h = jnp.maximum(z, 0.0)
+        t_lo = 1
+    else:
+        t0 = jnp.concatenate(
+            [feat, jnp.broadcast_to(trans, (T, trans.shape[-1]))], axis=-1)
+        acts["t0"] = t0
+        h = t0
+        t_lo = 0
     n_hidden_t = nt - 1 if w_pack is not None else nt
-    for li in range(n_hidden_t):
+    for li in range(t_lo, n_hidden_t):
         z = _dot(h.astype(cdtype), wt[li][...]) + bt[li][...]
         if li != nt - 1:
             acts[f"tz{li}"] = z
@@ -375,8 +403,10 @@ def _heads_forward(feat, ray_enc, pts, light, trans, wr, br, wt, bt, cdtype,
 # ------------------------------------------------------------------ forward
 
 def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
-                fullblock, packed, int8, enc_mode, pts_ref, enc_ref,
+                fullblock, packed, int8, enc_mode, split, pts_ref, enc_ref,
                 aux3_ref, light_ref, trans_ref, *refs):
+    # split: enc_ref streams [tile, E+3] (enc ⊕ pts); light_ref/trans_ref
+    # carry the pre-matmuled [B, O] latent rows (see _heads_forward)
     # enc_mode: "kernel" (legacy in-kernel elementwise posenc), "outside"
     # (posenc streamed from XLA; refs[0] = [tile, 3+6L] rows), "matmul"
     # (refs[0] = make_posenc_mm_aux constants + split weight pieces;
@@ -400,11 +430,17 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     o = 2 * n_trunk
     wsf = refs[o:o + n_trunk] if int8 else None
     o += n_trunk if int8 else 0
-    wr = refs[o:o + nr]
-    br = refs[o + nr:o + 2 * nr]
-    wt = refs[o + 2 * nr:o + 2 * nr + nt]
-    bt = refs[o + 2 * nr + nt:o + 2 * nr + 2 * nt]
-    w_pack = refs[o + 2 * nr + 2 * nt] if packed else None
+    if split:
+        # rgb layer 0 arrives as the (w_feat, w_encpts) pair
+        wr = ((refs[o], refs[o + 1]),) + tuple(refs[o + 2:o + nr + 1])
+        o += nr + 1
+    else:
+        wr = refs[o:o + nr]
+        o += nr
+    br = refs[o:o + nr]
+    wt = refs[o + nr:o + nr + nt]
+    bt = refs[o + nr + nt:o + nr + 2 * nt]
+    w_pack = refs[o + nr + 2 * nt] if packed else None
     rgb_ref, dens_ref, transr_ref, feat_ref = refs[-4:]
 
     S = pts_ref.shape[0] // subtiles
@@ -454,25 +490,36 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
             feat_ref[sl, :] = feat.astype(feat_ref.dtype)
         rgb_raw, trans_raw = _heads_forward(
             feat, enc_ref[sl, :], pts, light, trans, wr, br, wt, bt, cdtype,
-            w_pack=w_pack)
+            w_pack=w_pack, split=split)
         rgb_ref[sl, :] = rgb_raw
         transr_ref[sl, :] = trans_raw
 
 
 # ----------------------------------------------------------------- backward
 
-def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed,
+def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed, split,
                 feat_ref, enc_ref, pts_ref, light_ref, trans_ref,
                 g_rgb_ref, g_trans_ref, *refs):
-    wr = refs[:nr]
-    br = refs[nr:2 * nr]
-    wt = refs[2 * nr:2 * nr + nt]
-    bt = refs[2 * nr + nt:2 * nr + 2 * nt]
+    # split mode (see _heads_forward): enc_ref streams [tile, E+3]
+    # (enc ⊕ pts), light_ref/trans_ref carry the [B,O] latent rows, the
+    # rgb layer-0 weight arrives as a (w_feat, w_encpts) pair, BOTH heads'
+    # layer-0 dX issues are skipped (no consumer: the trunk is frozen and
+    # d_latent is the per-image row-sum of dz0), and the d_light/d_trans
+    # slots accumulate [B,O] dz0 row-sums finished off in XLA
+    nR = nr + 1 if split else nr
+    if split:
+        wr = ((refs[0], refs[1]),) + tuple(refs[2:nR])
+    else:
+        wr = refs[:nR]
+    br = refs[nR:nR + nr]
+    wt = refs[nR + nr:nR + nr + nt]
+    bt = refs[nR + nr + nt:nR + nr + 2 * nt]
+    n_w = nR + nr + 2 * nt
     extra = 1 if packed else 0
-    w_pack = refs[2 * (nr + nt)] if packed else None
-    n_out = 2 * (nr + nt) + 2
-    outs = refs[2 * (nr + nt) + extra:2 * (nr + nt) + extra + n_out]
-    scratch = refs[2 * (nr + nt) + extra + n_out:]
+    w_pack = refs[n_w] if packed else None
+    n_out = nR + nr + 2 * nt + 2
+    outs = refs[n_w + extra:n_w + extra + n_out]
+    scratch = refs[n_w + extra + n_out:]
 
     i = pl.program_id(0)
     n_prog = pl.num_programs(0)
@@ -495,10 +542,14 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed,
 
         _, _, acts = _heads_forward(feat, rayenc, pts, light, trans,
                                     wr, br, wt, bt, cdtype, want_acts=True,
-                                    w_pack=w_pack)
+                                    w_pack=w_pack, split=split)
         g_rgb = g_rgb_ref[sl, :].astype(jnp.float32)
         g_tr = g_trans_ref[sl, :].astype(jnp.float32)
 
+        def r_slot(li):
+            return li + 1 if (split and li >= 1) else li
+
+        t_base = nR + nr
         if packed:
             # both tiny-N final layers in ONE dW issue + ONE dX issue on the
             # block-diagonal packing (off-diagonal dW blocks are grads of
@@ -508,11 +559,11 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed,
             g_pack = jnp.concatenate([g_rgb, g_tr], axis=-1)
             dwp = _dot_t1(acts["x_pack"].astype(cdtype),
                           g_pack.astype(cdtype))
-            scratch[nr - 1][...] += dwp[:Fr, :Cr]
-            scratch[nr + nr - 1][...] += jnp.sum(g_rgb, axis=0,
+            scratch[r_slot(nr - 1)][...] += dwp[:Fr, :Cr]
+            scratch[nR + nr - 1][...] += jnp.sum(g_rgb, axis=0,
                                                  keepdims=True)
-            scratch[2 * nr + nt - 1][...] += dwp[Fr:, Cr:]
-            scratch[2 * nr + nt + nt - 1][...] += jnp.sum(g_tr, axis=0,
+            scratch[t_base + nt - 1][...] += dwp[Fr:, Cr:]
+            scratch[t_base + nt + nt - 1][...] += jnp.sum(g_tr, axis=0,
                                                           keepdims=True)
             dx = _dot_t2(g_pack.astype(cdtype), w_pack[...])
             g_rgb = dx[:, :Fr] * (acts[f"rz{nr-2}"] > 0)
@@ -523,32 +574,51 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed,
 
         # ---- rgb head backward ----
         g = g_rgb
-        hs = [acts["a0"]] + [jnp.maximum(acts[f"rz{k}"], 0.0)
-                             for k in range(nr - 1)]
-        for li in range(start_r, -1, -1):
-            scratch[li][...] += _dot_t1(hs[li].astype(cdtype),
-                                        g.astype(cdtype))
-            scratch[nr + li][...] += jnp.sum(g, axis=0, keepdims=True)
+        hs = [acts.get("a0")] + [jnp.maximum(acts[f"rz{k}"], 0.0)
+                                 for k in range(nr - 1)]
+        for li in range(start_r, 0, -1):
+            scratch[r_slot(li)][...] += _dot_t1(hs[li].astype(cdtype),
+                                                g.astype(cdtype))
+            scratch[nR + li][...] += jnp.sum(g, axis=0, keepdims=True)
             g = _dot_t2(g.astype(cdtype), wr[li][...])
-            if li > 0:
-                g = g * (acts[f"rz{li-1}"] > 0)
-        off = feat.shape[1] + rayenc.shape[1] + pts.shape[1]
-        dlight = jnp.sum(g[:, off:], axis=0, keepdims=True)      # [1,48]
+            g = g * (acts[f"rz{li-1}"] > 0)
+        # layer 0: g is dz0
+        scratch[nR][...] += jnp.sum(g, axis=0, keepdims=True)      # bias
+        if split:
+            scratch[0][...] += _dot_t1(feat.astype(cdtype),
+                                       g.astype(cdtype))
+            scratch[1][...] += _dot_t1(rayenc.astype(cdtype),
+                                       g.astype(cdtype))
+            # d_latent = per-image row-sum of dz0, finished in XLA
+            dlight = jnp.sum(g, axis=0, keepdims=True)             # [1,O]
+        else:
+            scratch[0][...] += _dot_t1(hs[0].astype(cdtype),
+                                       g.astype(cdtype))
+            g = _dot_t2(g.astype(cdtype), wr[0][...])
+            off = feat.shape[1] + rayenc.shape[1] + pts.shape[1]
+            dlight = jnp.sum(g[:, off:], axis=0, keepdims=True)   # [1,48]
 
         # ---- transient head backward ----
         g = g_tr
-        hs = [acts["t0"]] + [jnp.maximum(acts[f"tz{k}"], 0.0)
-                             for k in range(nt - 1)]
-        base = 2 * nr
-        for li in range(start_t, -1, -1):
-            scratch[base + li][...] += _dot_t1(hs[li].astype(cdtype),
-                                               g.astype(cdtype))
-            scratch[base + nt + li][...] += jnp.sum(g, axis=0,
-                                                    keepdims=True)
+        hs = [acts.get("t0")] + [jnp.maximum(acts[f"tz{k}"], 0.0)
+                                 for k in range(nt - 1)]
+        for li in range(start_t, 0, -1):
+            scratch[t_base + li][...] += _dot_t1(hs[li].astype(cdtype),
+                                                 g.astype(cdtype))
+            scratch[t_base + nt + li][...] += jnp.sum(g, axis=0,
+                                                      keepdims=True)
             g = _dot_t2(g.astype(cdtype), wt[li][...])
-            if li > 0:
-                g = g * (acts[f"tz{li-1}"] > 0)
-        dtrans = jnp.sum(g[:, feat.shape[1]:], axis=0, keepdims=True)
+            g = g * (acts[f"tz{li-1}"] > 0)
+        scratch[t_base + nt][...] += jnp.sum(g, axis=0, keepdims=True)
+        if split:
+            scratch[t_base][...] += _dot_t1(feat.astype(cdtype),
+                                            g.astype(cdtype))
+            dtrans = jnp.sum(g, axis=0, keepdims=True)             # [1,O]
+        else:
+            scratch[t_base][...] += _dot_t1(hs[0].astype(cdtype),
+                                            g.astype(cdtype))
+            g = _dot_t2(g.astype(cdtype), wt[0][...])
+            dtrans = jnp.sum(g[:, feat.shape[1]:], axis=0, keepdims=True)
 
         scratch[-2][...] += jnp.where(row == img, dlight, 0.0)
         scratch[-1][...] += jnp.where(row == img, dtrans, 0.0)
@@ -583,10 +653,37 @@ def _build_w_pack(rgb_w, tr_w, cdtype):
     return jnp.concatenate([top, bot], 0).astype(cdtype)
 
 
+def _split_head_l0(rgb_w0, tr_w0, F, E, cdtype):
+    """Trace-time row-split of both heads' layer-0 weights (split mode).
+
+    rgb_w0 rows are [feat(F) | enc(E) | pts(3) | light(Dl)] (the a0 concat
+    order of _heads_forward); tr_w0 rows are [feat(F) | trans(Dt)].
+    Returns (w_f [F,O], w_ep [E+3,O]) in cdtype for the kernel plus the
+    latent blocks (w_l [Dl,O], w_t [Dt,O]) consumed in XLA."""
+    assert rgb_w0.shape[0] > F + E + 3 and tr_w0.shape[0] > F, \
+        (rgb_w0.shape, tr_w0.shape, F, E)
+    return (rgb_w0[:F].astype(cdtype), rgb_w0[F:F + E + 3].astype(cdtype),
+            rgb_w0[F + E + 3:], tr_w0[F:])
+
+
+def _latent_rows(light_rows, trans_rows, w_l, w_t, cdtype):
+    """Pre-matmuled per-image latent rows ([B,O] f32): exactly the latent
+    columns' contribution to each head's layer-0 matmul, computed ONCE per
+    step in XLA instead of per-row in-kernel."""
+    lrow = jax.lax.dot_general(
+        light_rows.astype(cdtype), w_l.astype(cdtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    trow = jax.lax.dot_general(
+        trans_rows.astype(cdtype), w_t.astype(cdtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return lrow, trow
+
+
 def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
              rgb_w, rgb_b, tr_w, tr_b, aux3, skip, L3, tile, rows_per_img,
              cdtype, interpret, subtiles=1, fullblock=False, packed=False,
-             trunk_int8=False, enc_mode="kernel", enc_extra=None):
+             trunk_int8=False, enc_mode="kernel", enc_extra=None,
+             split=False):
     # `tile` rows stream per grid step; compute runs on tile/subtiles-row
     # slices (narrow VMEM intermediates, fewer grid steps → less per-step
     # pipeline overhead)
@@ -604,7 +701,17 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     E = ray_enc.shape[1]
     kernel = functools.partial(_fwd_kernel, L3, skip, nr, nt, n_trunk,
                                tiles_per_img, cdtype, subtiles, fullblock,
-                               packed, trunk_int8, enc_mode)
+                               packed, trunk_int8, enc_mode, split)
+    if split:
+        # concat-free heads: stream enc ⊕ pts as one block; hoist the
+        # latent contributions to per-image [B,O] rows (XLA, once)
+        wr_f, wr_ep, w_l, w_t = _split_head_l0(rgb_w[0], tr_w[0], F, E,
+                                               cdtype)
+        ray_enc = jnp.concatenate([ray_enc, pts.astype(ray_enc.dtype)],
+                                  axis=1)
+        E = E + 3
+        light_rows, trans_rows = _latent_rows(light_rows, trans_rows,
+                                              w_l, w_t, cdtype)
     perm_last = (n_trunk - 1) not in skip
     mm_form = enc_mode in ("matmul", "sinext", "xext")
     int8_mm = trunk_int8 and mm_form
@@ -626,6 +733,7 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
                  _full_spec(), _full_spec()]
                 + enc_spec
                 + [_full_spec()] * (2 * n_trunk + 2 * nr + 2 * nt
+                                    + (1 if split else 0)
                                     + (n_trunk if trunk_int8 else 0)
                                     + (1 if packed else 0)))
     out_specs = (_row_spec(tile, 3), _row_spec(tile, 1), _row_spec(tile, 5),
@@ -655,8 +763,13 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     else:
         wsf = []
         trunk_wc = [w.astype(cdtype) for w in trunk_w]
-    rgb_wc = [w.astype(cdtype) for w in rgb_w]
-    tr_wc = [w.astype(cdtype) for w in tr_w]
+    if split:
+        rgb_wc = [wr_f, wr_ep] + [w.astype(cdtype) for w in rgb_w[1:]]
+        tr_wc = [tr_w[0][:F].astype(cdtype)] \
+            + [w.astype(cdtype) for w in tr_w[1:]]
+    else:
+        rgb_wc = [w.astype(cdtype) for w in rgb_w]
+        tr_wc = [w.astype(cdtype) for w in tr_w]
     pack = [_build_w_pack(rgb_w, tr_w, cdtype)] if packed else []
     # measured on v5e (tools/bench_kernels.py): parallel fwd semantics force
     # tile ≤512 (extra in-flight VMEM) and net-lose vs sequential tile 1024
@@ -687,8 +800,7 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
         out_shape=out_shape, interpret=interpret,
         # forward row tiles are independent → parallel grid semantics
         # (needs tile ≤512 to fit the extra in-flight buffering in VMEM)
-        compiler_params=None if (interpret or not par)
-        else pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        compiler_params=_compiler_params(interpret, parallel=par),
     )(pts, ray_enc, aux3, light_rows, trans_rows,
       *([enc_extra] if enc_mode != "kernel" else []), *mm_parts,
       *trunk_wc, *trunk_b, *wsf, *rgb_wc, *rgb_b, *tr_wc, *tr_b, *pack)
@@ -696,7 +808,7 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
 
 def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
              tr_w, tr_b, g_rgb, g_trans, tile, rows_per_img, cdtype,
-             interpret, subtiles=1, packed=False):
+             interpret, subtiles=1, packed=False, split=False):
     sub = tile // subtiles
     tiles_per_img = rows_per_img // sub
     if rows_per_img % sub or tiles_per_img <= 0:
@@ -711,33 +823,87 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
     F = feat.shape[1]
     E = ray_enc.shape[1]
     kernel = functools.partial(_bwd_kernel, nr, nt, B, tiles_per_img, cdtype,
-                               subtiles, packed)
-    in_specs = ([_row_spec(tile, F), _row_spec(tile, E), _row_spec(tile, 3),
-                 _full_spec(), _full_spec(),
+                               subtiles, packed, split)
+    if split:
+        wr_f, wr_ep, w_l, w_t = _split_head_l0(rgb_w[0], tr_w[0], F, E,
+                                               cdtype)
+        enc_in = jnp.concatenate([ray_enc, pts.astype(ray_enc.dtype)],
+                                 axis=1)
+        E_in = E + 3
+        light_in, trans_in = _latent_rows(light_rows, trans_rows, w_l, w_t,
+                                          cdtype)
+        rgb_wc = [wr_f, wr_ep] + [w.astype(cdtype) for w in rgb_w[1:]]
+        tr_wc = [tr_w[0][:F].astype(cdtype)] \
+            + [w.astype(cdtype) for w in tr_w[1:]]
+        O = rgb_w[0].shape[1]
+        w_shapes = ([(F, O), (E + 3, O)] + [w.shape for w in rgb_w[1:]],
+                    [(F, tr_w[0].shape[1])] + [w.shape for w in tr_w[1:]])
+        lat_shapes = ((B, O), (B, tr_w[0].shape[1]))
+    else:
+        enc_in, E_in = ray_enc, E
+        light_in, trans_in = light_rows, trans_rows
+        rgb_wc = [w.astype(cdtype) for w in rgb_w]
+        tr_wc = [w.astype(cdtype) for w in tr_w]
+        w_shapes = ([w.shape for w in rgb_w], [w.shape for w in tr_w])
+        lat_shapes = ((B, light_rows.shape[1]), (B, trans_rows.shape[1]))
+    in_specs = ([_row_spec(tile, F), _row_spec(tile, E_in),
+                 _row_spec(tile, 3), _full_spec(), _full_spec(),
                  _row_spec(tile, 3), _row_spec(tile, 5)]
-                + [_full_spec()] * (2 * nr + 2 * nt
+                + [_full_spec()] * (len(rgb_wc) + nr + 2 * nt
                                     + (1 if packed else 0)))
-    out_shape = ([jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in rgb_w]
+    out_shape = ([jax.ShapeDtypeStruct(s, jnp.float32) for s in w_shapes[0]]
                  + [jax.ShapeDtypeStruct((1,) + b.shape, jnp.float32)
                     for b in rgb_b]
-                 + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in tr_w]
+                 + [jax.ShapeDtypeStruct(s, jnp.float32)
+                    for s in w_shapes[1]]
                  + [jax.ShapeDtypeStruct((1,) + b.shape, jnp.float32)
                     for b in tr_b]
-                 + [jax.ShapeDtypeStruct((B, light_rows.shape[1]),
-                                         jnp.float32),
-                    jax.ShapeDtypeStruct((B, trans_rows.shape[1]),
-                                         jnp.float32)])
+                 + [jax.ShapeDtypeStruct(lat_shapes[0], jnp.float32),
+                    jax.ShapeDtypeStruct(lat_shapes[1], jnp.float32)])
     out_specs = tuple(_full_spec() for _ in out_shape)
     scratch = [pltpu.VMEM(s.shape, jnp.float32) for s in out_shape]
-    rgb_wc = [w.astype(cdtype) for w in rgb_w]
-    tr_wc = [w.astype(cdtype) for w in tr_w]
     pack = [_build_w_pack(rgb_w, tr_w, cdtype)] if packed else []
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=tuple(out_shape), scratch_shapes=scratch,
         interpret=interpret,
-    )(feat, ray_enc, pts, light_rows, trans_rows, g_rgb, g_trans,
+        compiler_params=_compiler_params(interpret),
+    )(feat, enc_in, pts, light_in, trans_in, g_rgb, g_trans,
       *rgb_wc, *rgb_b, *tr_wc, *tr_b, *pack)
+    if not split:
+        return outs
+    # XLA assembly back to the original parameter layout: the latent
+    # blocks' dW rows and the [B,Dl]/[B,Dt] latent grads both fall out of
+    # the per-image dz0 row-sums (d_lrow/d_trow, the last two outputs)
+    outs = list(outs)
+    nR = nr + 1
+    d_lrow, d_trow = outs[-2], outs[-1]
+    # tiny [B,O] finishes: full-f32 HIGHEST (a bf16 cast of the already
+    # row-summed dz0 costs ~3x grad parity for zero measurable time)
+    hi = jax.lax.Precision.HIGHEST
+    dw_l = jax.lax.dot_general(
+        light_rows.astype(jnp.float32), d_lrow,
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=hi)
+    dw_t = jax.lax.dot_general(
+        trans_rows.astype(jnp.float32), d_trow,
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=hi)
+    d_light = jax.lax.dot_general(
+        d_lrow, w_l.astype(jnp.float32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=hi)
+    d_trans = jax.lax.dot_general(
+        d_trow, w_t.astype(jnp.float32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=hi)
+    dw_r0 = jnp.concatenate([outs[0], outs[1], dw_l], axis=0)
+    dw_t0 = jnp.concatenate([outs[nR + nr], dw_t], axis=0)
+    return tuple([dw_r0] + outs[2:nR]            # rgb weight grads
+                 + outs[nR:nR + nr]              # rgb bias grads
+                 + [dw_t0] + outs[nR + nr + 1:nR + nr + nt]
+                 + outs[nR + nr + nt:nR + nr + 2 * nt]
+                 + [d_light, d_trans])
 
 
 # -------------------------------------------------------------- custom vjp
@@ -745,7 +911,7 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
 @functools.lru_cache(maxsize=None)
 def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
              sub_fwd=1, sub_bwd=1, fullblock=False, packed=False,
-             trunk_int8=False, enc_mode="matmul"):
+             trunk_int8=False, enc_mode="matmul", split=False):
     """Build the differentiable fused op for a static config.
 
     Signature: f(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)
@@ -779,7 +945,7 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
                        aux3, skip, L3, tile_fwd, rows_per_img, cdtype,
                        interpret, subtiles=sub_fwd, fullblock=fullblock,
                        packed=packed, trunk_int8=trunk_int8,
-                       enc_mode=enc_mode, enc_extra=enc_extra)
+                       enc_mode=enc_mode, enc_extra=enc_extra, split=split)
         return out
 
     @jax.custom_vjp
@@ -802,7 +968,8 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
                         heads["rgb_w"], heads["rgb_b"],
                         heads["tr_w"], heads["tr_b"],
                         g_rgb, g_trans, tile_bwd, rows_per_img, cdtype,
-                        interpret, subtiles=sub_bwd, packed=packed)
+                        interpret, subtiles=sub_bwd, packed=packed,
+                        split=split)
         nr, nt = len(heads["rgb_w"]), len(heads["tr_w"])
         d_heads = {
             "rgb_w": tuple(outs[:nr]),
@@ -824,7 +991,8 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
                    tile_fwd=512, tile_bwd=512,
                    compute_dtype=jnp.bfloat16, interpret=False,
                    subtiles_fwd=None, subtiles_bwd=None, fullblock=None,
-                   packed=None, trunk_int8=None, enc_mode=None):
+                   packed=None, trunk_int8=None, enc_mode=None,
+                   split_heads=None):
     """Differentiable fused ST-field.
 
     pts [M,3], ray_enc [M,E] (pre-encoded, c2f applied), light_rows [B,Dl],
@@ -867,16 +1035,26 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     if trunk_int8 is None:
         trunk_int8 = os.environ.get("TEXPOSE_ST_TRUNK_INT8", "0") == "1"
     trunk_int8 = bool(trunk_int8)
-    # posenc mode: "sinext" (matmul-form trunk + XLA-built sin bands
-    # streamed in — no in-kernel HIGHEST angle matmul; default, measured
-    # fwd 2.32 vs 2.62 ms / fwd+bwd 4.54 vs 4.85 on v5e), "xext" (pts
-    # folded into the stream — layer 0/skip run one K=3+6L matmul),
-    # "matmul" (concat-free, fully in-kernel), "outside" (full XLA posenc
-    # streamed in), "kernel" (legacy in-kernel elementwise build)
+    # posenc mode: "xext" (pts folded into the streamed sin-band block —
+    # layer 0/skip run one K=3+6L matmul; default, measured trunk-only
+    # 1.53 vs 1.60 ms and fwd+bwd 4.31 vs 4.34 on v5e), "sinext"
+    # (matmul-form trunk + XLA-built sin bands streamed in — no in-kernel
+    # HIGHEST angle matmul), "matmul" (concat-free, fully in-kernel),
+    # "outside" (full XLA posenc streamed in), "kernel" (legacy in-kernel
+    # elementwise build)
     if enc_mode is None:
-        enc_mode = os.environ.get("TEXPOSE_ST_POSENC", "sinext")
+        enc_mode = os.environ.get("TEXPOSE_ST_POSENC", "xext")
     assert enc_mode in ("kernel", "outside", "matmul", "sinext",
                         "xext"), enc_mode
+    # concat-free layer-0 heads (see _heads_forward split): the latent
+    # contributions hoist to per-image XLA rows and backward skips both
+    # heads' layer-0 dX issues.  Requires ≥2 layers per head (layer 0
+    # must not be the output layer).
+    if split_heads is None:
+        split_heads = os.environ.get("TEXPOSE_ST_SPLIT_HEADS", "1") == "1"
+    split_heads = (bool(split_heads)
+                   and len(head_params["mlp_rgb"]) >= 2
+                   and len(head_params["mlp_trans"]) >= 2)
     M = pts.shape[0]
     if M % (int(tile_fwd) * sub_fwd):
         sub_fwd = 1
@@ -891,5 +1069,5 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     op = _make_op(tuple(sorted(skip)), int(L3), int(tile_fwd) * sub_fwd,
                   int(tile_bwd) * sub_bwd, int(rows_per_img), compute_dtype,
                   bool(interpret), sub_fwd, sub_bwd, fullblock, packed,
-                  trunk_int8, enc_mode)
+                  trunk_int8, enc_mode, split_heads)
     return op(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)

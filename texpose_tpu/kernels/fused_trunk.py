@@ -30,6 +30,7 @@ import jax.numpy as jnp
 try:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    from ._params import compiler_params as _compiler_params
     _PALLAS_OK = True
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
@@ -234,8 +235,7 @@ def _pallas_forward(pts, c2f_w, weights, biases, skip, L, compute_dtype,
                    jax.ShapeDtypeStruct((M + pad, 1), jnp.float32)),
         interpret=interpret,
         # row tiles are independent → let Mosaic pipeline/overlap grid steps
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+        compiler_params=_compiler_params(interpret, parallel=True),
     )(pts_p, aux, *enc_args, *weights_c, *biases)
     return feat[:M], dens[:M, 0]
 

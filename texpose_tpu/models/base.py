@@ -65,6 +65,15 @@ class Engine:
         self.state = None
         self.step_fn = None
         self.start_step = 0
+        # surface cfg.kernels.vmem_limit_mb to the Mosaic kernels (recorded
+        # in the options.yaml snapshot; see kernels/_params.py)
+        vmem_mb = (cfg.get("kernels") or {}).get("vmem_limit_mb")
+        if vmem_mb:
+            try:
+                from ..kernels._params import set_vmem_limit_mb
+                set_vmem_limit_mb(vmem_mb)
+            except ImportError:  # no pallas backend → knob is moot
+                pass
         # opt-in data parallelism over the device mesh (cfg.mesh.dp);
         # the reference is single-device by assertion (options.py:112-113)
         self.mesh = None
