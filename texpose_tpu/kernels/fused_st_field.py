@@ -298,6 +298,68 @@ def _trunk_feat_mm(pts, auxm_ref, w_refs, b_refs, skip, cdtype,
     return h, dens
 
 
+def _trunk_feat_mm_multi(blks, w_refs, b_refs, skip, cdtype, mm_refs,
+                         perm_last, xext):
+    """Layer-OUTER trunk over K independent subtile chains (ILP form).
+
+    blks: per-subtile (pts, stream) pairs — stream is the make_xext block
+    (xext=True) or the make_sinw bands (sinext).  The subtile-outer loop in
+    _fwd_kernel emits each chain's 8 matmuls back-to-back, every issue
+    depending on the previous one — the MXU drains between issues and the
+    trunk runs at a 1-of-4-MXU rate (CLAUDE.md r3 probe).  Emitting
+    layer-outer gives Mosaic K independent issues per layer to overlap,
+    while intermediates stay subtile-narrow (the failed fullblock A/B
+    widened them instead)."""
+    K = len(blks)
+    n = len(w_refs)
+    skip_sorted = sorted(skip)
+    if xext:
+        xcs = [s.astype(cdtype) for _, s in blks]
+    else:
+        ptss = [p.astype(cdtype) for p, _ in blks]
+        sins = [s.astype(cdtype) for _, s in blks]
+    hs = [None] * K
+    for li in range(n):
+        last = li == n - 1
+        if li == 0:
+            b = b_refs[li][...]
+            if xext:
+                w0 = mm_refs[0][...]
+                zs = [_dot(xcs[j], w0) + b for j in range(K)]
+            else:
+                w_pts, w_sin = mm_refs[0][...], mm_refs[1][...]
+                zs = [_dot(ptss[j], w_pts) + _dot(sins[j], w_sin) + b
+                      for j in range(K)]
+        elif li in skip:
+            b = b_refs[li][...]
+            if xext:
+                k = 1 + 2 * skip_sorted.index(li)
+                w_h, w_x = mm_refs[k][...], mm_refs[k + 1][...]
+                zs = [_dot(hs[j].astype(cdtype), w_h) + _dot(xcs[j], w_x)
+                      + b for j in range(K)]
+            else:
+                k = 2 + 3 * skip_sorted.index(li)
+                w_h = mm_refs[k][...]
+                w_pts, w_sin = mm_refs[k + 1][...], mm_refs[k + 2][...]
+                zs = [_dot(hs[j].astype(cdtype), w_h)
+                      + _dot(ptss[j], w_pts) + _dot(sins[j], w_sin) + b
+                      for j in range(K)]
+        elif last and perm_last:
+            wn, bn = mm_refs[-2][...], mm_refs[-1][...]
+            zs = [_dot(hs[j].astype(cdtype), wn) + bn for j in range(K)]
+            F = zs[0].shape[1] - 1
+            return ([jnp.maximum(z[:, :F], 0.0) for z in zs],
+                    [z[:, F:F + 1] for z in zs])
+        else:
+            w = w_refs[li][...]
+            b = b_refs[li][...]
+            zs = [_dot(hs[j].astype(cdtype), w) + b for j in range(K)]
+        if last:
+            return ([jnp.maximum(z[:, 1:], 0.0) for z in zs],
+                    [z[:, 0:1] for z in zs])
+        hs = [jnp.maximum(z, 0.0) for z in zs]
+
+
 def _trunk_feat(pts, aux3, w_refs, b_refs, skip, L3, cdtype, ws_refs=None,
                 x_pre=None):
     """In-VMEM trunk forward → (feat [T,F] f32, density_raw [T,1]).
@@ -403,8 +465,8 @@ def _heads_forward(feat, ray_enc, pts, light, trans, wr, br, wt, bt, cdtype,
 # ------------------------------------------------------------------ forward
 
 def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
-                fullblock, packed, int8, enc_mode, split, pts_ref, enc_ref,
-                aux3_ref, light_ref, trans_ref, *refs):
+                fullblock, packed, int8, enc_mode, split, ilp, pts_ref,
+                enc_ref, aux3_ref, light_ref, trans_ref, *refs):
     # split: enc_ref streams [tile, E+3] (enc ⊕ pts); light_ref/trans_ref
     # carry the pre-matmuled [B, O] latent rows (see _heads_forward)
     # enc_mode: "kernel" (legacy in-kernel elementwise posenc), "outside"
@@ -475,6 +537,15 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
         feat_all, dens_all = trunk(pts_ref[...])
         dens_ref[...] = dens_all
         feat_ref[...] = feat_all.astype(feat_ref.dtype)
+    elif ilp:
+        # layer-outer emission over the independent subtile chains (see
+        # _trunk_feat_mm_multi); only valid for the streamed enc modes
+        blks = [(pts_ref[slice(k * S, (k + 1) * S), :],
+                 enc_extra[slice(k * S, (k + 1) * S), :])
+                for k in range(subtiles)]
+        feats, denss = _trunk_feat_mm_multi(blks, wf, bf, skip, cdtype,
+                                            mm_refs, perm_last,
+                                            enc_mode == "xext")
     for k in range(subtiles):
         sl = slice(k * S, (k + 1) * S)
         # latent tables live whole in VMEM (tiny); slice this tile's row
@@ -484,6 +555,10 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
         pts = pts_ref[sl, :]
         if fullblock:
             feat = feat_all[sl, :].astype(jnp.float32)
+        elif ilp:
+            feat = feats[k]
+            dens_ref[sl, :] = denss[k]
+            feat_ref[sl, :] = feat.astype(feat_ref.dtype)
         else:
             feat, dens = trunk(pts, sl)
             dens_ref[sl, :] = dens
@@ -683,7 +758,7 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
              rgb_w, rgb_b, tr_w, tr_b, aux3, skip, L3, tile, rows_per_img,
              cdtype, interpret, subtiles=1, fullblock=False, packed=False,
              trunk_int8=False, enc_mode="kernel", enc_extra=None,
-             split=False):
+             split=False, ilp=False):
     # `tile` rows stream per grid step; compute runs on tile/subtiles-row
     # slices (narrow VMEM intermediates, fewer grid steps → less per-step
     # pipeline overhead)
@@ -699,9 +774,11 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     n_trunk, nr, nt = len(trunk_w), len(rgb_w), len(tr_w)
     F = trunk_w[-1].shape[1] - 1
     E = ray_enc.shape[1]
+    ilp = (bool(ilp) and enc_mode in ("sinext", "xext") and not fullblock
+           and not trunk_int8 and subtiles > 1)
     kernel = functools.partial(_fwd_kernel, L3, skip, nr, nt, n_trunk,
                                tiles_per_img, cdtype, subtiles, fullblock,
-                               packed, trunk_int8, enc_mode, split)
+                               packed, trunk_int8, enc_mode, split, ilp)
     if split:
         # concat-free heads: stream enc ⊕ pts as one block; hoist the
         # latent contributions to per-image [B,O] rows (XLA, once)
@@ -911,7 +988,7 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
 @functools.lru_cache(maxsize=None)
 def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
              sub_fwd=1, sub_bwd=1, fullblock=False, packed=False,
-             trunk_int8=False, enc_mode="matmul", split=False):
+             trunk_int8=False, enc_mode="matmul", split=False, ilp=False):
     """Build the differentiable fused op for a static config.
 
     Signature: f(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)
@@ -945,7 +1022,8 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
                        aux3, skip, L3, tile_fwd, rows_per_img, cdtype,
                        interpret, subtiles=sub_fwd, fullblock=fullblock,
                        packed=packed, trunk_int8=trunk_int8,
-                       enc_mode=enc_mode, enc_extra=enc_extra, split=split)
+                       enc_mode=enc_mode, enc_extra=enc_extra, split=split,
+                       ilp=ilp)
         return out
 
     @jax.custom_vjp
@@ -992,7 +1070,7 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
                    compute_dtype=jnp.bfloat16, interpret=False,
                    subtiles_fwd=None, subtiles_bwd=None, fullblock=None,
                    packed=None, trunk_int8=None, enc_mode=None,
-                   split_heads=None):
+                   split_heads=None, trunk_ilp=None):
     """Differentiable fused ST-field.
 
     pts [M,3], ray_enc [M,E] (pre-encoded, c2f applied), light_rows [B,Dl],
@@ -1055,6 +1133,12 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     split_heads = (bool(split_heads)
                    and len(head_params["mlp_rgb"]) >= 2
                    and len(head_params["mlp_trans"]) >= 2)
+    # layer-outer trunk over the independent fwd subtile chains (MXU ILP
+    # across chains instead of one latency-bound dependent chain); only
+    # meaningful for the streamed enc modes with subtiles > 1
+    if trunk_ilp is None:
+        trunk_ilp = os.environ.get("TEXPOSE_ST_TRUNK_ILP", "0") == "1"
+    trunk_ilp = bool(trunk_ilp)
     M = pts.shape[0]
     if M % (int(tile_fwd) * sub_fwd):
         sub_fwd = 1
@@ -1069,5 +1153,5 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     op = _make_op(tuple(sorted(skip)), int(L3), int(tile_fwd) * sub_fwd,
                   int(tile_bwd) * sub_bwd, int(rows_per_img), compute_dtype,
                   bool(interpret), sub_fwd, sub_bwd, fullblock, packed,
-                  trunk_int8, enc_mode, split_heads)
+                  trunk_int8, enc_mode, split_heads, trunk_ilp)
     return op(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)
