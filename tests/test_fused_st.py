@@ -130,6 +130,94 @@ def test_fused_st_subtiles_straddle_images(key, monkeypatch):
 
 
 @pytest.mark.skipif(not fused_st_available(), reason="no pallas")
+def test_fused_st_bwd_fullblock_matches_plain(key, monkeypatch):
+    """TEXPOSE_ST_BWD_FULLBLOCK=1: the backward head recompute + dW/dX
+    chain runs on the FULL streamed tile (latents are additive rows in
+    split mode) with only the per-image latent row-sums subtile-resolved.
+    Grads must match the plain path even when one grid step's subtiles
+    straddle an image boundary."""
+    monkeypatch.setenv("TEXPOSE_ST_SUBTILES_BWD", "2")
+    monkeypatch.setenv("TEXPOSE_ST_BWD_FULLBLOCK", "1")
+    cfg = st_cfg()
+    params = init_nerf_st(key, cfg)
+    B, R, N = 4, 4, 24          # rows/img = 96 = 3 tiles of 32 (odd)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    pts = jax.random.normal(k1, (B, R, N, 3))
+    ray = jax.random.normal(k2, (B, R, N, 3))
+    ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    lt = jax.random.normal(k3, (B, 8))
+    ll = jax.random.normal(k4, (B, 12))
+    progress = jnp.asarray(0.4)
+
+    def loss(fn, p, lt_, ll_, **kw):
+        rgb, dens, unc = fn(p, cfg, pts, ray, lt_, ll_,
+                            progress=progress, **kw)
+        return (rgb ** 2).mean() + unc.mean()
+
+    g_p = jax.grad(lambda p, a, b: loss(apply_nerf_st, p, a, b),
+                   argnums=(0, 1, 2))(params, lt, ll)
+    g_f = jax.grad(lambda p, a, b: loss(
+        apply_nerf_st_fused, p, a, b, compute_dtype=jnp.float32,
+        tile_fwd=32, tile_bwd=32, interpret=True),
+        argnums=(0, 1, 2))(params, lt, ll)
+    for hk in ("mlp_rgb", "mlp_trans"):
+        for a, b in zip(jax.tree_util.tree_leaves(g_p[0][hk]),
+                        jax.tree_util.tree_leaves(g_f[0][hk])):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=3e-5)
+    np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_p[1]),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(g_f[2]), np.asarray(g_p[2]),
+                               atol=3e-5)
+
+
+@pytest.mark.skipif(not fused_st_available(), reason="no pallas")
+def test_fused_st_heads_fullblock_matches_plain(key, monkeypatch):
+    """TEXPOSE_ST_HEADS_FULLBLOCK=1: forward heads run once on the full
+    streamed tile (per-subtile trunk unchanged).  Values and grads must
+    match the plain path across an image-straddling grid step."""
+    monkeypatch.setenv("TEXPOSE_ST_SUBTILES_FWD", "2")
+    monkeypatch.setenv("TEXPOSE_ST_HEADS_FULLBLOCK", "1")
+    cfg = st_cfg()
+    params = init_nerf_st(key, cfg)
+    B, R, N = 4, 4, 24          # rows/img = 96 = 3 tiles of 32 (odd)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    pts = jax.random.normal(k1, (B, R, N, 3))
+    ray = jax.random.normal(k2, (B, R, N, 3))
+    ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    lt = jax.random.normal(k3, (B, 8))
+    ll = jax.random.normal(k4, (B, 12))
+    progress = jnp.asarray(0.4)
+
+    rgb_p, dens_p, unc_p = apply_nerf_st(params, cfg, pts, ray, lt, ll,
+                                         progress=progress)
+    rgb_f, dens_f, unc_f = apply_nerf_st_fused(
+        params, cfg, pts, ray, lt, ll, progress=progress,
+        compute_dtype=jnp.float32, tile_fwd=32, tile_bwd=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_p),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dens_f), np.asarray(dens_p),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(unc_f), np.asarray(unc_p),
+                               atol=2e-5)
+
+    def loss(fn, lt_, ll_, **kw):
+        rgb, dens, unc = fn(params, cfg, pts, ray, lt_, ll_,
+                            progress=progress, **kw)
+        return (rgb ** 2).mean() + unc.mean()
+
+    g_p = jax.grad(lambda a, b: loss(apply_nerf_st, a, b),
+                   argnums=(0, 1))(lt, ll)
+    g_f = jax.grad(lambda a, b: loss(
+        apply_nerf_st_fused, a, b, compute_dtype=jnp.float32,
+        tile_fwd=32, tile_bwd=32, interpret=True), argnums=(0, 1))(lt, ll)
+    np.testing.assert_allclose(np.asarray(g_f[0]), np.asarray(g_p[0]),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_p[1]),
+                               atol=3e-5)
+
+
+@pytest.mark.skipif(not fused_st_available(), reason="no pallas")
 def test_fused_st_int8_trunk_close_to_f32(key, monkeypatch):
     """int8 trunk (TEXPOSE_ST_TRUNK_INT8): per-column weight + per-row
     activation scales keep the field outputs close to the f32 path —

@@ -465,7 +465,8 @@ def _heads_forward(feat, ray_enc, pts, light, trans, wr, br, wt, bt, cdtype,
 # ------------------------------------------------------------------ forward
 
 def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
-                fullblock, packed, int8, enc_mode, split, ilp, pts_ref,
+                fullblock, packed, int8, enc_mode, split, ilp,
+                heads_fullblock, pts_ref,
                 enc_ref, aux3_ref, light_ref, trans_ref, *refs):
     # split: enc_ref streams [tile, E+3] (enc ⊕ pts); light_ref/trans_ref
     # carry the pre-matmuled [B, O] latent rows (see _heads_forward)
@@ -546,6 +547,7 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
         feats, denss = _trunk_feat_mm_multi(blks, wf, bf, skip, cdtype,
                                             mm_refs, perm_last,
                                             enc_mode == "xext")
+    blk_feats = []
     for k in range(subtiles):
         sl = slice(k * S, (k + 1) * S)
         # latent tables live whole in VMEM (tiny); slice this tile's row
@@ -563,17 +565,46 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
             feat, dens = trunk(pts, sl)
             dens_ref[sl, :] = dens
             feat_ref[sl, :] = feat.astype(feat_ref.dtype)
+        if heads_fullblock:
+            # defer the heads: the trunk keeps its (measured-best)
+            # per-subtile chains, the heads run ONCE on the full tile
+            blk_feats.append(feat)
+            continue
         rgb_raw, trans_raw = _heads_forward(
             feat, enc_ref[sl, :], pts, light, trans, wr, br, wt, bt, cdtype,
             w_pack=w_pack, split=split)
         rgb_ref[sl, :] = rgb_raw
         transr_ref[sl, :] = trans_raw
+    if heads_fullblock:
+        # split mode only: latents are additive per-image rows → build
+        # [tile, O] addends (VPU broadcasts) and issue each head matmul
+        # once per grid step instead of once per subtile
+        i0 = pl.program_id(0) * subtiles
+
+        def _lat_blk(ref):
+            if subtiles == 1:
+                return jnp.broadcast_to(
+                    ref[pl.ds(i0 // tiles_per_img, 1), :],
+                    (S, ref.shape[1]))
+            return jnp.concatenate(
+                [jnp.broadcast_to(
+                    ref[pl.ds((i0 + j) // tiles_per_img, 1), :],
+                    (S, ref.shape[1])) for j in range(subtiles)], axis=0)
+
+        feat = blk_feats[0] if subtiles == 1 \
+            else jnp.concatenate(blk_feats, axis=0)
+        rgb_raw, trans_raw = _heads_forward(
+            feat, enc_ref[...], pts_ref[...], _lat_blk(light_ref),
+            _lat_blk(trans_ref), wr, br, wt, bt, cdtype,
+            w_pack=w_pack, split=split)
+        rgb_ref[...] = rgb_raw
+        transr_ref[...] = trans_raw
 
 
 # ----------------------------------------------------------------- backward
 
 def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed, split,
-                feat_ref, enc_ref, pts_ref, light_ref, trans_ref,
+                fullblock, feat_ref, enc_ref, pts_ref, light_ref, trans_ref,
                 g_rgb_ref, g_trans_ref, *refs):
     # split mode (see _heads_forward): enc_ref streams [tile, E+3]
     # (enc ⊕ pts), light_ref/trans_ref carry the [B,O] latent rows, the
@@ -606,14 +637,34 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed, split,
 
     row = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
     S = feat_ref.shape[0] // subtiles
-    for k in range(subtiles):
-        sl = slice(k * S, (k + 1) * S)
-        img = (i * subtiles + k) // tiles_per_img
+    # fullblock (split mode only): the latents enter layer 0 as ADDITIVE
+    # per-image rows, so the head recompute + dW/dX chain runs ONCE on the
+    # full streamed tile — half the matmul issues of the per-subtile loop —
+    # while the per-image latent row-sums stay subtile-resolved below.
+    n_blk = 1 if fullblock else subtiles
+    Sb = feat_ref.shape[0] // n_blk
+    for k in range(n_blk):
+        sl = slice(k * Sb, (k + 1) * Sb)
+        if fullblock:
+            def _lat_blk(ref):
+                return jnp.concatenate(
+                    [jnp.broadcast_to(
+                        ref[pl.ds((i * subtiles + j) // tiles_per_img, 1),
+                            :], (S, ref.shape[1]))
+                     for j in range(subtiles)], axis=0) \
+                    if subtiles > 1 else jnp.broadcast_to(
+                        ref[pl.ds(i // tiles_per_img, 1), :],
+                        (S, ref.shape[1]))
+            light = _lat_blk(light_ref)
+            trans = _lat_blk(trans_ref)
+            img = None
+        else:
+            img = (i * subtiles + k) // tiles_per_img
+            light = light_ref[pl.ds(img, 1), :]
+            trans = trans_ref[pl.ds(img, 1), :]
         feat = feat_ref[sl, :].astype(jnp.float32)
         pts = pts_ref[sl, :]
         rayenc = enc_ref[sl, :]
-        light = light_ref[pl.ds(img, 1), :]
-        trans = trans_ref[pl.ds(img, 1), :]
 
         _, _, acts = _heads_forward(feat, rayenc, pts, light, trans,
                                     wr, br, wt, bt, cdtype, want_acts=True,
@@ -665,6 +716,7 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed, split,
             scratch[1][...] += _dot_t1(rayenc.astype(cdtype),
                                        g.astype(cdtype))
             # d_latent = per-image row-sum of dz0, finished in XLA
+            dz0_rgb = g
             dlight = jnp.sum(g, axis=0, keepdims=True)             # [1,O]
         else:
             scratch[0][...] += _dot_t1(hs[0].astype(cdtype),
@@ -688,6 +740,7 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed, split,
         if split:
             scratch[t_base][...] += _dot_t1(feat.astype(cdtype),
                                             g.astype(cdtype))
+            dz0_tr = g
             dtrans = jnp.sum(g, axis=0, keepdims=True)             # [1,O]
         else:
             scratch[t_base][...] += _dot_t1(hs[0].astype(cdtype),
@@ -695,8 +748,20 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed, split,
             g = _dot_t2(g.astype(cdtype), wt[0][...])
             dtrans = jnp.sum(g[:, feat.shape[1]:], axis=0, keepdims=True)
 
-        scratch[-2][...] += jnp.where(row == img, dlight, 0.0)
-        scratch[-1][...] += jnp.where(row == img, dtrans, 0.0)
+        if fullblock:
+            # per-image latent grads: subtile-resolved row sums of dz0
+            for j in range(subtiles):
+                ssl = slice(j * S, (j + 1) * S)
+                img_j = (i * subtiles + j) // tiles_per_img
+                scratch[-2][...] += jnp.where(
+                    row == img_j,
+                    jnp.sum(dz0_rgb[ssl], axis=0, keepdims=True), 0.0)
+                scratch[-1][...] += jnp.where(
+                    row == img_j,
+                    jnp.sum(dz0_tr[ssl], axis=0, keepdims=True), 0.0)
+        else:
+            scratch[-2][...] += jnp.where(row == img, dlight, 0.0)
+            scratch[-1][...] += jnp.where(row == img, dtrans, 0.0)
 
     @pl.when(i == n_prog - 1)
     def _():
@@ -758,7 +823,7 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
              rgb_w, rgb_b, tr_w, tr_b, aux3, skip, L3, tile, rows_per_img,
              cdtype, interpret, subtiles=1, fullblock=False, packed=False,
              trunk_int8=False, enc_mode="kernel", enc_extra=None,
-             split=False, ilp=False):
+             split=False, ilp=False, heads_fullblock=False):
     # `tile` rows stream per grid step; compute runs on tile/subtiles-row
     # slices (narrow VMEM intermediates, fewer grid steps → less per-step
     # pipeline overhead)
@@ -776,9 +841,12 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     E = ray_enc.shape[1]
     ilp = (bool(ilp) and enc_mode in ("sinext", "xext") and not fullblock
            and not trunk_int8 and subtiles > 1)
+    # heads_fullblock needs the additive-latent (split) layer-0 form
+    heads_fullblock = bool(heads_fullblock) and split and subtiles > 1
     kernel = functools.partial(_fwd_kernel, L3, skip, nr, nt, n_trunk,
                                tiles_per_img, cdtype, subtiles, fullblock,
-                               packed, trunk_int8, enc_mode, split, ilp)
+                               packed, trunk_int8, enc_mode, split, ilp,
+                               heads_fullblock)
     if split:
         # concat-free heads: stream enc ⊕ pts as one block; hoist the
         # latent contributions to per-image [B,O] rows (XLA, once)
@@ -885,7 +953,8 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
 
 def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
              tr_w, tr_b, g_rgb, g_trans, tile, rows_per_img, cdtype,
-             interpret, subtiles=1, packed=False, split=False):
+             interpret, subtiles=1, packed=False, split=False,
+             fullblock=False):
     sub = tile // subtiles
     tiles_per_img = rows_per_img // sub
     if rows_per_img % sub or tiles_per_img <= 0:
@@ -899,8 +968,11 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
     nr, nt = len(rgb_w), len(tr_w)
     F = feat.shape[1]
     E = ray_enc.shape[1]
+    # fullblock needs the additive-latent (split) layer-0 form and only
+    # changes anything when there is more than one subtile to merge
+    fullblock = bool(fullblock) and split and subtiles > 1
     kernel = functools.partial(_bwd_kernel, nr, nt, B, tiles_per_img, cdtype,
-                               subtiles, packed, split)
+                               subtiles, packed, split, fullblock)
     if split:
         wr_f, wr_ep, w_l, w_t = _split_head_l0(rgb_w[0], tr_w[0], F, E,
                                                cdtype)
@@ -988,7 +1060,8 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
 @functools.lru_cache(maxsize=None)
 def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
              sub_fwd=1, sub_bwd=1, fullblock=False, packed=False,
-             trunk_int8=False, enc_mode="matmul", split=False, ilp=False):
+             trunk_int8=False, enc_mode="matmul", split=False, ilp=False,
+             bwd_fullblock=False, heads_fullblock=False):
     """Build the differentiable fused op for a static config.
 
     Signature: f(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)
@@ -1023,7 +1096,7 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
                        interpret, subtiles=sub_fwd, fullblock=fullblock,
                        packed=packed, trunk_int8=trunk_int8,
                        enc_mode=enc_mode, enc_extra=enc_extra, split=split,
-                       ilp=ilp)
+                       ilp=ilp, heads_fullblock=heads_fullblock)
         return out
 
     @jax.custom_vjp
@@ -1047,7 +1120,7 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
                         heads["tr_w"], heads["tr_b"],
                         g_rgb, g_trans, tile_bwd, rows_per_img, cdtype,
                         interpret, subtiles=sub_bwd, packed=packed,
-                        split=split)
+                        split=split, fullblock=bwd_fullblock)
         nr, nt = len(heads["rgb_w"]), len(heads["tr_w"])
         d_heads = {
             "rgb_w": tuple(outs[:nr]),
@@ -1070,7 +1143,8 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
                    compute_dtype=jnp.bfloat16, interpret=False,
                    subtiles_fwd=None, subtiles_bwd=None, fullblock=None,
                    packed=None, trunk_int8=None, enc_mode=None,
-                   split_heads=None, trunk_ilp=None):
+                   split_heads=None, trunk_ilp=None, bwd_fullblock=None,
+                   heads_fullblock=None):
     """Differentiable fused ST-field.
 
     pts [M,3], ray_enc [M,E] (pre-encoded, c2f applied), light_rows [B,Dl],
@@ -1139,6 +1213,21 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     if trunk_ilp is None:
         trunk_ilp = os.environ.get("TEXPOSE_ST_TRUNK_ILP", "0") == "1"
     trunk_ilp = bool(trunk_ilp)
+    # bwd fullblock: run the head recompute + dW/dX chain on the FULL
+    # streamed bwd tile (split mode makes the latents additive rows, so
+    # only the per-image latent row-sums need subtile resolution) — half
+    # the bwd matmul issues per grid step.  Default off pending A/B.
+    if bwd_fullblock is None:
+        bwd_fullblock = os.environ.get("TEXPOSE_ST_BWD_FULLBLOCK",
+                                       "0") == "1"
+    bwd_fullblock = bool(bwd_fullblock)
+    # fwd heads fullblock: trunk keeps per-subtile chains (measured best)
+    # but the heads run once per grid step on the full streamed tile.
+    # Default off pending A/B.
+    if heads_fullblock is None:
+        heads_fullblock = os.environ.get("TEXPOSE_ST_HEADS_FULLBLOCK",
+                                         "0") == "1"
+    heads_fullblock = bool(heads_fullblock)
     M = pts.shape[0]
     if M % (int(tile_fwd) * sub_fwd):
         sub_fwd = 1
@@ -1153,5 +1242,6 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     op = _make_op(tuple(sorted(skip)), int(L3), int(tile_fwd) * sub_fwd,
                   int(tile_bwd) * sub_bwd, int(rows_per_img), compute_dtype,
                   bool(interpret), sub_fwd, sub_bwd, fullblock, packed,
-                  trunk_int8, enc_mode, split_heads, trunk_ilp)
+                  trunk_int8, enc_mode, split_heads, trunk_ilp,
+                  bwd_fullblock, heads_fullblock)
     return op(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)

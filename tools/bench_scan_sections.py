@@ -1,0 +1,202 @@
+"""Dev utility: scan-chained section decomposition of the texture step.
+
+Every number is a MARGINAL per-step cost from two lax.scan depths with a
+blocking host read — the only trustworthy single-section pattern through
+the TPU tunnel (dispatch-loop timeit carries per-dispatch transport
+overhead; see CLAUDE.md measurement warnings).  Sections are nested
+subsets of the official bench workload (bench.py: 8 x 16x16 patches,
+64 samples, 131072 field rows):
+
+  S1 kernel fwd        fused ST-field forward only
+  S2 kernel fwd+bwd    + the fused head backward (grad wrt heads)
+  S3 render grad       + ray sampling, composite, uncert render loss
+  S4 G-only step       full engine step with gan=None (+VGG, lab,
+                       latent gather, optimizer) — engine scan, dispatch
+                       timed (already scan-fused)
+  S5 official step     G+D step (bench.py path) — engine scan
+
+Deltas attribute: S3-S2 = composite+glue, S4-S3 ~= losses+optimizer,
+S5-S4 = discriminator step (+gan_nerf fwd in G loss).
+"""
+
+import os
+import sys
+import time
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def marginal(make_run, d_lo=4, d_hi=20, reps=5):
+    """Marginal per-step ms from two scan depths (blocking read)."""
+    ts = {}
+    for d in (d_lo, d_hi):
+        f = make_run(d)
+        _ = float(np.asarray(f()))          # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = float(np.asarray(f()))
+            best = min(best, time.perf_counter() - t0)
+        ts[d] = best * 1000
+    return (ts[d_hi] - ts[d_lo]) / (d_hi - d_lo), ts
+
+
+def engine_step_ms(eng, n_disp=6):
+    """Per-step ms of an engine's (already scan-fused) step_fn."""
+    k = eng.scan_k()
+    for _ in range(2):                       # compile + warm
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
+    _ = float(np.asarray(loss["all"]))
+    best = float("inf")
+    for _ in range(n_disp):
+        t0 = time.perf_counter()
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
+        _ = float(np.asarray(loss["all"]))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1000 / k
+
+
+def main():
+    from texpose_tpu.data.fixture import generate_fixture
+    from texpose_tpu.utils.config import process_options
+    from texpose_tpu.models.texture_gan import (TextureGANEngine,
+                                                render_patch,
+                                                sample_patch_images)
+    from texpose_tpu.sampling.patch import flex_patch_coords
+    from texpose_tpu.kernels.fused_st_field import fused_st_field
+    from texpose_tpu.models.pretrain import _compute_dtype
+    sys.path.insert(0, "/root/repo")
+    from bench import _bench_cfg
+
+    here = "/root/repo"
+    cache = os.path.join(tempfile.gettempdir(), "texpose_bench_fixture_v1")
+    marker = os.path.join(cache, ".done")
+    if not os.path.exists(marker):
+        os.makedirs(cache, exist_ok=True)
+        generate_fixture(cache, n_train=16, n_test=1, scene="scene_all",
+                         image_scale=1.0, crop_res=128)
+        open(marker, "w").close()
+    cfg = _bench_cfg(cache, here, "texpose_sections_out")
+    cfg = process_options(cfg)
+    cfg.max_iter = 100000
+
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+
+    B = int(cfg.batch_size)
+    R = int(cfg.patch_size) ** 2
+    Ns = int(cfg.nerf.sample_intvs)
+    M = B * R * Ns
+    dtype = _compute_dtype(cfg)
+    params = eng.state["params"]["nerf"]
+    trunk = params["mlp_feat"]
+    heads = {k: v for k, v in params.items() if k != "mlp_feat"}
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    pts0 = jnp.asarray(rng.standard_normal((M, 3)), jnp.float32)
+    enc = jnp.asarray(rng.standard_normal((M, 27)), jnp.float32)
+    ll = jnp.asarray(rng.standard_normal((B, 48)), jnp.float32)
+    lt = jnp.asarray(rng.standard_normal((B, 16)), jnp.float32)
+    aux3 = jnp.stack([jnp.asarray((2.0 ** np.arange(10)) * np.pi,
+                                  jnp.float32), jnp.ones((10,))])
+    sections = os.environ.get("SECTIONS", "12345")
+
+    def field(h, p):
+        return fused_st_field(p, enc, ll, lt, trunk, h, aux3, (4,), 10,
+                              R * Ns, compute_dtype=dtype)
+
+    # ---- S1: kernel fwd only, chained on pts
+    if "1" in sections:
+        def make_s1(depth):
+            def step(p, _):
+                rgb, dens, tr = field(heads, p)
+                return pts0 + 1e-6 * rgb, None
+            fj = jax.jit(lambda p: jax.lax.scan(step, p, None,
+                                                length=depth)[0][0, 0])
+            return lambda: fj(pts0)
+        per, ts = marginal(make_s1)
+        print(f"S1 kernel fwd      : {per:7.3f} ms/step  {ts}", flush=True)
+
+    # ---- S2: kernel fwd+bwd (grad wrt heads), chained on heads
+    if "2" in sections:
+        def loss2(h):
+            rgb, dens, tr = field(h, pts0)
+            return (rgb ** 2).mean() + (tr ** 2).mean()
+
+        g2 = jax.grad(loss2)
+
+        def make_s2(depth):
+            def step(h, _):
+                g = g2(h)
+                return jax.tree_util.tree_map(
+                    lambda a, b: a - 1e-12 * b, h, g), None
+            fj = jax.jit(lambda h: jax.lax.scan(
+                step, h, None, length=depth)[0]["mlp_rgb"][0]["w"][0, 0])
+            return lambda: fj(heads)
+        per, ts = marginal(make_s2)
+        print(f"S2 kernel fwd+bwd  : {per:7.3f} ms/step  {ts}", flush=True)
+
+    # ---- S3: render_patch uncert loss grad (adds rays+composite+glue)
+    if "3" in sections:
+        batch = jax.tree_util.tree_map(lambda x: x[:B], eng.train_batch)
+        coords, scales = flex_patch_coords(key, B, int(cfg.patch_size))
+        sup = sample_patch_images(cfg, batch, coords)
+        p05 = jnp.asarray(0.5)
+
+        def rloss(h):
+            out = render_patch(dict(h, mlp_feat=trunk), cfg,
+                               batch["pose_init"], batch["intr"], coords,
+                               batch["z_near"], batch["z_far"], lt, ll,
+                               key, p05, "train", compute_dtype=dtype)
+            hw = int(cfg.patch_size)
+            rgb = out["rgb"].reshape(B, hw, hw, 3).transpose(0, 3, 1, 2)
+            unc = out["uncert"].reshape(B, hw, hw, 1).transpose(0, 3, 1, 2)
+            m = sup["mask"]
+            return ((m * ((sup["image"] - rgb) ** 2 / unc ** 2)).sum()
+                    / (m.sum() + 1e-5) + out["trans_density_mean"])
+
+        g3 = jax.grad(rloss)
+
+        def make_s3(depth):
+            def step(h, _):
+                g = g3(h)
+                return jax.tree_util.tree_map(
+                    lambda a, b: a - 1e-12 * b, h, g), None
+            fj = jax.jit(lambda h: jax.lax.scan(
+                step, h, None, length=depth)[0]["mlp_rgb"][0]["w"][0, 0])
+            return lambda: fj(heads)
+        per, ts = marginal(make_s3)
+        print(f"S3 render grad     : {per:7.3f} ms/step  {ts}", flush=True)
+
+    # ---- S4: G-only engine step (gan=None)
+    if "4" in sections:
+        cfg4 = _bench_cfg(cache, here, "texpose_sections_out4")
+        cfg4.gan = None
+        for k in ("gan_nerf", "gan_disc_real", "gan_disc_fake",
+                  "gan_reg_real", "gan_reg_fake"):
+            cfg4.loss_weight[k] = None
+        cfg4 = process_options(cfg4)
+        cfg4.max_iter = 100000
+        eng4 = TextureGANEngine(cfg4)
+        eng4.load_dataset()
+        eng4.build_networks()
+        eng4.setup_optimizer()
+        print(f"S4 G-only step     : {engine_step_ms(eng4):7.3f} ms/step",
+              flush=True)
+        del eng4
+
+    # ---- S5: official G+D step
+    if "5" in sections:
+        print(f"S5 official step   : {engine_step_ms(eng):7.3f} ms/step",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
