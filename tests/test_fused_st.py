@@ -130,17 +130,20 @@ def test_fused_st_subtiles_straddle_images(key, monkeypatch):
 
 
 @pytest.mark.skipif(not fused_st_available(), reason="no pallas")
-def test_fused_st_bwd_fullblock_matches_plain(key, monkeypatch):
+@pytest.mark.parametrize("N", [24, 32])
+def test_fused_st_bwd_fullblock_matches_plain(key, monkeypatch, N):
     """TEXPOSE_ST_BWD_FULLBLOCK=1: the backward head recompute + dW/dX
     chain runs on the FULL streamed tile (latents are additive rows in
     split mode) with only the per-image latent row-sums subtile-resolved.
-    Grads must match the plain path even when one grid step's subtiles
-    straddle an image boundary."""
+    Grads must match the plain path both when a grid step's subtiles
+    straddle an image boundary (N=24: rows/img=96, 3 subtiles/img, odd)
+    and on the same-image fast path (N=32: rows/img=128 divides by the
+    64-row streamed tile — single latent row per grid step)."""
     monkeypatch.setenv("TEXPOSE_ST_SUBTILES_BWD", "2")
     monkeypatch.setenv("TEXPOSE_ST_BWD_FULLBLOCK", "1")
     cfg = st_cfg()
     params = init_nerf_st(key, cfg)
-    B, R, N = 4, 4, 24          # rows/img = 96 = 3 tiles of 32 (odd)
+    B, R = 4, 4
     k1, k2, k3, k4 = jax.random.split(key, 4)
     pts = jax.random.normal(k1, (B, R, N, 3))
     ray = jax.random.normal(k2, (B, R, N, 3))
@@ -172,15 +175,18 @@ def test_fused_st_bwd_fullblock_matches_plain(key, monkeypatch):
 
 
 @pytest.mark.skipif(not fused_st_available(), reason="no pallas")
-def test_fused_st_heads_fullblock_matches_plain(key, monkeypatch):
+@pytest.mark.parametrize("N", [24, 32])
+def test_fused_st_heads_fullblock_matches_plain(key, monkeypatch, N):
     """TEXPOSE_ST_HEADS_FULLBLOCK=1: forward heads run once on the full
     streamed tile (per-subtile trunk unchanged).  Values and grads must
-    match the plain path across an image-straddling grid step."""
+    match the plain path both across an image-straddling grid step
+    (N=24) and on the same-image fast path (N=32: one latent row per
+    grid step, feat read back from the output ref)."""
     monkeypatch.setenv("TEXPOSE_ST_SUBTILES_FWD", "2")
     monkeypatch.setenv("TEXPOSE_ST_HEADS_FULLBLOCK", "1")
     cfg = st_cfg()
     params = init_nerf_st(key, cfg)
-    B, R, N = 4, 4, 24          # rows/img = 96 = 3 tiles of 32 (odd)
+    B, R = 4, 4
     k1, k2, k3, k4 = jax.random.split(key, 4)
     pts = jax.random.normal(k1, (B, R, N, 3))
     ray = jax.random.normal(k2, (B, R, N, 3))

@@ -576,27 +576,37 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
         rgb_ref[sl, :] = rgb_raw
         transr_ref[sl, :] = trans_raw
     if heads_fullblock:
-        # split mode only: latents are additive per-image rows → build
-        # [tile, O] addends (VPU broadcasts) and issue each head matmul
-        # once per grid step instead of once per subtile
+        # split mode only: latents are additive per-image rows → issue each
+        # head matmul once per grid step instead of once per subtile
         i0 = pl.program_id(0) * subtiles
+        if tiles_per_img % subtiles == 0:
+            # every subtile of this grid step lies in ONE image
+            # (rows_per_img % streamed-tile == 0, the production case):
+            # one latent row + feat read back from the just-written output
+            # ref — no [tile,O] broadcast/concat builds at all
+            img = i0 // tiles_per_img
+            light = light_ref[pl.ds(img, 1), :]
+            trans = trans_ref[pl.ds(img, 1), :]
+            feat = feat_ref[...]
+        else:
+            def _lat_blk(ref):
+                if subtiles == 1:
+                    return jnp.broadcast_to(
+                        ref[pl.ds(i0 // tiles_per_img, 1), :],
+                        (S, ref.shape[1]))
+                return jnp.concatenate(
+                    [jnp.broadcast_to(
+                        ref[pl.ds((i0 + j) // tiles_per_img, 1), :],
+                        (S, ref.shape[1])) for j in range(subtiles)],
+                    axis=0)
 
-        def _lat_blk(ref):
-            if subtiles == 1:
-                return jnp.broadcast_to(
-                    ref[pl.ds(i0 // tiles_per_img, 1), :],
-                    (S, ref.shape[1]))
-            return jnp.concatenate(
-                [jnp.broadcast_to(
-                    ref[pl.ds((i0 + j) // tiles_per_img, 1), :],
-                    (S, ref.shape[1])) for j in range(subtiles)], axis=0)
-
-        feat = blk_feats[0] if subtiles == 1 \
-            else jnp.concatenate(blk_feats, axis=0)
+            light = _lat_blk(light_ref)
+            trans = _lat_blk(trans_ref)
+            feat = blk_feats[0] if subtiles == 1 \
+                else jnp.concatenate(blk_feats, axis=0)
         rgb_raw, trans_raw = _heads_forward(
-            feat, enc_ref[...], pts_ref[...], _lat_blk(light_ref),
-            _lat_blk(trans_ref), wr, br, wt, bt, cdtype,
-            w_pack=w_pack, split=split)
+            feat, enc_ref[...], pts_ref[...], light, trans,
+            wr, br, wt, bt, cdtype, w_pack=w_pack, split=split)
         rgb_ref[...] = rgb_raw
         transr_ref[...] = trans_raw
 
@@ -645,7 +655,14 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed, split,
     Sb = feat_ref.shape[0] // n_blk
     for k in range(n_blk):
         sl = slice(k * Sb, (k + 1) * Sb)
-        if fullblock:
+        if fullblock and tiles_per_img % subtiles == 0:
+            # every subtile of this grid step lies in ONE image
+            # (rows_per_img % streamed-tile == 0, the production case):
+            # single latent row, single-image latent-grad row-sum below
+            img = (i * subtiles) // tiles_per_img
+            light = light_ref[pl.ds(img, 1), :]
+            trans = trans_ref[pl.ds(img, 1), :]
+        elif fullblock:
             def _lat_blk(ref):
                 return jnp.concatenate(
                     [jnp.broadcast_to(
@@ -748,7 +765,7 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed, split,
             g = _dot_t2(g.astype(cdtype), wt[0][...])
             dtrans = jnp.sum(g[:, feat.shape[1]:], axis=0, keepdims=True)
 
-        if fullblock:
+        if fullblock and img is None:
             # per-image latent grads: subtile-resolved row sums of dz0
             for j in range(subtiles):
                 ssl = slice(j * S, (j + 1) * S)
@@ -1016,7 +1033,10 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=tuple(out_shape), scratch_shapes=scratch,
         interpret=interpret,
-        compiler_params=_compiler_params(interpret),
+        # fullblock's full-tile f32 activation chain overruns the 16M
+        # default scoped budget by ~0.4M at the stock 512x2 tiling
+        compiler_params=_compiler_params(
+            interpret, vmem_limit_mb=20 if fullblock else None),
     )(feat, enc_in, pts, light_in, trans_in, g_rgb, g_trans,
       *rgb_wc, *rgb_b, *tr_wc, *tr_b, *pack)
     if not split:

@@ -68,6 +68,9 @@ def main():
         "base": {},
         "ilp": {"trunk_ilp": True},
         "fullblock": {"fullblock": True},
+        "bwdfull": {"bwd_fullblock": True},
+        "headsfull": {"heads_fullblock": True},
+        "bothfull": {"bwd_fullblock": True, "heads_fullblock": True},
     }
     names = sys.argv[1:] or list(VARIANTS)
 

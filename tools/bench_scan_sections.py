@@ -108,38 +108,108 @@ def main():
                                   jnp.float32), jnp.ones((10,))])
     sections = os.environ.get("SECTIONS", "12345")
 
-    def field(h, p):
-        return fused_st_field(p, enc, ll, lt, trunk, h, aux3, (4,), 10,
+    # NOTE: pts/enc/heads are threaded as jit ARGUMENTS everywhere —
+    # closed-over arrays stage into the executable as constants (the
+    # scoped-VMEM trap) and distort kernel timing
+    def field(h, p, e):
+        return fused_st_field(p, e, ll, lt, trunk, h, aux3, (4,), 10,
                               R * Ns, compute_dtype=dtype)
 
     # ---- S1: kernel fwd only, chained on pts
     if "1" in sections:
         def make_s1(depth):
-            def step(p, _):
-                rgb, dens, tr = field(heads, p)
-                return pts0 + 1e-6 * rgb, None
-            fj = jax.jit(lambda p: jax.lax.scan(step, p, None,
-                                                length=depth)[0][0, 0])
-            return lambda: fj(pts0)
+            def f(p, e, h):
+                def step(pp, _):
+                    rgb, dens, tr = field(h, pp, e)
+                    return pp + 1e-6 * rgb, None
+                return jax.lax.scan(step, p, None, length=depth)[0][0, 0]
+            fj = jax.jit(f)
+            return lambda: fj(pts0, enc, heads)
         per, ts = marginal(make_s1)
         print(f"S1 kernel fwd      : {per:7.3f} ms/step  {ts}", flush=True)
 
+    # ---- S6: XLA prologue only — make_xext + enc⊕pts concat + latent
+    # rows (everything fused_st_field stages OUTSIDE the pallas_call),
+    # chained on pts
+    if "6" in sections:
+        from texpose_tpu.kernels.fused_st_field import (make_xext,
+                                                        _split_head_l0,
+                                                        _latent_rows)
+        trunk_w = tuple(lp["w"] for lp in trunk)
+        F = trunk_w[-1].shape[1] - 1
+        rgb_w0 = heads["mlp_rgb"][0]["w"]
+        tr_w0 = heads["mlp_trans"][0]["w"]
+        c2f_w = jnp.ones((10,))
+
+        def prologue(p, e):
+            xext = make_xext(p, 10, c2f_w, dtype)
+            wr_f, wr_ep, w_l, w_t = _split_head_l0(rgb_w0, tr_w0, F, 27,
+                                                   dtype)
+            rep = jnp.concatenate([e, p.astype(e.dtype)], axis=1)
+            lrow, trow = _latent_rows(ll, lt, w_l, w_t, dtype)
+            return (xext[0, 0].astype(jnp.float32) + rep[0, 0]
+                    + lrow[0, 0] + trow[0, 0])
+
+        def make_s6(depth):
+            def f(p, e):
+                def step(pp, _):
+                    return pp + 1e-6 * prologue(pp, e), None
+                return jax.lax.scan(step, p, None, length=depth)[0][0, 0]
+            fj = jax.jit(f)
+            return lambda: fj(pts0, enc)
+        per, ts = marginal(make_s6)
+        print(f"S6 XLA prologue    : {per:7.3f} ms/step  {ts}", flush=True)
+
+    # ---- S7: pallas fwd only — enc_extra prebuilt OUTSIDE the scan,
+    # chained on pts (kernel cost is shape-dependent only)
+    if "7" in sections:
+        from texpose_tpu.kernels.fused_st_field import (_run_fwd, make_xext,
+                                                        _latent_rows,
+                                                        _split_head_l0)
+        trunk_w = tuple(lp["w"] for lp in trunk)
+        trunk_b = tuple(lp["b"] for lp in trunk)
+        rgb_w = tuple(lp["w"] for lp in heads["mlp_rgb"])
+        rgb_b = tuple(lp["b"] for lp in heads["mlp_rgb"])
+        tr_w = tuple(lp["w"] for lp in heads["mlp_trans"])
+        tr_b = tuple(lp["b"] for lp in heads["mlp_trans"])
+        c2f_w = jnp.ones((10,))
+        xext0 = make_xext(pts0, 10, c2f_w, dtype)
+
+        def kern_only(p, e, xe):
+            rgb, dens, tr, feat = _run_fwd(
+                p, e, ll, lt, trunk_w, trunk_b, rgb_w, rgb_b, tr_w, tr_b,
+                aux3, (4,), 10, 512, R * Ns, dtype, False, subtiles=4,
+                packed=True, enc_mode="xext", enc_extra=xe, split=True)
+            return rgb
+
+        def make_s7(depth):
+            def f(p, e, xe):
+                def step(pp, _):
+                    return pp + 1e-6 * kern_only(pp, e, xe), None
+                return jax.lax.scan(step, p, None, length=depth)[0][0, 0]
+            fj = jax.jit(f)
+            return lambda: fj(pts0, enc, xext0)
+        per, ts = marginal(make_s7)
+        print(f"S7 pallas fwd only : {per:7.3f} ms/step  {ts}", flush=True)
+
     # ---- S2: kernel fwd+bwd (grad wrt heads), chained on heads
     if "2" in sections:
-        def loss2(h):
-            rgb, dens, tr = field(h, pts0)
+        def loss2(h, p, e):
+            rgb, dens, tr = field(h, p, e)
             return (rgb ** 2).mean() + (tr ** 2).mean()
 
         g2 = jax.grad(loss2)
 
         def make_s2(depth):
-            def step(h, _):
-                g = g2(h)
-                return jax.tree_util.tree_map(
-                    lambda a, b: a - 1e-12 * b, h, g), None
-            fj = jax.jit(lambda h: jax.lax.scan(
-                step, h, None, length=depth)[0]["mlp_rgb"][0]["w"][0, 0])
-            return lambda: fj(heads)
+            def f(h, p, e):
+                def step(hh, _):
+                    g = g2(hh, p, e)
+                    return jax.tree_util.tree_map(
+                        lambda a, b: a - 1e-12 * b, hh, g), None
+                return jax.lax.scan(
+                    step, h, None, length=depth)[0]["mlp_rgb"][0]["w"][0, 0]
+            fj = jax.jit(f)
+            return lambda: fj(heads, pts0, enc)
         per, ts = marginal(make_s2)
         print(f"S2 kernel fwd+bwd  : {per:7.3f} ms/step  {ts}", flush=True)
 
