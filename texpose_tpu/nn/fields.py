@@ -231,7 +231,15 @@ def apply_nerf_fused(params, cfg, points, ray_unit=None, progress=None,
     shape = points.shape[:-1]
     pts = points.reshape(-1, 3)
     if cfg.nerf.view_dep:
-        enc = _encode_view(cfg, ray_unit, progress).reshape(pts.shape[0], -1)
+        if ray_unit.ndim == points.ndim - 1:
+            # per-RAY dirs: encode N× fewer rows, broadcast the ENCODINGS
+            # (the sin/cos transcendentals dominate the XLA glue cost)
+            enc = _encode_view(cfg, ray_unit, progress)
+            enc = jnp.broadcast_to(enc[..., None, :],
+                                   shape + (enc.shape[-1],))
+        else:
+            enc = _encode_view(cfg, ray_unit, progress)
+        enc = enc.reshape(pts.shape[0], -1)
     else:
         enc = None
     aux3 = jnp.stack([_freq(L3, pts.dtype),
@@ -282,7 +290,11 @@ def forward_samples_nerf(params, cfg, center, ray, depth_samples, progress=None,
     pts = center[..., None, :] + ray[..., None, :] * depth_samples
     if cfg.nerf.view_dep:
         ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
-        ray_unit = jnp.broadcast_to(ray_unit[..., None, :], pts.shape)
+        M = int(np.prod(pts.shape[:-1]))
+        if not _use_fused_coarse(cfg, M, mode):
+            # plain path wants per-row dirs; the fused path encodes the
+            # per-RAY dirs and broadcasts the encodings (cheaper, exact)
+            ray_unit = jnp.broadcast_to(ray_unit[..., None, :], pts.shape)
     else:
         ray_unit = None
     return apply_nerf(params, cfg, pts, ray_unit, progress, mode,
@@ -394,7 +406,16 @@ def apply_nerf_st_raw(params, cfg, points, ray_unit, latent_trans,
     B, R, N, _ = points.shape
     L3 = cfg.arch.posenc.L_3D
     pts = points.reshape(-1, 3)
-    ray_enc = _encode_view(cfg, ray_unit, progress, c2f=True)
+    if ray_unit.ndim == points.ndim - 1:
+        # per-RAY dirs [B,R,3]: encode N× fewer rows and broadcast the
+        # ENCODINGS — the sin/cos transcendentals are the dominant XLA
+        # glue cost at the production envelope (measured ~1 ms/131k rows
+        # vs ~0.02 ms/2048 rays; broadcast-after-encode is exact)
+        ray_enc = _encode_view(cfg, ray_unit, progress, c2f=True)
+        ray_enc = jnp.broadcast_to(ray_enc[..., None, :],
+                                   (B, R, N, ray_enc.shape[-1]))
+    else:
+        ray_enc = _encode_view(cfg, ray_unit, progress, c2f=True)
     ray_enc = ray_enc.reshape(pts.shape[0], -1)
     from ..kernels.fused_trunk import _freq
     aux3 = jnp.stack([_freq(L3, pts.dtype),
@@ -540,8 +561,9 @@ def forward_samples_nerf_st_raw(params, cfg, center, ray, depth_samples,
     """Raw-output variant of forward_samples_nerf_st for the fused composite
     path; returns (rgb_raw [M,3], dens_raw [M,1], trans_raw [M,5])."""
     pts = center[..., None, :] + ray[..., None, :] * depth_samples
+    # per-ray unit dirs: apply_nerf_st_raw encodes [B,R,3] and broadcasts
+    # the encodings over samples (N× fewer transcendentals, exact)
     ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
-    ray_unit = jnp.broadcast_to(ray_unit[..., None, :], pts.shape)
     return apply_nerf_st_raw(params, cfg, pts, ray_unit, latent_trans,
                              latent_light, progress, compute_dtype,
                              interpret=interpret)

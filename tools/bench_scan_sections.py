@@ -213,6 +213,84 @@ def main():
         per, ts = marginal(make_s2)
         print(f"S2 kernel fwd+bwd  : {per:7.3f} ms/step  {ts}", flush=True)
 
+    # ---- S8: fused composite fwd only, chained on rgb_raw
+    if "8" in sections:
+        from texpose_tpu.kernels.fused_composite import fused_composite_st
+        rgbr0 = jnp.asarray(rng.standard_normal((M, 3)), jnp.float32)
+        trr0 = jnp.asarray(rng.standard_normal((M, 5)), jnp.float32)
+        der0 = jnp.asarray(rng.standard_normal((M, 1)), jnp.float32)
+        dep0 = jnp.asarray(
+            np.sort(rng.uniform(0.5, 3.0, (B, R, Ns, 1)), axis=2),
+            jnp.float32)
+        ray0 = jnp.asarray(rng.standard_normal((B, R, 3)), jnp.float32)
+
+        def make_s8(depth):
+            def f(rr, tr, de, dp, ry):
+                def step(x, _):
+                    out = fused_composite_st(x, tr, de, dp, ry)
+                    d = jnp.broadcast_to(out["rgb"][:, :, None, :],
+                                         (B, R, Ns, 3)).reshape(M, 3)
+                    return x + 1e-6 * d, None
+                return jax.lax.scan(step, rr, None, length=depth)[0][0, 0]
+            fj = jax.jit(f)
+            return lambda: fj(rgbr0, trr0, der0, dep0, ray0)
+        per, ts = marginal(make_s8)
+        print(f"S8 composite fwd   : {per:7.3f} ms/step  {ts}", flush=True)
+
+    # ---- S9: fused composite fwd+bwd (grad wrt rgb_raw+trans_raw)
+    if "9" in sections:
+        from texpose_tpu.kernels.fused_composite import fused_composite_st
+        rgbr0 = jnp.asarray(rng.standard_normal((M, 3)), jnp.float32)
+        trr0 = jnp.asarray(rng.standard_normal((M, 5)), jnp.float32)
+        der0 = jnp.asarray(rng.standard_normal((M, 1)), jnp.float32)
+        dep0 = jnp.asarray(
+            np.sort(rng.uniform(0.5, 3.0, (B, R, Ns, 1)), axis=2),
+            jnp.float32)
+        ray0 = jnp.asarray(rng.standard_normal((B, R, 3)), jnp.float32)
+
+        def closs(rr, tr, de, dp, ry):
+            out = fused_composite_st(rr, tr, de, dp, ry)
+            return ((out["rgb"] ** 2).mean()
+                    + (out["uncert"] ** 2).mean()
+                    + out["trans_density_mean"])
+
+        g9 = jax.grad(closs, argnums=(0, 1))
+
+        def make_s9(depth):
+            def f(rr, tr, de, dp, ry):
+                def step(c, _):
+                    x, t = c
+                    gx, gt = g9(x, t, de, dp, ry)
+                    return (x - 1e-9 * gx, t - 1e-9 * gt), None
+                (x, t), _ = jax.lax.scan(step, (rr, tr), None, length=depth)
+                return x[0, 0] + t[0, 0]
+            fj = jax.jit(f)
+            return lambda: fj(rgbr0, trr0, der0, dep0, ray0)
+        per, ts = marginal(make_s9)
+        print(f"S9 composite f+b   : {per:7.3f} ms/step  {ts}", flush=True)
+
+    # ---- S0: render_patch FWD only (rays+field+composite, no grad),
+    # chained on the light latents (cheap dependence into the field)
+    if "0" in sections:
+        batch0 = jax.tree_util.tree_map(lambda x: x[:B], eng.train_batch)
+        coords0, _ = flex_patch_coords(key, B, int(cfg.patch_size))
+        p05 = jnp.asarray(0.5)
+
+        def make_s0(depth):
+            def f(h, ll_, po, it, zn, zf):
+                def step(l, _):
+                    out = render_patch(dict(h, mlp_feat=trunk), cfg,
+                                       po, it, coords0, zn, zf, lt, l,
+                                       key, p05, "train",
+                                       compute_dtype=dtype)
+                    return l + 1e-6 * out["rgb"].mean(), None
+                return jax.lax.scan(step, ll_, None, length=depth)[0][0, 0]
+            fj = jax.jit(f)
+            return lambda: fj(heads, ll, batch0["pose_init"], batch0["intr"],
+                              batch0["z_near"], batch0["z_far"])
+        per, ts = marginal(make_s0)
+        print(f"S0 render fwd      : {per:7.3f} ms/step  {ts}", flush=True)
+
     # ---- S3: render_patch uncert loss grad (adds rays+composite+glue)
     if "3" in sections:
         batch = jax.tree_util.tree_map(lambda x: x[:B], eng.train_batch)
