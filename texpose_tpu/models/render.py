@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from ..geometry.rays import (convert_NDC, pixel_grid,
                              img2cam, cam2world, to_hom)
 from ..nn.fields import (forward_samples_nerf, forward_samples_nerf_st,
-                         forward_samples_nerf_st_raw, use_fused_render)
+                         forward_samples_nerf_st_raw, use_fused_render,
+                         forward_samples_nerf_raw, use_fused_coarse_render)
 from ..ops.render import sample_depth, composite, composite_static_transient
 
 
@@ -75,6 +76,24 @@ def render_rays_nerf(params, cfg, pose, intr, ray_idx, z_near, z_far, key,
         k_depth, near, far, cfg.nerf.sample_intvs,
         stratified=cfg.nerf.sample_stratified and mode == "train",
         param=cfg.nerf.depth.param)
+    B, R = center.shape[0], center.shape[1]
+    N = int(cfg.nerf.sample_intvs)
+    if use_fused_coarse_render(cfg, B, R, N, mode):
+        # fully-fused path: coarse field kernel → coarse composite kernel
+        # on RAW outputs (kernels/fused_composite_coarse.py) — removes the
+        # activation tensors and cumsum transmittance chains (+ backward)
+        # XLA otherwise materializes in HBM
+        from ..kernels.fused_composite_coarse import fused_composite_coarse
+        from ..kernels import force_interpret
+        rgb_raw, dens_raw = forward_samples_nerf_raw(
+            params, cfg, center, ray, depth_samples, progress=progress,
+            compute_dtype=compute_dtype)
+        out = fused_composite_coarse(rgb_raw, dens_raw, depth_samples, ray,
+                                     interpret=force_interpret())
+        if cfg.nerf.get("setbg_opaque", False):
+            # XLA epilogue: gradient flows through the opacity column
+            out["rgb"] = out["rgb"] + 1.0 * (1.0 - out["opacity"])
+        return out
     rgb_samples, density_samples = forward_samples_nerf(
         params, cfg, center, ray, depth_samples, progress=progress,
         mode=mode, density_key=k_density, compute_dtype=compute_dtype)

@@ -217,16 +217,21 @@ def _use_fused_coarse(cfg, M, mode, tile=512):
         if not fused_coarse_available():
             return False
         import jax as _jax
-        return _jax.default_backend() == "tpu"
+        from ..kernels import force_interpret
+        return _jax.default_backend() == "tpu" or force_interpret()
     except Exception:
         return False
 
 
-def apply_nerf_fused(params, cfg, points, ray_unit=None, progress=None,
-                     compute_dtype=None, tile=512, interpret=False):
-    """Fused-kernel coarse-field path; same outputs as apply_nerf."""
+def apply_nerf_raw(params, cfg, points, ray_unit=None, progress=None,
+                   compute_dtype=None, tile=512, interpret=False):
+    """Fused-kernel coarse field returning RAW head outputs (no
+    activations): (rgb_raw [M,3], dens_raw [M,1]) — the input contract of
+    kernels/fused_composite_coarse.fused_composite_coarse."""
     from ..kernels.fused_coarse_field import fused_coarse_field
     from ..kernels.fused_trunk import _freq
+    from ..kernels import force_interpret
+    interpret = interpret or force_interpret()
     L3 = cfg.arch.posenc.L_3D
     shape = points.shape[:-1]
     pts = points.reshape(-1, 3)
@@ -245,13 +250,22 @@ def apply_nerf_fused(params, cfg, points, ray_unit=None, progress=None,
     aux3 = jnp.stack([_freq(L3, pts.dtype),
                       _c2f_band_weights(cfg, L3, progress).astype(pts.dtype)])
     kcfg = cfg.get("kernels", {})
-    rgb_raw, dens_raw = fused_coarse_field(
+    return fused_coarse_field(
         pts, enc, params["mlp_feat"], params["mlp_rgb"], aux3,
         tuple(cfg.arch.skip), L3, tile=_fit_tile(tile, pts.shape[0]),
         compute_dtype=compute_dtype or jnp.bfloat16, interpret=interpret,
         subtiles_fwd=kcfg.get("coarse_subtiles_fwd"),
         subtiles_bwd=kcfg.get("coarse_subtiles_bwd"),
         enc_mode=kcfg.get("coarse_posenc"))
+
+
+def apply_nerf_fused(params, cfg, points, ray_unit=None, progress=None,
+                     compute_dtype=None, tile=512, interpret=False):
+    """Fused-kernel coarse-field path; same outputs as apply_nerf."""
+    shape = points.shape[:-1]
+    rgb_raw, dens_raw = apply_nerf_raw(params, cfg, points, ray_unit,
+                                       progress, compute_dtype, tile,
+                                       interpret)
     rgb = jax.nn.sigmoid(rgb_raw).reshape(*shape, 3)
     density = DENSITY_ACTIVATIONS[cfg.arch.density_activ](
         dens_raw[:, 0]).reshape(shape)
@@ -299,6 +313,44 @@ def forward_samples_nerf(params, cfg, center, ray, depth_samples, progress=None,
         ray_unit = None
     return apply_nerf(params, cfg, pts, ray_unit, progress, mode,
                       density_key, compute_dtype)
+
+
+def use_fused_coarse_render(cfg, B, R, N, mode):
+    """Gate for the fully-fused coarse render path (coarse field kernel →
+    coarse composite kernel on raw outputs): the fused-field contract plus
+    softplus density (hardcoded in the composite kernel) plus a ray count
+    the composite's ray tiling divides."""
+    if not cfg.get("kernels", {}).get("fused_composite", True):
+        return False
+    if cfg.arch.density_activ != "softplus":
+        return False
+    if (B * R) % 8:
+        return False
+    if not _use_fused_coarse(cfg, B * R * N, mode):
+        return False
+    try:
+        from ..kernels.fused_composite_coarse import (
+            fused_composite_coarse_available)
+        return fused_composite_coarse_available()
+    except Exception:
+        return False
+
+
+def forward_samples_nerf_raw(params, cfg, center, ray, depth_samples,
+                             progress=None, compute_dtype=None,
+                             interpret=False):
+    """Raw-output variant of forward_samples_nerf for the fused coarse
+    composite path; returns (rgb_raw [M,3], dens_raw [M,1])."""
+    pts = center[..., None, :] + ray[..., None, :] * depth_samples
+    ray_unit = None
+    if cfg.nerf.view_dep:
+        # per-ray unit dirs: apply_nerf_raw encodes [B,R,3] and broadcasts
+        # the encodings over samples (N× fewer transcendentals, exact)
+        ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    from ..kernels import force_interpret
+    return apply_nerf_raw(params, cfg, pts, ray_unit, progress,
+                          compute_dtype,
+                          interpret=interpret or force_interpret())
 
 
 # ------------------------------------------------------- density-only field

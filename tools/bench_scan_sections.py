@@ -269,6 +269,145 @@ def main():
         per, ts = marginal(make_s9)
         print(f"S9 composite f+b   : {per:7.3f} ms/step  {ts}", flush=True)
 
+    # ---- Sa: get_rays + get_bounds only, chained on coords
+    if "a" in sections:
+        from texpose_tpu.sampling.ray_sampler import get_rays, get_bounds
+        batch_a = jax.tree_util.tree_map(lambda x: x[:B], eng.train_batch)
+        coords_a, _ = flex_patch_coords(key, B, int(cfg.patch_size))
+
+        def make_sa(depth):
+            def f(c, po, it, zn, zf):
+                def step(cc, _):
+                    ctr, ray = get_rays(it, cc, po, cfg.H, cfg.W)
+                    near, far = get_bounds(cc, zn, zf, cfg.H, cfg.W)
+                    d = (ctr.mean() + ray.mean() + near.mean()
+                         + far.mean())
+                    return cc + 1e-9 * d, None
+                return jax.lax.scan(step, c, None, length=depth)[0][0, 0, 0,
+                                                                    0]
+            fj = jax.jit(f)
+            return lambda: fj(coords_a, batch_a["pose_init"],
+                              batch_a["intr"], batch_a["z_near"],
+                              batch_a["z_far"])
+        per, ts = marginal(make_sa)
+        print(f"Sa rays+bounds     : {per:7.3f} ms/step  {ts}", flush=True)
+
+    # ---- Sb: stratified sample_depth only, chained on near
+    if "b" in sections:
+        from texpose_tpu.ops.render import sample_depth
+        near0 = jnp.full((B, R), 0.5, jnp.float32)
+        far0 = jnp.full((B, R), 3.0, jnp.float32)
+
+        def make_sb(depth):
+            def f(nr, fr):
+                def step(nn, _):
+                    d = sample_depth(key, nn, fr, Ns, stratified=True,
+                                     param=cfg.nerf.depth.param)
+                    return nn + 1e-9 * d.mean(), None
+                return jax.lax.scan(step, nr, None, length=depth)[0][0, 0]
+            fj = jax.jit(f)
+            return lambda: fj(near0, far0)
+        per, ts = marginal(make_sb)
+        print(f"Sb sample_depth    : {per:7.3f} ms/step  {ts}", flush=True)
+
+    # ---- Sc: the EXACT render_patch fwd glue with the FIELD stubbed to a
+    # linear map (rays, bounds, stratified depth, pts build, per-ray enc +
+    # broadcast, fused composite, output dict) — chained on ll like S0
+    if "c" in sections:
+        from texpose_tpu.sampling.ray_sampler import get_rays, get_bounds
+        from texpose_tpu.ops.render import sample_depth
+        from texpose_tpu.kernels.fused_composite import fused_composite_st
+        from texpose_tpu.nn.fields import _encode_view
+        batch_c = jax.tree_util.tree_map(lambda x: x[:B], eng.train_batch)
+        coords_c, _ = flex_patch_coords(key, B, int(cfg.patch_size))
+        w9 = jnp.asarray(rng.standard_normal((30, 9)) * 0.1, jnp.float32)
+        hw = int(cfg.patch_size)
+
+        def make_sc(depth):
+            def f(l, po, it, zn, zf):
+                def step(ll_, _):
+                    ctr, ray = get_rays(it, coords_c, po, cfg.H, cfg.W)
+                    ctr = ctr.reshape(B, hw * hw, 3)
+                    ray = ray.reshape(B, hw * hw, 3)
+                    near, far = get_bounds(coords_c, zn, zf, cfg.H, cfg.W)
+                    near = near.reshape(B, hw * hw)
+                    far = far.reshape(B, hw * hw)
+                    dep = sample_depth(key, near, far, Ns, stratified=True,
+                                       param=cfg.nerf.depth.param)
+                    pts = ctr[..., None, :] + ray[..., None, :] * dep
+                    ru = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+                    e = _encode_view(cfg, ru, jnp.asarray(0.5), c2f=True)
+                    e = jnp.broadcast_to(e[..., None, :],
+                                         (B, hw * hw, Ns, e.shape[-1]))
+                    x = jnp.concatenate(
+                        [pts.reshape(-1, 3),
+                         e.reshape(-1, e.shape[-1])], axis=1)
+                    raw = (x @ w9) + ll_[0, :9]
+                    out = fused_composite_st(raw[:, :3], raw[:, 3:8],
+                                             raw[:, 8:9], dep, ray)
+                    return ll_ + 1e-6 * out["rgb"].mean(), None
+                return jax.lax.scan(step, l, None, length=depth)[0][0, 0]
+            fj = jax.jit(f)
+            return lambda: fj(ll, batch_c["pose_init"], batch_c["intr"],
+                              batch_c["z_near"], batch_c["z_far"])
+        per, ts = marginal(make_sc)
+        print(f"Sc glue (no field) : {per:7.3f} ms/step  {ts}", flush=True)
+
+    # ---- Sd: field + composite with pts/enc GIVEN (chained on pts like
+    # S1); Sd−S1 isolates the composite boundary, S0−Sd the ray/enc
+    # producer chain feeding the kernel
+    if "d" in sections:
+        from texpose_tpu.kernels.fused_composite import fused_composite_st
+        dep_d = jnp.asarray(
+            np.sort(rng.uniform(0.5, 3.0, (B, R, Ns, 1)), axis=2),
+            jnp.float32)
+        ray_d = jnp.asarray(rng.standard_normal((B, R, 3)), jnp.float32)
+
+        def make_sd(depth):
+            def f(p, e, h, dp, ry):
+                def step(pp, _):
+                    rgb, dens, tr = field(h, pp, e)
+                    out = fused_composite_st(rgb, tr, dens, dp, ry)
+                    return pp + 1e-6 * out["rgb"].mean(), None
+                return jax.lax.scan(step, p, None, length=depth)[0][0, 0]
+            fj = jax.jit(f)
+            return lambda: fj(pts0, enc, heads, dep_d, ray_d)
+        per, ts = marginal(make_sd)
+        print(f"Sd field+composite : {per:7.3f} ms/step  {ts}", flush=True)
+
+    # ---- Sg: field + composite OP with channel planes prebuilt OUTSIDE
+    # the scan (no per-step [M,C]→[BR,N] slicing); Sd−Sg isolates the
+    # plane-slicing relayout cost at the composite boundary
+    if "g" in sections:
+        from texpose_tpu.kernels.fused_composite import _make_op
+        dep_g = jnp.asarray(
+            np.sort(rng.uniform(0.5, 3.0, (B, R, Ns, 1)), axis=2),
+            jnp.float32).reshape(B * R, Ns)
+        dist_g = jnp.concatenate(
+            [dep_g[:, 1:] - dep_g[:, :-1],
+             jnp.full_like(dep_g[:, :1], 1e10)], axis=1)
+        comp_op = _make_op(Ns, 0.05, 256, False)
+        BR = B * R
+
+        def make_sg(depth):
+            def f(p, e, h, dist, dep):
+                def step(pp, _):
+                    rgb, dens, tr = field(h, pp, e)
+                    # transpose-based plane prep: one [M,C]→[C,M] relayout
+                    # per tensor, then FREE [M]→[BR,N] reshapes
+                    rT, tT, dT = rgb.T, tr.T, dens.T
+                    planes = ([rT[c].reshape(BR, Ns) for c in range(3)]
+                              + [tT[c].reshape(BR, Ns) for c in range(5)]
+                              + [dT[0].reshape(BR, Ns)])
+                    packed = comp_op(*planes, dist, dep)
+                    return pp + 1e-6 * (rgb + packed[:1, :3].mean()), None
+                return jax.lax.scan(step, p, None, length=depth)[0][0, 0]
+            fj = jax.jit(f)
+            return lambda: fj(pts0, enc, heads, dist_g, dep_g)
+        per, ts = marginal(make_sg)
+        print(f"Sg field+comp(transposed planes): {per:7.3f} ms/step  {ts}",
+              flush=True)
+
     # ---- S0: render_patch FWD only (rays+field+composite, no grad),
     # chained on the light latents (cheap dependence into the field)
     if "0" in sections:
@@ -290,6 +429,46 @@ def main():
                               batch0["z_near"], batch0["z_far"])
         per, ts = marginal(make_s0)
         print(f"S0 render fwd      : {per:7.3f} ms/step  {ts}", flush=True)
+
+    # ---- Se/Sf: S0 in-situ ablations — e: constant bounds (no
+    # grid_sample gathers), f: stratified=False (no per-step threefry)
+    for tag, patch in (("e", "bounds"), ("f", "strat")):
+        if tag not in sections:
+            continue
+        batch_e = jax.tree_util.tree_map(lambda x: x[:B], eng.train_batch)
+        coords_e, _ = flex_patch_coords(key, B, int(cfg.patch_size))
+        p05 = jnp.asarray(0.5)
+        import texpose_tpu.models.texture_gan as tg_mod
+        import texpose_tpu.models.render as rd_mod
+        orig_gb = tg_mod.get_bounds
+        orig_sd = rd_mod.sample_depth
+        if patch == "bounds":
+            tg_mod.get_bounds = lambda c, zn, zf, H, W: (
+                jnp.full(c.shape[:3], 0.5, jnp.float32),
+                jnp.full(c.shape[:3], 3.0, jnp.float32))
+        else:
+            rd_mod.sample_depth = (
+                lambda k, lo, hi, n, stratified=True, param=None:
+                orig_sd(k, lo, hi, n, stratified=False, param=param))
+
+        def make_se(depth):
+            def f(h, ll_, po, it, zn, zf):
+                def step(l, _):
+                    out = render_patch(dict(h, mlp_feat=trunk), cfg,
+                                       po, it, coords_e, zn, zf, lt, l,
+                                       key, p05, "train",
+                                       compute_dtype=dtype)
+                    return l + 1e-6 * out["rgb"].mean(), None
+                return jax.lax.scan(step, ll_, None, length=depth)[0][0, 0]
+            fj = jax.jit(f)
+            return lambda: fj(heads, ll, batch_e["pose_init"],
+                              batch_e["intr"], batch_e["z_near"],
+                              batch_e["z_far"])
+        per, ts = marginal(make_se)
+        print(f"S{tag} S0 w/o {patch:6s}: {per:7.3f} ms/step  {ts}",
+              flush=True)
+        tg_mod.get_bounds = orig_gb
+        rd_mod.sample_depth = orig_sd
 
     # ---- S3: render_patch uncert loss grad (adds rays+composite+glue)
     if "3" in sections:
