@@ -865,12 +865,15 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
                                packed, trunk_int8, enc_mode, split, ilp,
                                heads_fullblock)
     if split:
-        # concat-free heads: stream enc ⊕ pts as one block; hoist the
-        # latent contributions to per-image [B,O] rows (XLA, once)
+        # concat-free heads: stream enc ⊕ pts as one block IN THE COMPUTE
+        # DTYPE (the kernel casts to cdtype before the matmul anyway —
+        # identical math, half the stream bytes and materialization for
+        # bf16 compute); hoist the latent contributions to per-image
+        # [B,O] rows (XLA, once)
         wr_f, wr_ep, w_l, w_t = _split_head_l0(rgb_w[0], tr_w[0], F, E,
                                                cdtype)
-        ray_enc = jnp.concatenate([ray_enc, pts.astype(ray_enc.dtype)],
-                                  axis=1)
+        ray_enc = jnp.concatenate([ray_enc.astype(cdtype),
+                                   pts.astype(cdtype)], axis=1)
         E = E + 3
         light_rows, trans_rows = _latent_rows(light_rows, trans_rows,
                                               w_l, w_t, cdtype)
@@ -993,8 +996,10 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
     if split:
         wr_f, wr_ep, w_l, w_t = _split_head_l0(rgb_w[0], tr_w[0], F, E,
                                                cdtype)
-        enc_in = jnp.concatenate([ray_enc, pts.astype(ray_enc.dtype)],
-                                 axis=1)
+        # compute-dtype stream (identical math — the kernel casts before
+        # every matmul; half the bytes for bf16 compute)
+        enc_in = jnp.concatenate([ray_enc.astype(cdtype),
+                                  pts.astype(cdtype)], axis=1)
         E_in = E + 3
         light_in, trans_in = _latent_rows(light_rows, trans_rows, w_l, w_t,
                                           cdtype)
