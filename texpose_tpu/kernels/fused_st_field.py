@@ -506,7 +506,10 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     w_pack = refs[o + nr + 2 * nt] if packed else None
     rgb_ref, dens_ref, transr_ref, feat_ref = refs[-4:]
 
-    S = pts_ref.shape[0] // subtiles
+    # split+xext: the trunk consumes the xext stream and the heads the
+    # enc⊕pts stream — pts_ref is a [1,1] placeholder (dead stream removed)
+    drop_pts = split and enc_mode == "xext"
+    S = enc_ref.shape[0] // subtiles
     def trunk(pts_blk, sl=None):
         if mm_form:
             sinw_pre = x_pre = None
@@ -535,13 +538,14 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
         # the trunk has no per-image dependence: run its 9 matmuls ONCE on
         # the whole streamed block (fewer, larger MXU issues); only the
         # latent-conditioned heads need the per-image subtile loop
-        feat_all, dens_all = trunk(pts_ref[...])
+        feat_all, dens_all = trunk(None if drop_pts else pts_ref[...])
         dens_ref[...] = dens_all
         feat_ref[...] = feat_all.astype(feat_ref.dtype)
     elif ilp:
         # layer-outer emission over the independent subtile chains (see
         # _trunk_feat_mm_multi); only valid for the streamed enc modes
-        blks = [(pts_ref[slice(k * S, (k + 1) * S), :],
+        blks = [(None if drop_pts else pts_ref[slice(k * S, (k + 1) * S),
+                                              :],
                  enc_extra[slice(k * S, (k + 1) * S), :])
                 for k in range(subtiles)]
         feats, denss = _trunk_feat_mm_multi(blks, wf, bf, skip, cdtype,
@@ -554,7 +558,7 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
         img = (pl.program_id(0) * subtiles + k) // tiles_per_img
         light = light_ref[pl.ds(img, 1), :]
         trans = trans_ref[pl.ds(img, 1), :]
-        pts = pts_ref[sl, :]
+        pts = None if drop_pts else pts_ref[sl, :]
         if fullblock:
             feat = feat_all[sl, :].astype(jnp.float32)
         elif ilp:
@@ -605,8 +609,9 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
             feat = blk_feats[0] if subtiles == 1 \
                 else jnp.concatenate(blk_feats, axis=0)
         rgb_raw, trans_raw = _heads_forward(
-            feat, enc_ref[...], pts_ref[...], light, trans,
-            wr, br, wt, bt, cdtype, w_pack=w_pack, split=split)
+            feat, enc_ref[...], None if drop_pts else pts_ref[...],
+            light, trans, wr, br, wt, bt, cdtype, w_pack=w_pack,
+            split=split)
         rgb_ref[...] = rgb_raw
         transr_ref[...] = trans_raw
 
@@ -680,7 +685,9 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed, split,
             light = light_ref[pl.ds(img, 1), :]
             trans = trans_ref[pl.ds(img, 1), :]
         feat = feat_ref[sl, :].astype(jnp.float32)
-        pts = pts_ref[sl, :]
+        # split mode: pts rides the enc⊕pts stream (pts_ref is a [1,1]
+        # placeholder, see _run_bwd)
+        pts = None if split else pts_ref[sl, :]
         rayenc = enc_ref[sl, :]
 
         _, _, acts = _heads_forward(feat, rayenc, pts, light, trans,
@@ -894,7 +901,12 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
             + [_full_spec()] * n_mm
     else:
         enc_spec = []
-    in_specs = ([_row_spec(tile, 3), _row_spec(tile, E), _full_spec(),
+    # split+xext consumes pts only via the xext / enc⊕pts streams — the
+    # raw pts stream would be dead weight; pass a [1,1] placeholder
+    drop_pts = split and enc_mode == "xext"
+    pts_arg = pts[:1, :1] if drop_pts else pts
+    in_specs = ([_full_spec() if drop_pts else _row_spec(tile, 3),
+                 _row_spec(tile, E), _full_spec(),
                  _full_spec(), _full_spec()]
                 + enc_spec
                 + [_full_spec()] * (2 * n_trunk + 2 * nr + 2 * nt
@@ -966,7 +978,7 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
         # forward row tiles are independent → parallel grid semantics
         # (needs tile ≤512 to fit the extra in-flight buffering in VMEM)
         compiler_params=_compiler_params(interpret, parallel=par),
-    )(pts, ray_enc, aux3, light_rows, trans_rows,
+    )(pts_arg, ray_enc, aux3, light_rows, trans_rows,
       *([enc_extra] if enc_mode != "kernel" else []), *mm_parts,
       *trunk_wc, *trunk_b, *wsf, *rgb_wc, *rgb_b, *tr_wc, *tr_b, *pack)
 
@@ -1017,8 +1029,12 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
         tr_wc = [w.astype(cdtype) for w in tr_w]
         w_shapes = ([w.shape for w in rgb_w], [w.shape for w in tr_w])
         lat_shapes = ((B, light_rows.shape[1]), (B, trans_rows.shape[1]))
+    # split mode: pts rides the enc⊕pts stream — the raw pts stream would
+    # be dead weight; pass a [1,1] placeholder
+    pts_arg = pts[:1, :1] if split else pts
     in_specs = ([_row_spec(tile, F), _row_spec(tile, E_in),
-                 _row_spec(tile, 3), _full_spec(), _full_spec(),
+                 _full_spec() if split else _row_spec(tile, 3),
+                 _full_spec(), _full_spec(),
                  _row_spec(tile, 3), _row_spec(tile, 5)]
                 + [_full_spec()] * (len(rgb_wc) + nr + 2 * nt
                                     + (1 if packed else 0)))
@@ -1042,7 +1058,7 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
         # default scoped budget by ~0.4M at the stock 512x2 tiling
         compiler_params=_compiler_params(
             interpret, vmem_limit_mb=20 if fullblock else None),
-    )(feat, enc_in, pts, light_in, trans_in, g_rgb, g_trans,
+    )(feat, enc_in, pts_arg, light_in, trans_in, g_rgb, g_trans,
       *rgb_wc, *rgb_b, *tr_wc, *tr_b, *pack)
     if not split:
         return outs

@@ -7,6 +7,7 @@ overhead; see CLAUDE.md measurement warnings).  Sections are nested
 subsets of the official bench workload (bench.py: 8 x 16x16 patches,
 64 samples, 131072 field rows):
 
+  S0 render fwd        render_patch forward (rays+field+composite)
   S1 kernel fwd        fused ST-field forward only
   S2 kernel fwd+bwd    + the fused head backward (grad wrt heads)
   S3 render grad       + ray sampling, composite, uncert render loss
@@ -14,10 +15,26 @@ subsets of the official bench workload (bench.py: 8 x 16x16 patches,
                        latent gather, optimizer) — engine scan, dispatch
                        timed (already scan-fused)
   S5 official step     G+D step (bench.py path) — engine scan
+  S6 XLA prologue      make_xext + enc⊕pts concat + latent rows only
+  S7 pallas fwd only   _run_fwd with enc_extra prebuilt outside the scan
+  S8/S9 composite      fused composite alone, fwd / fwd+bwd
+  Sa/Sb/Sc             rays+bounds / sample_depth / full glue, field
+                       stubbed to a linear map
+  Sd/Sg                field+composite chained (slice-planes / transposed-
+                       planes prep)
+  Se/Sf                S0 with bounds / stratification ablated in-situ
 
 Deltas attribute: S3-S2 = composite+glue, S4-S3 ~= losses+optimizer,
-S5-S4 = discriminator step (+gan_nerf fwd in G loss).
-"""
+S5-S4 = discriminator step (+gan_nerf fwd in G loss).  IMPORTANT:
+cross-PROCESS deltas at <0.3 ms are meaningless on this tunnel — compare
+only sections run in the same process (e.g. SECTIONS=1dc0).
+
+r3 findings (one process, v5e): S1 2.18 / Sd 2.42 / S0 3.08 / Sc 0.10 —
+the fused composite (S8 0.005, S9 0.075) and every glue op are ~free in
+isolation; the render step's extra ~0.9 ms over the bare kernel is an
+interaction around the pallas boundary (transposed-plane prep measured
+WORSE, 2.87).  Bounds gathers and stratified threefry are ~0.05-0.07 each
+(Se/Sf)."""
 
 import os
 import sys

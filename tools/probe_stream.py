@@ -264,6 +264,56 @@ def build(sub, narrowk, last257, tile, interpret=False, f32h=False,
     return run
 
 
+def build_production(tile, sub):
+    """Case K: the PRODUCTION _run_fwd (fused_st_field) chained on pts in
+    THIS process — the only trustworthy comparison against case J."""
+    from texpose_tpu.kernels.fused_st_field import (_run_fwd, make_xext)
+    rng = np.random.default_rng(3)
+    bf = jnp.bfloat16
+
+    def w(shape, s=0.09, dt=bf):
+        return jnp.asarray(rng.standard_normal(shape) * s, dt)
+
+    # production trunk weights: layer 0 rows [pts(3)|sin(6L=60)]; skip
+    # layer 4 rows [h(256)|pts|sin]; last layer 257 cols (density)
+    trunk_w = tuple(
+        w((3 + 60 if li == 0 else (256 + 3 + 60 if li == 4 else 256),
+           257 if li == 7 else 256), dt=jnp.float32) for li in range(NL))
+    trunk_b = tuple(w((1, 257 if li == 7 else 256), 0.05, jnp.float32)
+                    for li in range(NL))
+    rgb_w = (w((256 + 27 + 3 + 48, 256), dt=jnp.float32),
+             w((256, 256), dt=jnp.float32), w((256, 256), dt=jnp.float32),
+             w((256, 3), dt=jnp.float32))
+    rgb_b = tuple(w((1, c), 0.05, jnp.float32) for c in (256, 256, 256, 3))
+    tr_w = (w((256 + 16, 256), dt=jnp.float32),
+            w((256, 256), dt=jnp.float32), w((256, 256), dt=jnp.float32),
+            w((256, 5), dt=jnp.float32))
+    tr_b = tuple(w((1, c), 0.05, jnp.float32) for c in (256, 256, 256, 5))
+    ll = jnp.asarray(rng.standard_normal((N_IMG, 48)), jnp.float32)
+    lt = jnp.asarray(rng.standard_normal((N_IMG, 16)), jnp.float32)
+    aux3 = jnp.stack([jnp.asarray((2.0 ** np.arange(10)) * np.pi,
+                                  jnp.float32), jnp.ones((10,))])
+    pts0 = jnp.asarray(rng.standard_normal((ROWS, 3)), jnp.float32)
+    enc0 = jnp.asarray(rng.standard_normal((ROWS, 27)), jnp.float32)
+    xe0 = make_xext(pts0, 10, jnp.ones((10,)), bf)
+    rows_per_img = ROWS // N_IMG
+
+    def run(depth):
+        def f(p, e, xe):
+            def step(pp, _):
+                rgb, dens, tr, feat = _run_fwd(
+                    pp, e, ll, lt, trunk_w, trunk_b, rgb_w, rgb_b,
+                    tr_w, tr_b, aux3, (4,), 10, tile, rows_per_img,
+                    bf, False, subtiles=sub, packed=True,
+                    enc_mode="xext", enc_extra=xe, split=True)
+                return pp + 1e-6 * rgb, None
+            return jax.lax.scan(step, p, None, length=depth)[0][0, 0]
+        fj = jax.jit(f)
+        return lambda xx: fj(pts0, enc0, xe0)
+
+    return run
+
+
 def main():
     interpret = os.environ.get("PROBE_STREAM_INTERPRET") == "1"
     rng = np.random.default_rng(1)
@@ -305,6 +355,15 @@ def main():
         print(f"{name}: {per:7.3f} ms/run ({t_lo:6.2f}->{t_hi:6.2f}){d}",
               flush=True)
         prev = per
+    if (not only or "K" in only) and not interpret:
+        run = build_production(tile, int(os.environ.get(
+            "PROBE_STREAM_SUB", "4")))
+        t_lo = read_timed(run(d_lo), x)
+        t_hi = read_timed(run(d_hi), x)
+        per = (t_hi - t_lo) / (d_hi - d_lo)
+        d = "" if prev is None else f"  (+{per - prev:6.3f} ms)"
+        print(f"K production _run_fwd: {per:7.3f} ms/run "
+              f"({t_lo:6.2f}->{t_hi:6.2f}){d}", flush=True)
 
 
 if __name__ == "__main__":
