@@ -118,7 +118,16 @@ def make_sinw(pts, L, c2f_w, dtype=jnp.bfloat16):
     on v5e (tools/mxu_probe.py trunk stages, r3) — serial time inside the
     compute pipeline.  Built element-wise in XLA it is EXACT f32 (no
     matmul rounding at all) and the [M,6L] result streams into the kernel
-    as a pipelined HBM load (~16 MB bf16 ≈ 0.02 ms)."""
+    as a pipelined HBM load (~16 MB bf16 ≈ 0.02 ms).
+
+    BUILD-FORM NOTE (r3, all measured in-situ via bench_scan_sections
+    Sh/Si): this [M,3,L] build compiles to {0,2,1}-layout 3-D
+    intermediates + a transpose copy (~0.3-0.5 ms of layout surgery at
+    the production envelope, optimized-HLO dump) — but BOTH attempted
+    fixes were worse: per-dim 2-D [M,L] lane concats +1.3 ms (narrow-lane
+    concat fusions), and a [M,3]x[3,6L] HIGHEST angle matmul +0.2 ms (the
+    multi-pass dot costs more than the layout copies it removes).  Keep
+    this form."""
     L = int(L)
     freqs = jnp.asarray((2.0 ** np.arange(L)) * np.pi, jnp.float32)
     ang = pts.astype(jnp.float32)[:, :, None] * freqs          # [M,3,L]

@@ -55,9 +55,11 @@ def main():
     heads = {"mlp_rgb": params["mlp_rgb"], "mlp_trans": params["mlp_trans"]}
 
     def fwd(h, lt_, ll_, pts_, enc_, kw):
+        base = dict(tile_fwd=512, tile_bwd=512)
+        base.update(kw)
         rgb, dens, trans = fused_st_field(
             pts_, enc_, ll_, lt_, params["mlp_feat"], h, aux3, (4,), 10,
-            R * N, tile_fwd=512, tile_bwd=512, **kw)
+            R * N, **base)
         return rgb, dens, trans
 
     def loss(h, lt_, ll_, pts_, enc_, kw):
@@ -71,6 +73,11 @@ def main():
         "bwdfull": {"bwd_fullblock": True},
         "headsfull": {"heads_fullblock": True},
         "bothfull": {"bwd_fullblock": True, "heads_fullblock": True},
+        "bwdsub1": {"subtiles_bwd": 1},
+        "bwdsub4": {"subtiles_bwd": 4},
+        "bwdt1024": {"tile_bwd": 1024, "subtiles_bwd": 2},
+        "fwdsub2": {"subtiles_fwd": 2},
+        "fwdsub8": {"subtiles_fwd": 8},
     }
     names = sys.argv[1:] or list(VARIANTS)
 

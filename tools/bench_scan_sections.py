@@ -487,6 +487,59 @@ def main():
         tg_mod.get_bounds = orig_gb
         rd_mod.sample_depth = orig_sd
 
+    # ---- Sh: S0 with the per-ray ENC precomputed outside the scan (pts
+    # and everything else live); Si: pts ALSO precomputed (only depth/
+    # composite/loss glue live).  One process with S0 pins the producer
+    # chain in-situ.
+    if "h" in sections or "i" in sections:
+        from texpose_tpu.sampling.ray_sampler import get_rays, get_bounds
+        from texpose_tpu.ops.render import sample_depth
+        from texpose_tpu.kernels.fused_composite import fused_composite_st
+        from texpose_tpu.nn.fields import apply_nerf_st_raw, _encode_view
+        batch_h = jax.tree_util.tree_map(lambda x: x[:B], eng.train_batch)
+        coords_h, _ = flex_patch_coords(key, B, int(cfg.patch_size))
+        hw = int(cfg.patch_size)
+        ctr0, ray0 = get_rays(batch_h["intr"], coords_h,
+                              batch_h["pose_init"], cfg.H, cfg.W)
+        ctr0 = ctr0.reshape(B, hw * hw, 3)
+        ray0 = ray0.reshape(B, hw * hw, 3)
+        near0, far0 = get_bounds(coords_h, batch_h["z_near"],
+                                 batch_h["z_far"], cfg.H, cfg.W)
+        near0 = near0.reshape(B, hw * hw)
+        far0 = far0.reshape(B, hw * hw)
+        dep0 = sample_depth(key, near0, far0, Ns, stratified=True,
+                            param=cfg.nerf.depth.param)
+        ru0 = ray0 / jnp.linalg.norm(ray0, axis=-1, keepdims=True)
+        pts_pre = (ctr0[..., None, :] + ray0[..., None, :] * dep0)
+
+        for tag in "hi":
+            if tag not in sections:
+                continue
+
+            def make_sh(depth, tag=tag):
+                def f(h, l, ctr, ray, dep, ppre):
+                    def step(ll_, _):
+                        if tag == "h":
+                            pts = (ctr[..., None, :]
+                                   + ray[..., None, :] * dep)
+                        else:
+                            pts = ppre
+                        ru = ray / jnp.linalg.norm(ray, axis=-1,
+                                                   keepdims=True)
+                        rgb, dens, tr = apply_nerf_st_raw(
+                            dict(h, mlp_feat=trunk), cfg, pts, ru,
+                            lt, ll_, jnp.asarray(0.5), dtype)
+                        out = fused_composite_st(rgb, tr, dens, dep, ray)
+                        return ll_ + 1e-6 * out["rgb"].mean(), None
+                    return jax.lax.scan(step, l, None,
+                                        length=depth)[0][0, 0]
+                fj = jax.jit(f)
+                return lambda: fj(heads, ll, ctr0, ray0, dep0, pts_pre)
+            per, ts = marginal(make_sh)
+            nm = ("Sh rays/dep given  " if tag == "h"
+                  else "Si pts also given  ")
+            print(f"{nm}: {per:7.3f} ms/step  {ts}", flush=True)
+
     # ---- S3: render_patch uncert loss grad (adds rays+composite+glue)
     if "3" in sections:
         batch = jax.tree_util.tree_map(lambda x: x[:B], eng.train_batch)
