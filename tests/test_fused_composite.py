@@ -48,16 +48,18 @@ KEYS = ["rgb", "rgb_static", "rgb_transient", "depth", "opacity",
         "trans_density_mean"]
 
 
-def test_fused_composite_forward(key):
+@pytest.mark.parametrize("flat", [False, True])
+def test_fused_composite_forward(key, flat):
     args = _inputs(key)
     ref = _plain(*args)
-    out = fused_composite_st(*args, interpret=True, tile_rays=8)
+    out = fused_composite_st(*args, interpret=True, tile_rays=8, flat=flat)
     for k in KEYS:
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                    atol=2e-5, err_msg=k)
 
 
-def test_fused_composite_gradients(key):
+@pytest.mark.parametrize("flat", [False, True])
+def test_fused_composite_gradients(key, flat):
     args = _inputs(key)
 
     def loss_of(fn):
@@ -76,7 +78,7 @@ def test_fused_composite_gradients(key):
     g_ref = jax.grad(loss_of(_plain), argnums=(0, 1))(args[0], args[1])
     g_out = jax.grad(
         loss_of(lambda *a: fused_composite_st(*a, interpret=True,
-                                              tile_rays=8)),
+                                              tile_rays=8, flat=flat)),
         argnums=(0, 1))(args[0], args[1])
     np.testing.assert_allclose(np.asarray(g_out[0]), np.asarray(g_ref[0]),
                                atol=3e-5, err_msg="d rgb_raw")

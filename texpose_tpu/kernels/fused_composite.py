@@ -268,8 +268,168 @@ def _make_op(N, min_uncert, tile_rays, interpret):
     return op
 
 
+# ------------------------------------------------- flat-input variant
+
+def _flat_planes(ref, C, TR, N):
+    """In-kernel plane extraction from a flat [TR·N, C] row block: one
+    (TR·N,)→(TR,N) reshape per channel (a VMEM relayout, measured ~4.5 µs
+    each on v5e) instead of XLA-side [M,C]→[BR,N,C]→slice layout surgery
+    (the {1,0,2}-layout copies this file's :290 used to trigger)."""
+    return [ref[:, c].reshape(TR, N) for c in range(C)]
+
+
+def _fwd_kernel_flat(min_uncert, N, rgb_ref, tr_ref, dens_ref, dist_ref,
+                     depth_ref, tri_e, tri_s, out_ref):
+    TR = dist_ref.shape[0]
+    planes = (_flat_planes(rgb_ref, 3, TR, N)
+              + _flat_planes(tr_ref, 5, TR, N)
+              + _flat_planes(dens_ref, 1, TR, N)
+              + [dist_ref[...], depth_ref[...], tri_e[...], tri_s[...]])
+    f = _forward_core(planes, min_uncert)
+
+    def rsum(x):
+        return jnp.sum(x, axis=1, keepdims=True)
+
+    cols = []
+    for c in range(3):
+        cols.append(rsum(f["ps"] * f["cs"][c] + f["pt"] * f["ct"][c]))
+    for c in range(3):
+        cols.append(rsum(f["ws"] * f["cs"][c]))
+    for c in range(3):
+        cols.append(rsum(f["wt"] * f["ct"][c]))
+    cols.append(rsum(f["ws"] * f["depth"]))
+    cols.append(rsum(f["p"]))
+    cols.append(rsum(f["ws"]))
+    cols.append(rsum(f["wt"]))
+    cols.append(rsum(f["u"] * f["pt"]) + min_uncert)
+    cols.append(rsum(f["dens_t"]))
+    cols.append(jnp.zeros_like(cols[0]))
+    out_ref[...] = jnp.concatenate(cols, axis=1)
+
+
+def _bwd_kernel_flat(min_uncert, N, rgb_ref, tr_ref, dens_ref, dist_ref,
+                     depth_ref, g_ref, tri_e, tri_s, drgb_ref, dtr_ref):
+    TR = dist_ref.shape[0]
+    planes = (_flat_planes(rgb_ref, 3, TR, N)
+              + _flat_planes(tr_ref, 5, TR, N)
+              + _flat_planes(dens_ref, 1, TR, N)
+              + [dist_ref[...], depth_ref[...], tri_e[...], tri_s[...]])
+    f = _forward_core(planes, min_uncert)
+    g = g_ref[...]
+
+    def col(i):
+        return g[:, i:i + 1]
+
+    g_rgb = [col(0), col(1), col(2)]
+    g_rgbs = [col(3), col(4), col(5)]
+    g_rgbt = [col(6), col(7), col(8)]
+    g_depth = col(9)
+    g_op = col(10)
+    g_ops = col(11)
+    g_opt = col(12)
+    g_unc = col(13)
+    g_treg = col(14)
+
+    cs, ct = f["cs"], f["ct"]
+    ps, pt, p, ws, wt = f["ps"], f["pt"], f["p"], f["ws"], f["wt"]
+    T, T_s, T_t = f["T"], f["T_s"], f["T_t"]
+    dist, depth, u = f["dist"], f["depth"], f["u"]
+    tri_s_v = f["tri_s"]
+
+    def flatcol(x):
+        return x.reshape(TR * N, 1)
+
+    d_rgb_cols = []
+    d_tr_cols = []
+    for c in range(3):
+        dcs = ps * g_rgb[c] + ws * g_rgbs[c]
+        d_rgb_cols.append(flatcol(dcs * cs[c] * (1.0 - cs[c])))
+        dct = pt * g_rgb[c] + wt * g_rgbt[c]
+        d_tr_cols.append(flatcol(dct * ct[c] * (1.0 - ct[c])))
+
+    F_ps = sum(cs[c] * g_rgb[c] for c in range(3))
+    F_pt = sum(ct[c] * g_rgb[c] for c in range(3)) + u * g_unc
+    F_wt = sum(ct[c] * g_rgbt[c] for c in range(3)) + g_opt
+    F_p = g_op
+    d_sdt = F_pt * T * f["e_t"] + F_wt * T_t * f["e_t"] + F_p * T * f["e"]
+    d_sdt = d_sdt - _mm(F_ps * ps + F_pt * pt + F_p * p, tri_s_v)
+    d_sdt = d_sdt - _mm(F_wt * wt, tri_s_v)
+    t3_plane = planes[6]
+    t4_plane = planes[7]
+    d_tr_cols.append(flatcol((d_sdt * dist + g_treg) * _sigmoid(t3_plane)))
+    d_tr_cols.append(flatcol(pt * g_unc * _sigmoid(t4_plane)))
+
+    drgb_ref[...] = jnp.concatenate(d_rgb_cols, axis=1)
+    dtr_ref[...] = jnp.concatenate(d_tr_cols, axis=1)
+
+
+def _run_fwd_flat(args, N, min_uncert, tile_rays, interpret):
+    rgb_raw, trans_raw, dens_raw, dist, depth = args
+    BR = dist.shape[0]
+    tr = _fit_rays(tile_rays, BR)
+    kernel = functools.partial(_fwd_kernel_flat, float(min_uncert), int(N))
+    in_specs = [_row_spec(tr * N, 3), _row_spec(tr * N, 5),
+                _row_spec(tr * N, 1), _row_spec(tr, N), _row_spec(tr, N),
+                _full(), _full()]
+    return pl.pallas_call(
+        kernel, grid=(BR // tr,), in_specs=in_specs,
+        out_specs=_row_spec(tr, N_OUT),
+        out_shape=jax.ShapeDtypeStruct((BR, N_OUT), jnp.float32),
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(rgb_raw, trans_raw, dens_raw, dist, depth,
+      _tri_excl(N), _tri_suffix(N))
+
+
+def _run_bwd_flat(args, g, N, min_uncert, tile_rays, interpret):
+    rgb_raw, trans_raw, dens_raw, dist, depth = args
+    BR = dist.shape[0]
+    M = rgb_raw.shape[0]
+    tr = _fit_rays(tile_rays, BR)
+    kernel = functools.partial(_bwd_kernel_flat, float(min_uncert), int(N))
+    in_specs = [_row_spec(tr * N, 3), _row_spec(tr * N, 5),
+                _row_spec(tr * N, 1), _row_spec(tr, N), _row_spec(tr, N),
+                _row_spec(tr, N_OUT), _full(), _full()]
+    out_specs = (_row_spec(tr * N, 3), _row_spec(tr * N, 5))
+    out_shape = (jax.ShapeDtypeStruct((M, 3), jnp.float32),
+                 jax.ShapeDtypeStruct((M, 5), jnp.float32))
+    return pl.pallas_call(
+        kernel, grid=(BR // tr,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(rgb_raw, trans_raw, dens_raw, dist, depth, g,
+      _tri_excl(N), _tri_suffix(N))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_op_flat(N, min_uncert, tile_rays, interpret):
+    """Differentiable fused composite over FLAT [M,C] field outputs: the
+    plane extraction runs in-kernel, so neither direction materializes
+    [BR,N]-plane relayouts in XLA.  Gradients flow to rgb_raw/trans_raw
+    as flat [M,3]/[M,5] — exactly the ST-field bwd kernel's input layout.
+    f(rgb_raw [M,3], trans_raw [M,5], dens_raw [M,1], dist [BR,N],
+      depth [BR,N]) -> packed [BR, 16]."""
+
+    @jax.custom_vjp
+    def op(rgb_raw, trans_raw, dens_raw, dist, depth):
+        return _run_fwd_flat((rgb_raw, trans_raw, dens_raw, dist, depth),
+                             N, min_uncert, tile_rays, interpret)
+
+    def op_fwd(*args):
+        return op(*args), args
+
+    def op_bwd(args, g):
+        d_rgb, d_tr = _run_bwd_flat(args, g, N, min_uncert, tile_rays,
+                                    interpret)
+        return (d_rgb, d_tr) + tuple(jnp.zeros_like(a) for a in args[2:])
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
 def fused_composite_st(rgb_raw, trans_raw, dens_raw, depth_samples, ray,
-                       min_uncert=0.05, tile_rays=256, interpret=False):
+                       min_uncert=0.05, tile_rays=256, interpret=False,
+                       flat=None):
     """Fused dual-density composite from RAW field outputs.
 
     rgb_raw [BR·N, 3], trans_raw [BR·N, 5], dens_raw [BR·N, 1] (frozen),
@@ -277,7 +437,17 @@ def fused_composite_st(rgb_raw, trans_raw, dens_raw, depth_samples, ray,
     rgb, rgb_static, rgb_transient (C=3); depth, opacity, opacity_static,
     opacity_transient, uncert (C=1); plus 'trans_density_mean' scalar
     (mean_n softplus(trans density raw) — the transient-reg term).
+
+    flat (TEXPOSE_COMPOSITE_FLAT=1 to enable; default off pending the
+    on-TPU A/B): consume the flat [M,C] arrays directly and extract
+    channel planes IN-KERNEL — removes the XLA-side [M,C]→[BR,N,C]→slice
+    layout copies on the forward inputs AND emits flat [M,3]/[M,5]
+    gradients that feed the ST-field bwd kernel with no re-interleave.
+    In-kernel (TR·N,)→(TR,N) reshapes measured ~4.5 µs each on v5e.
     """
+    import os
+    if flat is None:
+        flat = os.environ.get("TEXPOSE_COMPOSITE_FLAT", "0") == "1"
     B, R, N, _ = depth_samples.shape
     BR = B * R
     d = depth_samples.reshape(BR, N)
@@ -286,17 +456,24 @@ def fused_composite_st(rgb_raw, trans_raw, dens_raw, depth_samples, ray,
                             jnp.full_like(d[:, :1], 1e10)], axis=1)
     dist = intv * ray_len
 
-    def planes(x, C):
-        x = x.reshape(BR, N, C)
-        return [x[:, :, c] for c in range(C)]
+    if flat:
+        op = _make_op_flat(int(N), float(min_uncert), int(tile_rays),
+                           bool(interpret))
+        packed = op(rgb_raw, trans_raw, jax.lax.stop_gradient(dens_raw),
+                    jax.lax.stop_gradient(dist), jax.lax.stop_gradient(d))
+    else:
+        def planes(x, C):
+            x = x.reshape(BR, N, C)
+            return [x[:, :, c] for c in range(C)]
 
-    r0, r1, r2 = planes(rgb_raw, 3)
-    t0, t1, t2, t3, t4 = planes(trans_raw, 5)
-    (dens,) = planes(dens_raw, 1)
+        r0, r1, r2 = planes(rgb_raw, 3)
+        t0, t1, t2, t3, t4 = planes(trans_raw, 5)
+        (dens,) = planes(dens_raw, 1)
 
-    op = _make_op(int(N), float(min_uncert), int(tile_rays), bool(interpret))
-    packed = op(r0, r1, r2, t0, t1, t2, t3, t4,
-                jax.lax.stop_gradient(dens), dist, d)
+        op = _make_op(int(N), float(min_uncert), int(tile_rays),
+                      bool(interpret))
+        packed = op(r0, r1, r2, t0, t1, t2, t3, t4,
+                    jax.lax.stop_gradient(dens), dist, d)
 
     def out(lo, hi):
         return packed[:, lo:hi].reshape(B, R, hi - lo)

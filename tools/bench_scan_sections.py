@@ -380,17 +380,21 @@ def main():
             jnp.float32)
         ray_d = jnp.asarray(rng.standard_normal((B, R, 3)), jnp.float32)
 
-        def make_sd(depth):
-            def f(p, e, h, dp, ry):
-                def step(pp, _):
-                    rgb, dens, tr = field(h, pp, e)
-                    out = fused_composite_st(rgb, tr, dens, dp, ry)
-                    return pp + 1e-6 * out["rgb"].mean(), None
-                return jax.lax.scan(step, p, None, length=depth)[0][0, 0]
-            fj = jax.jit(f)
-            return lambda: fj(pts0, enc, heads, dep_d, ray_d)
-        per, ts = marginal(make_sd)
-        print(f"Sd field+composite : {per:7.3f} ms/step  {ts}", flush=True)
+        for flat in (False, True):
+            def make_sd(depth, flat=flat):
+                def f(p, e, h, dp, ry):
+                    def step(pp, _):
+                        rgb, dens, tr = field(h, pp, e)
+                        out = fused_composite_st(rgb, tr, dens, dp, ry,
+                                                 flat=flat)
+                        return pp + 1e-6 * out["rgb"].mean(), None
+                    return jax.lax.scan(step, p, None,
+                                        length=depth)[0][0, 0]
+                fj = jax.jit(f)
+                return lambda: fj(pts0, enc, heads, dep_d, ray_d)
+            per, ts = marginal(make_sd)
+            print(f"Sd field+composite (flat={int(flat)}): {per:7.3f} "
+                  f"ms/step  {ts}", flush=True)
 
     # ---- Sg: field + composite OP with channel planes prebuilt OUTSIDE
     # the scan (no per-step [M,C]→[BR,N] slicing); Sd−Sg isolates the
