@@ -36,16 +36,19 @@ def _plain(rgb_raw, dens_raw, depth, ray, setbg_opaque=False):
     return {k: out[k] for k in ("rgb", "depth", "opacity")}
 
 
-def test_fused_composite_coarse_forward(key):
+@pytest.mark.parametrize("flat", [False, True])
+def test_fused_composite_coarse_forward(key, flat):
     args = _inputs(key)
     ref = _plain(*args)
-    out = fused_composite_coarse(*args, interpret=True, tile_rays=8)
+    out = fused_composite_coarse(*args, interpret=True, tile_rays=8,
+                                 flat=flat)
     for k in ("rgb", "depth", "opacity"):
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                    atol=2e-5, err_msg=k)
 
 
-def test_fused_composite_coarse_gradients(key):
+@pytest.mark.parametrize("flat", [False, True])
+def test_fused_composite_coarse_gradients(key, flat):
     args = _inputs(key)
 
     def loss_of(fn):
@@ -58,7 +61,7 @@ def test_fused_composite_coarse_gradients(key):
     g_ref = jax.grad(loss_of(_plain), argnums=(0, 1))(args[0], args[1])
     g_out = jax.grad(
         loss_of(lambda *a: fused_composite_coarse(*a, interpret=True,
-                                                  tile_rays=8)),
+                                                  tile_rays=8, flat=flat)),
         argnums=(0, 1))(args[0], args[1])
     np.testing.assert_allclose(np.asarray(g_out[0]), np.asarray(g_ref[0]),
                                atol=3e-5, err_msg="d rgb_raw")

@@ -39,7 +39,8 @@ try:
     from jax.experimental.pallas import tpu as pltpu  # noqa: F401
     from ._params import compiler_params as _compiler_params
     from .fused_composite import (_tri_excl, _tri_suffix, _mm, _row_spec,
-                                  _full, _fit_rays, _sigmoid, _softplus)
+                                  _full, _fit_rays, _sigmoid, _softplus,
+                                  _flat_planes)
     _PALLAS_OK = True
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
@@ -160,15 +161,128 @@ def _make_op(N, tile_rays, interpret):
     return op
 
 
+# ------------------------------------------------- flat-input variant
+
+def _fwd_kernel_flat(N, rgb_ref, dens_ref, dist_ref, depth_ref, tri_e,
+                     tri_s, out_ref):
+    TR = dist_ref.shape[0]
+    planes = (_flat_planes(rgb_ref, 3, TR, N)
+              + _flat_planes(dens_ref, 1, TR, N)
+              + [dist_ref[...], depth_ref[...], tri_e[...], tri_s[...]])
+    f = _forward_core(planes)
+
+    def rsum(x):
+        return jnp.sum(x, axis=1, keepdims=True)
+
+    cols = [rsum(f["w"] * f["cs"][c]) for c in range(3)]
+    cols.append(rsum(f["w"] * f["depth"]))
+    cols.append(rsum(f["w"]))
+    z = jnp.zeros_like(cols[0])
+    out_ref[...] = jnp.concatenate(cols + [z, z, z], axis=1)
+
+
+def _bwd_kernel_flat(N, rgb_ref, dens_ref, dist_ref, depth_ref, g_ref,
+                     tri_e, tri_s, drgb_ref, ddens_ref):
+    TR = dist_ref.shape[0]
+    planes = (_flat_planes(rgb_ref, 3, TR, N)
+              + _flat_planes(dens_ref, 1, TR, N)
+              + [dist_ref[...], depth_ref[...], tri_e[...], tri_s[...]])
+    f = _forward_core(planes)
+    g = g_ref[...]
+
+    def col(i):
+        return g[:, i:i + 1]
+
+    g_rgb = [col(0), col(1), col(2)]
+    g_depth = col(3)
+    g_op = col(4)
+    cs, w, T, e = f["cs"], f["w"], f["T"], f["e"]
+    dist, depth, tri_s_v = f["dist"], f["depth"], f["tri_s"]
+
+    def flatcol(x):
+        return x.reshape(TR * N, 1)
+
+    drgb_ref[...] = jnp.concatenate(
+        [flatcol(w * g_rgb[c] * cs[c] * (1.0 - cs[c])) for c in range(3)],
+        axis=1)
+    G = sum(cs[c] * g_rgb[c] for c in range(3)) + depth * g_depth + g_op
+    d_sd = G * T * e - _mm(G * w, tri_s_v)
+    ddens_ref[...] = flatcol(d_sd * dist * _sigmoid(planes[3]))
+
+
+def _run_fwd_flat(args, N, tile_rays, interpret):
+    rgb_raw, dens_raw, dist, depth = args
+    BR = dist.shape[0]
+    tr = _fit_rays(tile_rays, BR)
+    kernel = functools.partial(_fwd_kernel_flat, int(N))
+    in_specs = [_row_spec(tr * N, 3), _row_spec(tr * N, 1),
+                _row_spec(tr, N), _row_spec(tr, N), _full(), _full()]
+    return pl.pallas_call(
+        kernel, grid=(BR // tr,), in_specs=in_specs,
+        out_specs=_row_spec(tr, N_OUT),
+        out_shape=jax.ShapeDtypeStruct((BR, N_OUT), jnp.float32),
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(rgb_raw, dens_raw, dist, depth, _tri_excl(N), _tri_suffix(N))
+
+
+def _run_bwd_flat(args, g, N, tile_rays, interpret):
+    rgb_raw, dens_raw, dist, depth = args
+    BR = dist.shape[0]
+    M = rgb_raw.shape[0]
+    tr = _fit_rays(tile_rays, BR)
+    kernel = functools.partial(_bwd_kernel_flat, int(N))
+    in_specs = [_row_spec(tr * N, 3), _row_spec(tr * N, 1),
+                _row_spec(tr, N), _row_spec(tr, N), _row_spec(tr, N_OUT),
+                _full(), _full()]
+    out_specs = (_row_spec(tr * N, 3), _row_spec(tr * N, 1))
+    out_shape = (jax.ShapeDtypeStruct((M, 3), jnp.float32),
+                 jax.ShapeDtypeStruct((M, 1), jnp.float32))
+    return pl.pallas_call(
+        kernel, grid=(BR // tr,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(rgb_raw, dens_raw, dist, depth, g, _tri_excl(N), _tri_suffix(N))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_op_flat(N, tile_rays, interpret):
+    """Flat-input coarse composite (see fused_composite._make_op_flat):
+    f(rgb_raw [M,3], dens_raw [M,1], dist [BR,N], depth [BR,N]) →
+    packed [BR,8], with flat [M,3]/[M,1] gradients."""
+
+    @jax.custom_vjp
+    def op(rgb_raw, dens_raw, dist, depth):
+        return _run_fwd_flat((rgb_raw, dens_raw, dist, depth), N,
+                             tile_rays, interpret)
+
+    def op_fwd(*args):
+        return op(*args), args
+
+    def op_bwd(args, g):
+        d_rgb, d_dens = _run_bwd_flat(args, g, N, tile_rays, interpret)
+        return (d_rgb, d_dens) + tuple(jnp.zeros_like(a) for a in args[2:])
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
 def fused_composite_coarse(rgb_raw, dens_raw, depth_samples, ray,
-                           tile_rays=256, interpret=False):
+                           tile_rays=256, interpret=False, flat=None):
     """Fused vanilla-NeRF composite from RAW field outputs.
 
     rgb_raw [BR·N, 3], dens_raw [BR·N, 1], depth_samples [B,R,N,1],
     ray [B,R,3] → dict(rgb [B,R,3], depth [B,R,1], opacity [B,R,1]).
     Gradients flow to rgb_raw and dens_raw (depth/ray are not trainable
     in the pretrain stage — reference trains with fixed poses/bounds).
+
+    flat: see fused_composite.fused_composite_st — in-kernel plane
+    extraction, flat gradients (TEXPOSE_COMPOSITE_FLAT; default off
+    pending the on-TPU A/B).
     """
+    import os
+    if flat is None:
+        flat = os.environ.get("TEXPOSE_COMPOSITE_FLAT", "0") == "1"
     B, R, N, _ = depth_samples.shape
     BR = B * R
     d = depth_samples.reshape(BR, N)
@@ -176,6 +290,16 @@ def fused_composite_coarse(rgb_raw, dens_raw, depth_samples, ray,
     intv = jnp.concatenate([d[:, 1:] - d[:, :-1],
                             jnp.full_like(d[:, :1], 1e10)], axis=1)
     dist = intv * ray_len
+
+    if flat:
+        opf = _make_op_flat(int(N), int(tile_rays), bool(interpret))
+        packed = opf(rgb_raw, dens_raw, jax.lax.stop_gradient(dist),
+                     jax.lax.stop_gradient(d))
+
+        def out(lo, hi):
+            return packed[:, lo:hi].reshape(B, R, hi - lo)
+
+        return dict(rgb=out(0, 3), depth=out(3, 4), opacity=out(4, 5))
 
     def planes(x, C):
         x = x.reshape(BR, N, C)
