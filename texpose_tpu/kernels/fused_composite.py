@@ -271,11 +271,15 @@ def _make_op(N, min_uncert, tile_rays, interpret):
 # ------------------------------------------------- flat-input variant
 
 def _flat_planes(ref, C, TR, N):
-    """In-kernel plane extraction from a flat [TR·N, C] row block: one
-    (TR·N,)→(TR,N) reshape per channel (a VMEM relayout, measured ~4.5 µs
-    each on v5e) instead of XLA-side [M,C]→[BR,N,C]→slice layout surgery
-    (the {1,0,2}-layout copies this file's :290 used to trigger)."""
-    return [ref[:, c].reshape(TR, N) for c in range(C)]
+    """In-kernel plane extraction from a [TR, N·C] row block (the FREE
+    XLA reshape of the flat [M,C] array — a [TR·N, C] block would pad its
+    C lanes to 128 in VMEM and blow the scoped budget 43×): one reshape
+    to (TR·N, C) then one (TR·N,)→(TR,N) reshape per channel (VMEM
+    relayouts, ~4.5 µs each measured on v5e) instead of XLA-side
+    [M,C]→[BR,N,C]→slice layout surgery (the {1,0,2}-layout copies this
+    file's :290 used to trigger)."""
+    x = ref[...].reshape(TR * N, C)
+    return [x[:, c].reshape(TR, N) for c in range(C)]
 
 
 def _fwd_kernel_flat(min_uncert, N, rgb_ref, tr_ref, dens_ref, dist_ref,
@@ -339,6 +343,7 @@ def _bwd_kernel_flat(min_uncert, N, rgb_ref, tr_ref, dens_ref, dist_ref,
     def flatcol(x):
         return x.reshape(TR * N, 1)
 
+    TRN = TR * N
     d_rgb_cols = []
     d_tr_cols = []
     for c in range(3):
@@ -359,8 +364,8 @@ def _bwd_kernel_flat(min_uncert, N, rgb_ref, tr_ref, dens_ref, dist_ref,
     d_tr_cols.append(flatcol((d_sdt * dist + g_treg) * _sigmoid(t3_plane)))
     d_tr_cols.append(flatcol(pt * g_unc * _sigmoid(t4_plane)))
 
-    drgb_ref[...] = jnp.concatenate(d_rgb_cols, axis=1)
-    dtr_ref[...] = jnp.concatenate(d_tr_cols, axis=1)
+    drgb_ref[...] = jnp.concatenate(d_rgb_cols, axis=1).reshape(TR, N * 3)
+    dtr_ref[...] = jnp.concatenate(d_tr_cols, axis=1).reshape(TR, N * 5)
 
 
 def _run_fwd_flat(args, N, min_uncert, tile_rays, interpret):
@@ -368,8 +373,8 @@ def _run_fwd_flat(args, N, min_uncert, tile_rays, interpret):
     BR = dist.shape[0]
     tr = _fit_rays(tile_rays, BR)
     kernel = functools.partial(_fwd_kernel_flat, float(min_uncert), int(N))
-    in_specs = [_row_spec(tr * N, 3), _row_spec(tr * N, 5),
-                _row_spec(tr * N, 1), _row_spec(tr, N), _row_spec(tr, N),
+    in_specs = [_row_spec(tr, N * 3), _row_spec(tr, N * 5),
+                _row_spec(tr, N * 1), _row_spec(tr, N), _row_spec(tr, N),
                 _full(), _full()]
     return pl.pallas_call(
         kernel, grid=(BR // tr,), in_specs=in_specs,
@@ -377,8 +382,8 @@ def _run_fwd_flat(args, N, min_uncert, tile_rays, interpret):
         out_shape=jax.ShapeDtypeStruct((BR, N_OUT), jnp.float32),
         interpret=interpret,
         compiler_params=_compiler_params(interpret),
-    )(rgb_raw, trans_raw, dens_raw, dist, depth,
-      _tri_excl(N), _tri_suffix(N))
+    )(rgb_raw.reshape(BR, N * 3), trans_raw.reshape(BR, N * 5),
+      dens_raw.reshape(BR, N), dist, depth, _tri_excl(N), _tri_suffix(N))
 
 
 def _run_bwd_flat(args, g, N, min_uncert, tile_rays, interpret):
@@ -387,18 +392,20 @@ def _run_bwd_flat(args, g, N, min_uncert, tile_rays, interpret):
     M = rgb_raw.shape[0]
     tr = _fit_rays(tile_rays, BR)
     kernel = functools.partial(_bwd_kernel_flat, float(min_uncert), int(N))
-    in_specs = [_row_spec(tr * N, 3), _row_spec(tr * N, 5),
-                _row_spec(tr * N, 1), _row_spec(tr, N), _row_spec(tr, N),
+    in_specs = [_row_spec(tr, N * 3), _row_spec(tr, N * 5),
+                _row_spec(tr, N * 1), _row_spec(tr, N), _row_spec(tr, N),
                 _row_spec(tr, N_OUT), _full(), _full()]
-    out_specs = (_row_spec(tr * N, 3), _row_spec(tr * N, 5))
-    out_shape = (jax.ShapeDtypeStruct((M, 3), jnp.float32),
-                 jax.ShapeDtypeStruct((M, 5), jnp.float32))
-    return pl.pallas_call(
+    out_specs = (_row_spec(tr, N * 3), _row_spec(tr, N * 5))
+    out_shape = (jax.ShapeDtypeStruct((BR, N * 3), jnp.float32),
+                 jax.ShapeDtypeStruct((BR, N * 5), jnp.float32))
+    d_rgb, d_tr = pl.pallas_call(
         kernel, grid=(BR // tr,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
         compiler_params=_compiler_params(interpret),
-    )(rgb_raw, trans_raw, dens_raw, dist, depth, g,
+    )(rgb_raw.reshape(BR, N * 3), trans_raw.reshape(BR, N * 5),
+      dens_raw.reshape(BR, N), dist, depth, g,
       _tri_excl(N), _tri_suffix(N))
+    return d_rgb.reshape(M, 3), d_tr.reshape(M, 5)
 
 
 @functools.lru_cache(maxsize=None)

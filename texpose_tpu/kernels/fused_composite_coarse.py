@@ -204,10 +204,10 @@ def _bwd_kernel_flat(N, rgb_ref, dens_ref, dist_ref, depth_ref, g_ref,
 
     drgb_ref[...] = jnp.concatenate(
         [flatcol(w * g_rgb[c] * cs[c] * (1.0 - cs[c])) for c in range(3)],
-        axis=1)
+        axis=1).reshape(TR, N * 3)
     G = sum(cs[c] * g_rgb[c] for c in range(3)) + depth * g_depth + g_op
     d_sd = G * T * e - _mm(G * w, tri_s_v)
-    ddens_ref[...] = flatcol(d_sd * dist * _sigmoid(planes[3]))
+    ddens_ref[...] = (d_sd * dist * _sigmoid(planes[3])).reshape(TR, N)
 
 
 def _run_fwd_flat(args, N, tile_rays, interpret):
@@ -215,7 +215,9 @@ def _run_fwd_flat(args, N, tile_rays, interpret):
     BR = dist.shape[0]
     tr = _fit_rays(tile_rays, BR)
     kernel = functools.partial(_fwd_kernel_flat, int(N))
-    in_specs = [_row_spec(tr * N, 3), _row_spec(tr * N, 1),
+    # [BR, N·C]-shaped blocks: the free XLA reshape of the flat arrays —
+    # [TR·N, C] blocks would pad C lanes to 128 in VMEM (scoped OOM)
+    in_specs = [_row_spec(tr, N * 3), _row_spec(tr, N * 1),
                 _row_spec(tr, N), _row_spec(tr, N), _full(), _full()]
     return pl.pallas_call(
         kernel, grid=(BR // tr,), in_specs=in_specs,
@@ -223,7 +225,8 @@ def _run_fwd_flat(args, N, tile_rays, interpret):
         out_shape=jax.ShapeDtypeStruct((BR, N_OUT), jnp.float32),
         interpret=interpret,
         compiler_params=_compiler_params(interpret),
-    )(rgb_raw, dens_raw, dist, depth, _tri_excl(N), _tri_suffix(N))
+    )(rgb_raw.reshape(BR, N * 3), dens_raw.reshape(BR, N), dist, depth,
+      _tri_excl(N), _tri_suffix(N))
 
 
 def _run_bwd_flat(args, g, N, tile_rays, interpret):
@@ -232,17 +235,19 @@ def _run_bwd_flat(args, g, N, tile_rays, interpret):
     M = rgb_raw.shape[0]
     tr = _fit_rays(tile_rays, BR)
     kernel = functools.partial(_bwd_kernel_flat, int(N))
-    in_specs = [_row_spec(tr * N, 3), _row_spec(tr * N, 1),
+    in_specs = [_row_spec(tr, N * 3), _row_spec(tr, N * 1),
                 _row_spec(tr, N), _row_spec(tr, N), _row_spec(tr, N_OUT),
                 _full(), _full()]
-    out_specs = (_row_spec(tr * N, 3), _row_spec(tr * N, 1))
-    out_shape = (jax.ShapeDtypeStruct((M, 3), jnp.float32),
-                 jax.ShapeDtypeStruct((M, 1), jnp.float32))
-    return pl.pallas_call(
+    out_specs = (_row_spec(tr, N * 3), _row_spec(tr, N * 1))
+    out_shape = (jax.ShapeDtypeStruct((BR, N * 3), jnp.float32),
+                 jax.ShapeDtypeStruct((BR, N), jnp.float32))
+    d_rgb, d_dens = pl.pallas_call(
         kernel, grid=(BR // tr,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
         compiler_params=_compiler_params(interpret),
-    )(rgb_raw, dens_raw, dist, depth, g, _tri_excl(N), _tri_suffix(N))
+    )(rgb_raw.reshape(BR, N * 3), dens_raw.reshape(BR, N), dist, depth,
+      g, _tri_excl(N), _tri_suffix(N))
+    return d_rgb.reshape(M, 3), d_dens.reshape(M, 1)
 
 
 @functools.lru_cache(maxsize=None)
