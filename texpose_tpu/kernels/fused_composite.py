@@ -270,24 +270,53 @@ def _make_op(N, min_uncert, tile_rays, interpret):
 
 # ------------------------------------------------- flat-input variant
 
-def _flat_planes(ref, C, TR, N):
+def _hi_dot(a, b, dims=(((1,), (0,)), ((), ()))):
+    """Exact permutation matmul: the matrices are 0/1 so every output is
+    one input element + zeros; HIGHEST keeps the product f32-exact (the
+    bf16-rounded DEFAULT f32 path would round the data)."""
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _perm_extract(N, C):
+    """[N·C, C·N] permutation: row n·C+c → column c·N+n.  x[TR, N·C] @ P
+    yields the C channel planes CONTIGUOUS on lanes ([:, c·N:(c+1)·N])."""
+    P = np.zeros((N * C, C * N), np.float32)
+    for n in range(N):
+        for c in range(C):
+            P[n * C + c, c * N + n] = 1.0
+    return jnp.asarray(P)
+
+
+def _flat_planes(ref, perm_ref, C, TR, N):
     """In-kernel plane extraction from a [TR, N·C] row block (the FREE
     XLA reshape of the flat [M,C] array — a [TR·N, C] block would pad its
-    C lanes to 128 in VMEM and blow the scoped budget 43×): one reshape
-    to (TR·N, C) then one (TR·N,)→(TR,N) reshape per channel (VMEM
-    relayouts, ~4.5 µs each measured on v5e) instead of XLA-side
-    [M,C]→[BR,N,C]→slice layout surgery (the {1,0,2}-layout copies this
-    file's :290 used to trigger)."""
-    x = ref[...].reshape(TR * N, C)
-    return [x[:, c].reshape(TR, N) for c in range(C)]
+    C lanes to 128 in VMEM and blow the scoped budget 43×).  Mosaic can't
+    lower the (TR,N·C)→(TR·N,C) vector reshape, so the de-interleave runs
+    as ONE exact permutation matmul on the MXU (see _perm_extract) and
+    the planes fall out as 64-aligned lane slices."""
+    if C == 1:
+        return [ref[...]]
+    y = _hi_dot(ref[...], perm_ref[...])                    # [TR, C·N]
+    return [y[:, c * N:(c + 1) * N] for c in range(C)]
+
+
+def _flat_store(planes, perm_ref, C, TR, N):
+    """Inverse of _flat_planes: C [TR,N] planes → one [TR, N·C]
+    interleaved block via z @ Pᵀ (contract on P's columns)."""
+    z = jnp.concatenate(planes, axis=1)                     # [TR, C·N]
+    if C == 1:
+        return z
+    return _hi_dot(z, perm_ref[...], (((1,), (1,)), ((), ())))
 
 
 def _fwd_kernel_flat(min_uncert, N, rgb_ref, tr_ref, dens_ref, dist_ref,
-                     depth_ref, tri_e, tri_s, out_ref):
+                     depth_ref, tri_e, tri_s, p3_ref, p5_ref, out_ref):
     TR = dist_ref.shape[0]
-    planes = (_flat_planes(rgb_ref, 3, TR, N)
-              + _flat_planes(tr_ref, 5, TR, N)
-              + _flat_planes(dens_ref, 1, TR, N)
+    planes = (_flat_planes(rgb_ref, p3_ref, 3, TR, N)
+              + _flat_planes(tr_ref, p5_ref, 5, TR, N)
+              + _flat_planes(dens_ref, None, 1, TR, N)
               + [dist_ref[...], depth_ref[...], tri_e[...], tri_s[...]])
     f = _forward_core(planes, min_uncert)
 
@@ -312,11 +341,12 @@ def _fwd_kernel_flat(min_uncert, N, rgb_ref, tr_ref, dens_ref, dist_ref,
 
 
 def _bwd_kernel_flat(min_uncert, N, rgb_ref, tr_ref, dens_ref, dist_ref,
-                     depth_ref, g_ref, tri_e, tri_s, drgb_ref, dtr_ref):
+                     depth_ref, g_ref, tri_e, tri_s, p3_ref, p5_ref,
+                     drgb_ref, dtr_ref):
     TR = dist_ref.shape[0]
-    planes = (_flat_planes(rgb_ref, 3, TR, N)
-              + _flat_planes(tr_ref, 5, TR, N)
-              + _flat_planes(dens_ref, 1, TR, N)
+    planes = (_flat_planes(rgb_ref, p3_ref, 3, TR, N)
+              + _flat_planes(tr_ref, p5_ref, 5, TR, N)
+              + _flat_planes(dens_ref, None, 1, TR, N)
               + [dist_ref[...], depth_ref[...], tri_e[...], tri_s[...]])
     f = _forward_core(planes, min_uncert)
     g = g_ref[...]
@@ -340,17 +370,13 @@ def _bwd_kernel_flat(min_uncert, N, rgb_ref, tr_ref, dens_ref, dist_ref,
     dist, depth, u = f["dist"], f["depth"], f["u"]
     tri_s_v = f["tri_s"]
 
-    def flatcol(x):
-        return x.reshape(TR * N, 1)
-
-    TRN = TR * N
     d_rgb_cols = []
     d_tr_cols = []
     for c in range(3):
         dcs = ps * g_rgb[c] + ws * g_rgbs[c]
-        d_rgb_cols.append(flatcol(dcs * cs[c] * (1.0 - cs[c])))
+        d_rgb_cols.append(dcs * cs[c] * (1.0 - cs[c]))
         dct = pt * g_rgb[c] + wt * g_rgbt[c]
-        d_tr_cols.append(flatcol(dct * ct[c] * (1.0 - ct[c])))
+        d_tr_cols.append(dct * ct[c] * (1.0 - ct[c]))
 
     F_ps = sum(cs[c] * g_rgb[c] for c in range(3))
     F_pt = sum(ct[c] * g_rgb[c] for c in range(3)) + u * g_unc
@@ -361,11 +387,11 @@ def _bwd_kernel_flat(min_uncert, N, rgb_ref, tr_ref, dens_ref, dist_ref,
     d_sdt = d_sdt - _mm(F_wt * wt, tri_s_v)
     t3_plane = planes[6]
     t4_plane = planes[7]
-    d_tr_cols.append(flatcol((d_sdt * dist + g_treg) * _sigmoid(t3_plane)))
-    d_tr_cols.append(flatcol(pt * g_unc * _sigmoid(t4_plane)))
+    d_tr_cols.append((d_sdt * dist + g_treg) * _sigmoid(t3_plane))
+    d_tr_cols.append(pt * g_unc * _sigmoid(t4_plane))
 
-    drgb_ref[...] = jnp.concatenate(d_rgb_cols, axis=1).reshape(TR, N * 3)
-    dtr_ref[...] = jnp.concatenate(d_tr_cols, axis=1).reshape(TR, N * 5)
+    drgb_ref[...] = _flat_store(d_rgb_cols, p3_ref, 3, TR, N)
+    dtr_ref[...] = _flat_store(d_tr_cols, p5_ref, 5, TR, N)
 
 
 def _run_fwd_flat(args, N, min_uncert, tile_rays, interpret):
@@ -375,7 +401,7 @@ def _run_fwd_flat(args, N, min_uncert, tile_rays, interpret):
     kernel = functools.partial(_fwd_kernel_flat, float(min_uncert), int(N))
     in_specs = [_row_spec(tr, N * 3), _row_spec(tr, N * 5),
                 _row_spec(tr, N * 1), _row_spec(tr, N), _row_spec(tr, N),
-                _full(), _full()]
+                _full(), _full(), _full(), _full()]
     return pl.pallas_call(
         kernel, grid=(BR // tr,), in_specs=in_specs,
         out_specs=_row_spec(tr, N_OUT),
@@ -383,7 +409,8 @@ def _run_fwd_flat(args, N, min_uncert, tile_rays, interpret):
         interpret=interpret,
         compiler_params=_compiler_params(interpret),
     )(rgb_raw.reshape(BR, N * 3), trans_raw.reshape(BR, N * 5),
-      dens_raw.reshape(BR, N), dist, depth, _tri_excl(N), _tri_suffix(N))
+      dens_raw.reshape(BR, N), dist, depth, _tri_excl(N), _tri_suffix(N),
+      _perm_extract(N, 3), _perm_extract(N, 5))
 
 
 def _run_bwd_flat(args, g, N, min_uncert, tile_rays, interpret):
@@ -394,7 +421,7 @@ def _run_bwd_flat(args, g, N, min_uncert, tile_rays, interpret):
     kernel = functools.partial(_bwd_kernel_flat, float(min_uncert), int(N))
     in_specs = [_row_spec(tr, N * 3), _row_spec(tr, N * 5),
                 _row_spec(tr, N * 1), _row_spec(tr, N), _row_spec(tr, N),
-                _row_spec(tr, N_OUT), _full(), _full()]
+                _row_spec(tr, N_OUT), _full(), _full(), _full(), _full()]
     out_specs = (_row_spec(tr, N * 3), _row_spec(tr, N * 5))
     out_shape = (jax.ShapeDtypeStruct((BR, N * 3), jnp.float32),
                  jax.ShapeDtypeStruct((BR, N * 5), jnp.float32))
@@ -404,7 +431,8 @@ def _run_bwd_flat(args, g, N, min_uncert, tile_rays, interpret):
         compiler_params=_compiler_params(interpret),
     )(rgb_raw.reshape(BR, N * 3), trans_raw.reshape(BR, N * 5),
       dens_raw.reshape(BR, N), dist, depth, g,
-      _tri_excl(N), _tri_suffix(N))
+      _tri_excl(N), _tri_suffix(N), _perm_extract(N, 3),
+      _perm_extract(N, 5))
     return d_rgb.reshape(M, 3), d_tr.reshape(M, 5)
 
 

@@ -40,7 +40,7 @@ try:
     from ._params import compiler_params as _compiler_params
     from .fused_composite import (_tri_excl, _tri_suffix, _mm, _row_spec,
                                   _full, _fit_rays, _sigmoid, _softplus,
-                                  _flat_planes)
+                                  _flat_planes, _flat_store, _perm_extract)
     _PALLAS_OK = True
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
@@ -164,10 +164,10 @@ def _make_op(N, tile_rays, interpret):
 # ------------------------------------------------- flat-input variant
 
 def _fwd_kernel_flat(N, rgb_ref, dens_ref, dist_ref, depth_ref, tri_e,
-                     tri_s, out_ref):
+                     tri_s, p3_ref, out_ref):
     TR = dist_ref.shape[0]
-    planes = (_flat_planes(rgb_ref, 3, TR, N)
-              + _flat_planes(dens_ref, 1, TR, N)
+    planes = (_flat_planes(rgb_ref, p3_ref, 3, TR, N)
+              + _flat_planes(dens_ref, None, 1, TR, N)
               + [dist_ref[...], depth_ref[...], tri_e[...], tri_s[...]])
     f = _forward_core(planes)
 
@@ -182,10 +182,10 @@ def _fwd_kernel_flat(N, rgb_ref, dens_ref, dist_ref, depth_ref, tri_e,
 
 
 def _bwd_kernel_flat(N, rgb_ref, dens_ref, dist_ref, depth_ref, g_ref,
-                     tri_e, tri_s, drgb_ref, ddens_ref):
+                     tri_e, tri_s, p3_ref, drgb_ref, ddens_ref):
     TR = dist_ref.shape[0]
-    planes = (_flat_planes(rgb_ref, 3, TR, N)
-              + _flat_planes(dens_ref, 1, TR, N)
+    planes = (_flat_planes(rgb_ref, p3_ref, 3, TR, N)
+              + _flat_planes(dens_ref, None, 1, TR, N)
               + [dist_ref[...], depth_ref[...], tri_e[...], tri_s[...]])
     f = _forward_core(planes)
     g = g_ref[...]
@@ -199,15 +199,12 @@ def _bwd_kernel_flat(N, rgb_ref, dens_ref, dist_ref, depth_ref, g_ref,
     cs, w, T, e = f["cs"], f["w"], f["T"], f["e"]
     dist, depth, tri_s_v = f["dist"], f["depth"], f["tri_s"]
 
-    def flatcol(x):
-        return x.reshape(TR * N, 1)
-
-    drgb_ref[...] = jnp.concatenate(
-        [flatcol(w * g_rgb[c] * cs[c] * (1.0 - cs[c])) for c in range(3)],
-        axis=1).reshape(TR, N * 3)
+    drgb_ref[...] = _flat_store(
+        [w * g_rgb[c] * cs[c] * (1.0 - cs[c]) for c in range(3)],
+        p3_ref, 3, TR, N)
     G = sum(cs[c] * g_rgb[c] for c in range(3)) + depth * g_depth + g_op
     d_sd = G * T * e - _mm(G * w, tri_s_v)
-    ddens_ref[...] = (d_sd * dist * _sigmoid(planes[3])).reshape(TR, N)
+    ddens_ref[...] = d_sd * dist * _sigmoid(planes[3])
 
 
 def _run_fwd_flat(args, N, tile_rays, interpret):
@@ -218,7 +215,8 @@ def _run_fwd_flat(args, N, tile_rays, interpret):
     # [BR, N·C]-shaped blocks: the free XLA reshape of the flat arrays —
     # [TR·N, C] blocks would pad C lanes to 128 in VMEM (scoped OOM)
     in_specs = [_row_spec(tr, N * 3), _row_spec(tr, N * 1),
-                _row_spec(tr, N), _row_spec(tr, N), _full(), _full()]
+                _row_spec(tr, N), _row_spec(tr, N), _full(), _full(),
+                _full()]
     return pl.pallas_call(
         kernel, grid=(BR // tr,), in_specs=in_specs,
         out_specs=_row_spec(tr, N_OUT),
@@ -226,7 +224,7 @@ def _run_fwd_flat(args, N, tile_rays, interpret):
         interpret=interpret,
         compiler_params=_compiler_params(interpret),
     )(rgb_raw.reshape(BR, N * 3), dens_raw.reshape(BR, N), dist, depth,
-      _tri_excl(N), _tri_suffix(N))
+      _tri_excl(N), _tri_suffix(N), _perm_extract(N, 3))
 
 
 def _run_bwd_flat(args, g, N, tile_rays, interpret):
@@ -237,7 +235,7 @@ def _run_bwd_flat(args, g, N, tile_rays, interpret):
     kernel = functools.partial(_bwd_kernel_flat, int(N))
     in_specs = [_row_spec(tr, N * 3), _row_spec(tr, N * 1),
                 _row_spec(tr, N), _row_spec(tr, N), _row_spec(tr, N_OUT),
-                _full(), _full()]
+                _full(), _full(), _full()]
     out_specs = (_row_spec(tr, N * 3), _row_spec(tr, N * 1))
     out_shape = (jax.ShapeDtypeStruct((BR, N * 3), jnp.float32),
                  jax.ShapeDtypeStruct((BR, N), jnp.float32))
@@ -246,7 +244,7 @@ def _run_bwd_flat(args, g, N, tile_rays, interpret):
         out_shape=out_shape, interpret=interpret,
         compiler_params=_compiler_params(interpret),
     )(rgb_raw.reshape(BR, N * 3), dens_raw.reshape(BR, N), dist, depth,
-      g, _tri_excl(N), _tri_suffix(N))
+      g, _tri_excl(N), _tri_suffix(N), _perm_extract(N, 3))
     return d_rgb.reshape(M, 3), d_dens.reshape(M, 1)
 
 
