@@ -137,6 +137,22 @@ def test_grid_sample_matches_torch(rng, mode, align):
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-5)
 
 
+@pytest.mark.parametrize("mode,align", [("bilinear", True), ("bilinear", False),
+                                        ("nearest", False)])
+def test_grid_sample_table_matches_gather(rng, mode, align):
+    # composed frame+pixel gather ≡ gather-frames-then-grid_sample
+    from texpose_tpu.ops.grid_sample import grid_sample_table
+    table = rng.normal(size=(5, 3, 9, 7)).astype(np.float32)
+    idx = np.array([3, 0, 3, 4], dtype=np.int32)        # incl. a repeat
+    grid = (rng.uniform(-1.3, 1.3, size=(4, 5, 6, 2))).astype(np.float32)
+    direct = grid_sample_table(jnp.asarray(table), jnp.asarray(idx),
+                               jnp.asarray(grid), mode=mode,
+                               align_corners=align)
+    ref = O.grid_sample(jnp.asarray(table[idx]), jnp.asarray(grid),
+                        mode=mode, align_corners=align)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(ref), atol=1e-6)
+
+
 # -------------------------------------------------------------------- color
 
 def test_rgb_to_lab_known_values():

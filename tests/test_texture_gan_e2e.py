@@ -295,3 +295,40 @@ def test_latent_ema_eval_protocol(fixture_root, tmp_path):
     eng2.setup_optimizer()
     assert "latents_ema" not in eng2.state
     assert eng2._eval_latents_table() is eng2.state["latents"]
+
+
+def test_direct_table_sampling_matches_gather(fixture_root, tmp_path):
+    """kernels.direct_table=True samples supervision pixels + depth bounds
+    straight out of the prefetched whole-split tables (frame index composed
+    into the pixel gather, ops/grid_sample.grid_sample_table) — bitwise-same
+    batch semantics as the gather-frames-then-grid_sample path it replaces,
+    checked over several real G+D train steps."""
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    runs = {}
+    for flag in (True, False):
+        cfg = tiny_gan_cfg(fixture_root, tmp_path / f"dt_{flag}")
+        cfg.kernels = Config({"direct_table": flag})
+        cfg.max_iter = 4
+        eng = TextureGANEngine(cfg)
+        eng.load_dataset()
+        eng.build_networks()
+        eng.setup_optimizer()
+        losses = []
+        for it in range(cfg.max_iter):
+            eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
+            losses.append({k: float(np.asarray(v)) for k, v in loss.items()})
+        runs[flag] = (losses, eng.state)
+    l_on, l_off = runs[True][0], runs[False][0]
+    assert l_on[0].keys() == l_off[0].keys()
+    for a, b in zip(l_on, l_off):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=1e-5,
+                                       err_msg=k)
+    # params end up in the same place too
+    import jax
+    pa = jax.tree_util.tree_leaves(runs[True][1]["params"]["nerf"])
+    pb = jax.tree_util.tree_leaves(runs[False][1]["params"]["nerf"])
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)

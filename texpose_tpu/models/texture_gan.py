@@ -44,7 +44,7 @@ from ..geometry.pose import rotation_distance
 from ..nn.fields import init_nerf_st
 from ..nn.discriminator import init_discriminator, apply_discriminator
 from ..nn.vgg import (init_vgg19, load_vgg19_npz, perceptual_loss_pairs)
-from ..ops.grid_sample import grid_sample
+from ..ops.grid_sample import grid_sample, grid_sample_table
 from ..ops.ssim import ssim
 from ..sampling.patch import flex_patch_coords, current_scale_bounds
 from ..sampling.ray_sampler import get_rays, get_bounds
@@ -55,17 +55,33 @@ from .pretrain import _compute_dtype
 
 def render_patch(nerf_params, cfg, pose, intr, coords, z_near, z_far,
                  latent_trans, latent_light, key, progress, mode,
-                 compute_dtype=None):
+                 compute_dtype=None, z_tables=None, idx=None):
     """Patch-coordinate render (reference render() train path :547-631).
 
     coords [B,h,w,2] in [-1,1] → composite dict with [B,hw,C] leaves plus
-    'density' [B,hw,N,2].
+    'density' [B,hw,N,2'].
+
+    With ``z_tables=(z_near_all, z_far_all)`` ([N,HW] whole-split tables) and
+    ``idx`` [B], the depth bounds are sampled straight out of the tables
+    (frame index composed into the pixel gather) instead of materializing the
+    gathered [B,HW] maps — see grid_sample_table.  ``z_near``/``z_far`` are
+    ignored in that mode.
     """
     B, h, w, _ = coords.shape
     center, ray = get_rays(intr, coords, pose, cfg.H, cfg.W)
     center = center.reshape(B, h * w, 3)
     ray = ray.reshape(B, h * w, 3)
-    near, far = get_bounds(coords, z_near, z_far, cfg.H, cfg.W)
+    if z_tables is not None:
+        zn_all, zf_all = z_tables
+        Nf = zn_all.shape[0]
+        zn_all = zn_all.reshape(Nf, 1, cfg.H, cfg.W).astype(jnp.float32)
+        zf_all = zf_all.reshape(Nf, 1, cfg.H, cfg.W).astype(jnp.float32)
+        near = grid_sample_table(zn_all, idx, coords, "bilinear",
+                                 align_corners=True)[:, 0]
+        far = grid_sample_table(zf_all, idx, coords, "bilinear",
+                                align_corners=True)[:, 0]
+    else:
+        near, far = get_bounds(coords, z_near, z_far, cfg.H, cfg.W)
     near = near.reshape(B, h * w)
     far = far.reshape(B, h * w)
     from .render import render_st_core
@@ -74,15 +90,47 @@ def render_patch(nerf_params, cfg, pose, intr, coords, z_near, z_far,
                           compute_dtype, want_density=True)
 
 
-def sample_patch_images(cfg, batch, coords):
+def sample_patch_images(cfg, batch, coords, tables=None, idx=None):
     """Grid-sample supervision signals at patch coords
     (reference compute_loss :726-731 + sample_geometry :444-461).
 
     Returns dict of [B,C,h,w]: image, image_syn (bilinear, align=True);
     mask, mask_syn (nearest); nocs/normal (bilinear·mask_syn).
+
+    With ``tables`` (whole-split [N,...] pixel tables) and ``idx`` [B], each
+    signal is sampled straight out of its table via grid_sample_table — the
+    per-step [B,C,H,W] frame gathers never materialize (they showed up as a
+    full-step HLO hotspot: gather + layout transposes to read h·w px/frame).
+    Math is identical: masks here are {0,positive} so binarize-after-sample
+    equals sample-after-binarize for nearest mode, and out-of-bounds reads
+    are zero in both paths.
     """
     B = coords.shape[0]
     H, W = cfg.H, cfg.W
+    if tables is not None:
+        def samp(key, mode, align=False):
+            t = tables[key]
+            if t.ndim != 4:
+                t = t.reshape(t.shape[0], 1, H, W)
+            return grid_sample_table(t, idx, coords, mode,
+                                     align_corners=align)
+        out = {
+            "image": samp("image", "bilinear", True),
+            "mask": (samp("obj_mask", "nearest") > 0).astype(jnp.float32),
+        }
+        if "image_syn" in tables:
+            out["image_syn"] = samp("image_syn", "bilinear", True)
+            out["mask_syn"] = (samp("mask_syn", "nearest") > 0).astype(
+                jnp.float32)
+        else:
+            out["image_syn"] = out["image"]
+            out["mask_syn"] = out["mask"]
+        if "nocs_pred" in tables:
+            out["nocs"] = samp("nocs_pred", "bilinear", True) \
+                * out["mask_syn"]
+            out["normal"] = samp("normal_pred", "bilinear", True) \
+                * out["mask_syn"]
+        return out
     image = batch["image"]
     obj_mask = (batch["obj_mask"] > 0).astype(jnp.float32).reshape(B, 1, H, W)
     out = {
@@ -213,21 +261,26 @@ class TextureGANEngine(Engine):
         vgg_params = self.vgg_params
         patch_cfg = cfg.get("patch", {})
 
-        def gen_forward(gen_params, trunk, disc_params, sn_state, batch, idx,
-                        coords, scales, key, progress):
+        def gen_forward(gen_params, trunk, disc_params, sn_state, batch,
+                        tables, idx, coords, scales, key, progress):
             latent_trans = gen_params["latents"]["trans"][idx]
             latent_light = gen_params["latents"]["light"][idx]
             nerf_params = dict(gen_params["heads"], mlp_feat=trunk)
             pose = batch["pose_init"] if cfg.data.pose_source == "predicted" \
                 else batch["pose"]
+            z_tables = None
+            if tables is not None and "z_near" in tables:
+                z_tables = (tables["z_near"], tables["z_far"])
             out = render_patch(
                 nerf_params, cfg, pose, batch["intr"], coords,
-                batch["z_near"], batch["z_far"], latent_trans, latent_light,
-                key, progress, mode="train", compute_dtype=dtype)
+                batch.get("z_near"), batch.get("z_far"), latent_trans,
+                latent_light, key, progress, mode="train",
+                compute_dtype=dtype, z_tables=z_tables, idx=idx)
             h = w = int(cfg.patch_size)
             rgb = out["rgb"].reshape(B, h, w, 3).transpose(0, 3, 1, 2)
             uncert = out["uncert"].reshape(B, h, w, 1).transpose(0, 3, 1, 2)
-            sup = sample_patch_images(cfg, batch, coords)
+            sup = sample_patch_images(cfg, batch, coords, tables=tables,
+                                      idx=idx)
 
             loss = {}
             mask, image = sup["mask"], sup["image"]
@@ -333,6 +386,17 @@ class TextureGANEngine(Engine):
             assert B % mesh.shape["dp"] == 0, \
                 f"batch_size {B} must divide the mesh ({mesh.shape})"
 
+        kcfg = cfg.get("kernels", {})
+        direct_table = kcfg.get("direct_table")
+        if direct_table is None:
+            direct_table = os.environ.get(
+                "TEXPOSE_DIRECT_TABLE", "1") not in ("0", "", "false")
+        # whole-split pixel tables eligible for direct-table sampling: the
+        # per-step x[idx] gather of these [N,C,H,W] leaves (to read h·w
+        # px/frame) was a full-step HLO hotspot (gather + layout transposes)
+        table_keys = ("image", "image_syn", "obj_mask", "mask_syn",
+                      "nocs_pred", "normal_pred", "z_near", "z_far")
+
         def step(state, batch_all):
             # key/it live in the state — zero per-step host transfers
             key, k_batch, k_patch, k_render, k_gp = jax.random.split(
@@ -340,7 +404,17 @@ class TextureGANEngine(Engine):
             it = state["it"]
             progress = it.astype(jnp.float32) / max_iter
             idx = jax.random.choice(k_batch, N, (B,), replace=B > N)
-            batch = jax.tree_util.tree_map(lambda x: x[idx], batch_all)
+            tables = None
+            gathered = batch_all
+            if direct_table:
+                # z tables must be per-pixel maps ([N,HW]) for the composed
+                # gather; scalar-range datasets fall back to x[idx] for them
+                tables = {k: v for k, v in batch_all.items()
+                          if k in table_keys
+                          and not (k in ("z_near", "z_far") and v.ndim < 2)}
+                gathered = {k: v for k, v in batch_all.items()
+                            if k not in tables}
+            batch = jax.tree_util.tree_map(lambda x: x[idx], gathered)
             if mesh is not None:
                 # DP over the patch-batch axis: one patch render + disc
                 # column per chip; grads psum over ICI
@@ -364,8 +438,8 @@ class TextureGANEngine(Engine):
             grads, (gloss, rgb, sup) = jax.grad(
                 gen_forward, has_aux=True)(
                 gen_params, trunk, state["params"].get("disc"),
-                state["sn_state"], batch, idx, coords, scales, k_render,
-                progress)
+                state["sn_state"], batch, tables, idx, coords, scales,
+                k_render, progress)
             updates, opt_nerf = self.opt_nerf.update(
                 grads, state["opt_nerf"], gen_params)
             gen_params = optax.apply_updates(gen_params, updates)
