@@ -42,7 +42,8 @@ from .losses import (gan_loss, lab_loss, mse_loss, summarize_loss,
                      uncertainty_reg_loss, wgan_gp_reg)
 from ..geometry.pose import rotation_distance
 from ..nn.fields import init_nerf_st
-from ..nn.discriminator import init_discriminator, apply_discriminator
+from ..nn.discriminator import (init_discriminator, apply_discriminator,
+                                sn_normalize_disc)
 from ..nn.vgg import (init_vgg19, load_vgg19_npz, perceptual_loss_pairs)
 from ..ops.grid_sample import grid_sample, grid_sample_table
 from ..ops.ssim import ssim
@@ -335,11 +336,14 @@ class TextureGANEngine(Engine):
             # 16×16-patch conv stack is dispatch-bound — batching halves the
             # launches; spectral norm sees a single power iteration, exactly
             # like the reference's per-step double forward would after one
-            # update)
+            # update).  Weights are spectrally normalized ONCE and reused by
+            # the R1 / WGAN-GP passes below — the per-pass w/σ buffers were
+            # an HLO hotspot (sn_normalize_disc docstring).
+            psn, sn2 = sn_normalize_disc(disc_params, sn_state)
             both = jnp.concatenate([patch_real, patch_fake], axis=0)
             scales2 = jnp.concatenate([scales, scales], axis=0)
-            d_both, sn2 = apply_discriminator(disc_params, sn_state, cfg,
-                                              both, scales2, progress)
+            d_both, _ = apply_discriminator(psn, sn2, cfg, both, scales2,
+                                            progress, normalized=True)
             d_real, d_fake = d_both[:B], d_both[B:]
             loss = {
                 "gan_disc_real": gan_loss(d_real, 1, cfg.gan.type),
@@ -357,8 +361,8 @@ class TextureGANEngine(Engine):
                     jnp.full((B,), 1.0 if need_r else 0.0),
                     jnp.full((B,), 1.0 if need_f else 0.0)])
                 g = jax.grad(lambda x: (apply_discriminator(
-                    disc_params, sn_state, cfg, x, scales2, progress)[0]
-                    * sel).sum())(both)
+                    psn, sn2, cfg, x, scales2, progress,
+                    normalized=True)[0] * sel).sum())(both)
                 if need_r:
                     reg = (g[:B] ** 2).reshape(B, -1).sum(axis=1).mean()
                     loss["gan_reg_real"] = reg
@@ -390,10 +394,15 @@ class TextureGANEngine(Engine):
         direct_table = kcfg.get("direct_table")
         if direct_table is None:
             direct_table = os.environ.get(
-                "TEXPOSE_DIRECT_TABLE", "1") not in ("0", "", "false")
+                "TEXPOSE_DIRECT_TABLE", "0") not in ("0", "", "false")
         # whole-split pixel tables eligible for direct-table sampling: the
         # per-step x[idx] gather of these [N,C,H,W] leaves (to read h·w
-        # px/frame) was a full-step HLO hotspot (gather + layout transposes)
+        # px/frame) showed as a full-step HLO hotspot (gather + layout
+        # transposes) — but the composed scattered per-pixel gather measured
+        # WORSE on v5e: interleaved same-process A/B (tools/ab_direct_table)
+        # = +0.57 ms/step vs the full-frame gather (6.12 vs 5.56), so the
+        # default stays off; the path is kept (proven bitwise-equivalent)
+        # for shapes where the frame gather dominates
         table_keys = ("image", "image_syn", "obj_mask", "mask_syn",
                       "nocs_pred", "normal_pred", "z_near", "z_far")
 

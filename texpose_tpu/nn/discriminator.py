@@ -128,10 +128,40 @@ def _posenc_image(x, L, progress=None, c2f_range=None):
     return enc.transpose(0, 2, 1).reshape(B, 2 * C * L, h, w)
 
 
+def sn_normalize_disc(params, state, training=True):
+    """Spectrally normalize every conv weight ONCE: (params, u-state) →
+    (normalized params, new u-state).
+
+    A train step runs several discriminator passes over the SAME weights
+    (batched real|fake pass, R1 input-grad pass, WGAN-GP pass, the
+    generator's adversarial pass) and XLA cannot CSE the per-pass w/σ
+    buffers across separate grad traces — the optimized HLO showed ~11
+    materialized [4,4,256,512]-class weight buffers per step.  Normalizing
+    once and passing ``normalized=True`` to apply_discriminator makes every
+    extra pass reuse the same buffers.  Semantics are unchanged: torch's
+    spectral_norm would see the same u (one power iteration per step — the
+    extra reference forwards happen before the buffer update lands), so
+    σ and w/σ are identical across the passes either way."""
+    new_state = {"main": [], "final": []}
+    out = {"main": [], "final": []}
+    for grp in ("main", "final"):
+        for p, u in zip(params.get(grp, []), state.get(grp, [])):
+            w_sn, u_new = sn_apply(p["w"], u, training)
+            out[grp].append({"w": w_sn})
+            new_state[grp].append(u_new)
+    return out, new_state
+
+
 def apply_discriminator(params, state, cfg, x, scales=None, progress=None,
-                        training=True):
+                        training=True, normalized=False):
     """x [B,nc_raw,h,w] (rgb | rgb+nocs+normal), scales [B,1,1,1] →
-    (logits [B], new_sn_state)."""
+    (logits [B], new_sn_state).
+
+    With ``normalized=True``, ``params`` must already hold spectrally
+    normalized weights (sn_normalize_disc) and ``state`` is passed through
+    untouched."""
+    if not normalized:
+        params, state = sn_normalize_disc(params, state, training)
     ndf = 64
     nc = disc_channels(cfg)
     final_dim = ndf if cfg.gan.scale_conditional else 1
@@ -151,12 +181,9 @@ def apply_discriminator(params, state, cfg, x, scales=None, progress=None,
             parts.append(_posenc_image(normal, cfg.gan.L_nocs, progress, c2f_range))
         inputs = jnp.concatenate(parts, axis=1)
 
-    new_state = {"main": [], "final": []}
     out = inputs
     for i, (kk, cin, cout, s, p, use_in) in enumerate(spec):
-        w_sn, u_new = sn_apply(params["main"][i]["w"], state["main"][i], training)
-        new_state["main"].append(u_new)
-        out = _conv(out, w_sn, s, p)
+        out = _conv(out, params["main"][i]["w"], s, p)
         if use_in:
             out = instance_norm(out)
         if i != len(spec) - 1:
@@ -167,9 +194,7 @@ def apply_discriminator(params, state, cfg, x, scales=None, progress=None,
         out = jnp.concatenate([out, scale_enc, scales], axis=1)
         out = leaky_relu(out)
         for j, pconv in enumerate(params["final"]):
-            w_sn, u_new = sn_apply(pconv["w"], state["final"][j], training)
-            new_state["final"].append(u_new)
-            out = _conv(out, w_sn, 1, 0)
+            out = _conv(out, pconv["w"], 1, 0)
             if j != len(params["final"]) - 1:
                 out = leaky_relu(out)
-    return out.reshape(out.shape[0], -1).squeeze(-1), new_state
+    return out.reshape(out.shape[0], -1).squeeze(-1), state
