@@ -181,3 +181,23 @@ def test_vgg_features_and_perceptual(key):
     assert float(N.perceptual_loss(params, x, x)) == 0.0
     y = jax.random.uniform(jax.random.PRNGKey(2), (1, 3, 32, 32))
     assert float(N.perceptual_loss(params, x, y)) > 0
+
+
+def test_vgg_bf16_matches_f32_and_differentiates(key):
+    """The mixed-precision VGG path (engine compute dtype) returns f32
+    features close to the f32 stack and has a well-typed input VJP."""
+    import jax.numpy as jnp
+    params = N.init_vgg19(key)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 16, 16))
+    y = jax.random.uniform(jax.random.PRNGKey(2), (2, 3, 16, 16))
+    f32 = N.vgg19_features(params, x)
+    bf16 = N.vgg19_features(params, x, dtype=jnp.bfloat16)
+    assert bf16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(bf16), np.asarray(f32),
+                               rtol=0.1, atol=0.05)
+    loss = lambda z: N.perceptual_loss_pairs(
+        params, [(z, y, 1.0), (z * 0.5, y, 5.0)], dtype=jnp.bfloat16)
+    v, g = jax.value_and_grad(loss)(x)
+    v32 = N.perceptual_loss_pairs(params, [(x, y, 1.0), (x * 0.5, y, 5.0)])
+    assert g.dtype == jnp.float32 and np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(float(v), float(v32), rtol=0.02)

@@ -312,9 +312,12 @@ class TextureGANEngine(Engine):
             if lw.get("feat") is not None:
                 mask_pad = ((sup["mask_syn"] == 1) & (mask == 0)).astype(
                     rgb.dtype)
+                # VGG convs run in the engine compute dtype (bf16 default)
+                # with f32 accumulation — same policy as the render core
                 loss["feat"] = perceptual_loss_pairs(vgg_params, [
                     (rgb, image * mask + sup["image_syn"] * mask_pad, 1.0),
-                    (rgb * mask + image * (1 - mask), image, 5.0)])
+                    (rgb * mask + image * (1 - mask), image, 5.0)],
+                    dtype=dtype)
             if lw.get("lab") is not None:
                 loss["lab"], _, _ = lab_loss(rgb, sup["image_syn"],
                                              mask=sup["mask_syn"])
@@ -342,8 +345,20 @@ class TextureGANEngine(Engine):
             psn, sn2 = sn_normalize_disc(disc_params, sn_state)
             both = jnp.concatenate([patch_real, patch_fake], axis=0)
             scales2 = jnp.concatenate([scales, scales], axis=0)
-            d_both, _ = apply_discriminator(psn, sn2, cfg, both, scales2,
-                                            progress, normalized=True)
+
+            def d_apply(x):
+                return apply_discriminator(psn, sn2, cfg, x, scales2,
+                                           progress, normalized=True)[0]
+
+            need_r = lw.get("gan_reg_real") is not None
+            need_f = lw.get("gan_reg_fake") is not None
+            if need_r or need_f:
+                # ONE forward serves both the GAN loss and the R1 input-grad
+                # (vjp reuses the forward residuals; the old separate
+                # jax.grad re-ran the full D forward)
+                d_both, d_pullback = jax.vjp(d_apply, both)
+            else:
+                d_both = d_apply(both)
             d_real, d_fake = d_both[:B], d_both[B:]
             loss = {
                 "gan_disc_real": gan_loss(d_real, 1, cfg.gan.type),
@@ -354,15 +369,12 @@ class TextureGANEngine(Engine):
             # R1-style penalties: ∇ of D(x).sum() w.r.t. the input patch
             # (reference compute_grad2 :794-807, applied in disc_trainstep).
             # One input-grad over the concatenated batch serves both halves.
-            need_r = lw.get("gan_reg_real") is not None
-            need_f = lw.get("gan_reg_fake") is not None
             if need_r or need_f:
                 sel = jnp.concatenate([
                     jnp.full((B,), 1.0 if need_r else 0.0),
-                    jnp.full((B,), 1.0 if need_f else 0.0)])
-                g = jax.grad(lambda x: (apply_discriminator(
-                    psn, sn2, cfg, x, scales2, progress,
-                    normalized=True)[0] * sel).sum())(both)
+                    jnp.full((B,), 1.0 if need_f else 0.0)]).astype(
+                    d_both.dtype)
+                g, = d_pullback(sel)
                 if need_r:
                     reg = (g[:B] ** 2).reshape(B, -1).sum(axis=1).mean()
                     loss["gan_reg_real"] = reg

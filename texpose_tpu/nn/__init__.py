@@ -8,5 +8,6 @@ from .fields import (
 from .discriminator import (
     init_discriminator, apply_discriminator, sn_apply, instance_norm,
 )
-from .vgg import init_vgg19, load_vgg19_npz, vgg19_features, perceptual_loss
+from .vgg import (init_vgg19, load_vgg19_npz, vgg19_features,
+                  perceptual_loss, perceptual_loss_pairs)
 from .lpips import init_lpips, load_lpips_npz, lpips_distance

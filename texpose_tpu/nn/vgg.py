@@ -59,37 +59,47 @@ def load_vgg19_npz(path):
     return params
 
 
-def vgg19_features(params, x):
+def vgg19_features(params, x, dtype=None):
     """x [B,3,H,W] in [0,1] → conv3_3 features [B,256,H/4,W/4].
 
     Applies ImageNet normalization, then conv/relu/pool exactly as
-    torchvision features[0:15].
+    torchvision features[0:15].  With ``dtype`` (e.g. bf16), conv inputs and
+    weights run in that dtype with f32 accumulation — the TPU-native compute
+    path (the f32 conv stack runs at the MXU's quarter rate); the returned
+    features are f32 either way.
     """
     x = (x - IMAGENET_MEAN[None, :, None, None]) / IMAGENET_STD[None, :, None, None]
+    if dtype is not None:
+        # standard TPU mixed precision: the whole stack runs in `dtype`
+        # (uniform dtypes keep the conv VJP well-typed); upcast at the end
+        x = x.astype(dtype)
     for i, p in enumerate(params):
+        w = p["w"] if dtype is None else p["w"].astype(dtype)
         x = jax.lax.conv_general_dilated(
-            x, p["w"], (1, 1), [(1, 1), (1, 1)],
+            x, w, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NCHW", "HWIO", "NCHW"),
-            preferred_element_type=jnp.float32)
-        x = x + p["b"][None, :, None, None]
+            **({} if dtype is not None
+               else dict(preferred_element_type=jnp.float32)))
+        x = x + p["b"][None, :, None, None].astype(x.dtype)
         if i != len(params) - 1:                    # layer 14 output is pre-ReLU
-            x = jnp.maximum(x, 0.0)
+            x = jnp.maximum(x, jnp.zeros((), x.dtype))
         if i in _POOL_AFTER:
             x = jax.lax.reduce_window(
                 x, -jnp.inf, jax.lax.max, (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
-    return x
+    return x.astype(jnp.float32)
 
 
-def perceptual_loss_pairs(params, pairs, loss_type="l2"):
+def perceptual_loss_pairs(params, pairs, loss_type="l2", dtype=None):
     """Batched perceptual loss: pairs = [(fake_i, real_i, weight_i), ...]
     all [B,3,H,W].  ONE VGG forward over the concatenated batch instead of
     2·len(pairs) separate feature passes — on TPU the standalone 16×16-patch
     convs are dispatch-bound, so this is a ~4× reduction in small-kernel
     launches for the texture stage's two-term loss
-    (reference model/nerf_adapt_st_gan.py:766-769)."""
+    (reference model/nerf_adapt_st_gan.py:766-769).  ``dtype`` routes the
+    conv stack through the MXU's fast path (vgg19_features)."""
     stacked = jnp.concatenate(
         [x for f, r, _ in pairs for x in (f, r)], axis=0)
-    feats = vgg19_features(params, stacked)
+    feats = vgg19_features(params, stacked, dtype)
     B = pairs[0][0].shape[0]
     total = 0.0
     for i, (_, _, w) in enumerate(pairs):

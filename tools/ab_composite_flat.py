@@ -4,7 +4,7 @@ read at trace time, so each engine is traced (first dispatch) with its env
 value set before the other engine flips it.  Dispatches are then timed
 alternately with a blocking loss read so tunnel drift cancels.
 
-Usage: python tools/ab_composite_flat.py [rounds]
+Usage: python tools/ab_composite_flat.py [rounds] [texture|pretrain]
 """
 
 import os
@@ -18,9 +18,8 @@ import numpy as np
 import jax
 
 
-def build(flat):
+def build(flat, engine="texture"):
     from texpose_tpu.utils.config import load_yaml, process_options
-    from texpose_tpu.models.texture_gan import TextureGANEngine
     from texpose_tpu.data.fixture import generate_fixture
 
     cache = os.path.join(tempfile.gettempdir(), "texpose_bench_fixture_v1")
@@ -30,17 +29,28 @@ def build(flat):
                          image_scale=1.0, crop_res=128)
         open(os.path.join(cache, ".done"), "w").close()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cfg = load_yaml(os.path.join(here, "configs", "nerf_lm_adapt_gan.yaml"))
+    yaml = ("nerf_lm_adapt_gan.yaml" if engine == "texture"
+            else "nerf_lm_pretrain.yaml")
+    cfg = load_yaml(os.path.join(here, "configs", yaml))
     cfg.yaml = "x"
     cfg.data.root = cache
     cfg.data.splits_root = os.path.join(cache, "splits")
     cfg.data.object = "ball"
-    cfg.nerf.depth.box_source = "pred_box_init_calib"
     cfg.output_root = os.path.join(tempfile.gettempdir(),
-                                   f"texpose_ab_cf_{flat}")
-    cfg = process_options(cfg)
+                                   f"texpose_ab_cf_{engine}_{flat}")
+    if engine == "texture":
+        cfg.nerf.depth.box_source = "pred_box_init_calib"
+        cfg = process_options(cfg)
+        from texpose_tpu.models.texture_gan import TextureGANEngine
+        eng = TextureGANEngine(cfg)
+    else:
+        cfg.data.scene = "scene_qual"
+        cfg.data.pose_source = "gt"
+        cfg.nerf.depth.box_source = "gt_box"
+        cfg = process_options(cfg)
+        from texpose_tpu.models.pretrain import PretrainEngine
+        eng = PretrainEngine(cfg)
     cfg.max_iter = 100000
-    eng = TextureGANEngine(cfg)
     eng.load_dataset()
     eng.build_networks()
     eng.setup_optimizer()
@@ -54,12 +64,13 @@ def dispatch(eng):
 
 def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    engine = sys.argv[2] if len(sys.argv) > 2 else "texture"
     # trace+compile each engine under its own env value
     os.environ["TEXPOSE_COMPOSITE_FLAT"] = "1"
-    eng_flat = build(True)
+    eng_flat = build(True, engine)
     dispatch(eng_flat)          # trace happens here, env=1
     os.environ["TEXPOSE_COMPOSITE_FLAT"] = "0"
-    eng_plain = build(False)
+    eng_plain = build(False, engine)
     dispatch(eng_plain)         # traced with env=0
     scan_k = eng_flat.scan_k()
     rays = eng_flat.rays_per_step() * scan_k
