@@ -70,27 +70,55 @@ def dispatch(eng):
     return float(np.asarray(loss["all"]))   # blocking read
 
 
+def _set(cfg, k, v):
+    node = cfg
+    parts = k.split(".")
+    for p in parts[:-1]:
+        node = node[p]
+    node[parts[-1]] = v
+
+
 def main():
     rounds, engine, overrides = 6, "texture", []
+    env_overrides = []
     for a in sys.argv[1:]:
         if a.startswith("--rounds="):
             rounds = int(a.split("=", 1)[1])
         elif a.startswith("--engine="):
             engine = a.split("=", 1)[1]
+        elif a.startswith("--env:"):
+            k, v = a[len("--env:"):].split("=", 1)
+            env_overrides.append((k, v))
         else:
             k, v = a.split("=", 1)
             overrides.append((k, yaml.safe_load(v) if v != "" else None))
-    print(f"A/B overrides: {overrides} ({engine})", flush=True)
-    eng_a = build(overrides, engine, "a")     # with overrides
-    eng_b = build([], engine, "b")            # stock
-    scan_k = eng_b.scan_k()
-    rays = eng_b.rays_per_step() * scan_k
-    for eng in (eng_a, eng_b):
-        dispatch(eng)
+    print(f"A/B overrides: {overrides} env {env_overrides} ({engine})",
+          flush=True)
+    # ONE engine, TWO step functions: dataset/params/opt state live in the
+    # same buffers, so the comparison has no build-order HBM placement bias
+    # (two-engine A/Bs measured the FIRST-built engine systematically
+    # slower).  cfg is read at trace time, so each fn must be dispatched
+    # once (traced) before cfg/env are flipped for the other.
+    eng = build([], engine, "shared")
+    scan_k = eng.scan_k()
+    rays = eng.rays_per_step() * scan_k
+    fn_stock = eng.step_fn
+    dispatch(eng)                      # trace stock under stock cfg/env
+    for k, v in overrides:
+        _set(eng.cfg, k, v)
+    for k, v in env_overrides:
+        os.environ[k] = v
+    fn_ovr = eng._make_train_step()
+    eng.step_fn = fn_ovr
+    dispatch(eng)                      # trace override variant
+    # settle both
+    for fn in (fn_stock, fn_ovr):
+        eng.step_fn = fn
         dispatch(eng)
     t_a, t_b = [], []
     for r in range(rounds):
-        for name, eng, acc in (("ovr", eng_a, t_a), ("stock", eng_b, t_b)):
+        for name, fn, acc in (("ovr", fn_ovr, t_a), ("stock", fn_stock, t_b)):
+            eng.step_fn = fn
             t0 = time.perf_counter()
             dispatch(eng)
             dt = time.perf_counter() - t0
