@@ -146,6 +146,69 @@ def make_xext(pts, L, c2f_w, dtype=jnp.bfloat16):
         [pts.astype(dtype), make_sinw(pts, L, c2f_w, dtype)], axis=1)
 
 
+def make_xin_aux(L, c2f_w, dtype=jnp.float32):
+    """[8, 3+6L] constant table for the IN-KERNEL xext-block build
+    ("xin" mode): rows 0-2 = per-coordinate band frequencies (zero on the
+    pts columns), rows 3-4 = c2f-weighted sin/cos column masks (zero on
+    pts columns), rows 5-7 = pts-column selectors.
+
+    The kernel rebuilds make_xext's [T, 3+6L] block from the streamed pts
+    with ~12 full-width VPU ops (three lane-broadcasts of the pts columns,
+    fused multiply-adds, one sin + one cos):
+
+        ang = Σ_c X_c·F_c ;  blk = wS·sin(ang) + wC·cos(ang) + Σ_c X_c·P_c
+
+    — BITWISE make_sinw's f32 element-wise math (at each band column two
+    of the three F_c terms are exactly zero, and sin/cos are the same
+    f32 primitives; a sin(x+π/2) phase trick would round the argument).
+    The pts columns blend in via the P_c selectors (F/w are zero there).
+    No narrow-lane concats (the legacy in-kernel build's ~2 ms/131k-row
+    cost), no HIGHEST matmul (~0.47 ms/pass), and the XLA-side make_sinw
+    3-D build + transpose copies disappear.
+
+    MEASURED (r3, tools/ab_cfg.py interleaved same-process on v5e):
+    **+0.047 ms/step WORSE than xext** (5.61 vs 5.56) — the in-kernel
+    VPU build does NOT hide under the trunk's MXU issue latency at
+    production tiles, and the XLA-side make_sinw cost inside the full
+    scanned step is smaller than the isolated Sh/Si probe suggested.
+    Kept as a tested mode for shapes where the XLA build dominates."""
+    L = int(L)
+    P = 3 + 6 * L
+    freqs = (2.0 ** np.arange(L)) * np.pi
+    F = np.zeros((3, P), np.float32)
+    mask_s = np.zeros((P,), np.float32)
+    mask_c = np.zeros((P,), np.float32)
+    sel = np.zeros((3, P), np.float32)
+    for d in range(3):
+        o = 3 + d * 2 * L
+        F[d, o:o + L] = freqs
+        F[d, o + L:o + 2 * L] = freqs
+        mask_s[o:o + L] = 1.0
+        mask_c[o + L:o + 2 * L] = 1.0
+        sel[d, d] = 1.0
+    wb = jnp.concatenate([jnp.zeros((3,), jnp.float32),
+                          jnp.tile(jnp.concatenate([c2f_w, c2f_w]), 3)
+                          .astype(jnp.float32)])
+    return jnp.concatenate([jnp.asarray(F),
+                            (wb * mask_s)[None, :],
+                            (wb * mask_c)[None, :],
+                            jnp.asarray(sel)], axis=0).astype(dtype)
+
+
+def _build_xin(pts_blk, aux_ref):
+    """In-kernel xext-block build (see make_xin_aux): pts [S,3] +
+    aux [8, 3+6L] → [S, 3+6L] f32."""
+    a = aux_ref[...]
+    p = pts_blk.astype(jnp.float32)
+    S, P = p.shape[0], a.shape[1]
+    x0 = jnp.broadcast_to(p[:, 0:1], (S, P))
+    x1 = jnp.broadcast_to(p[:, 1:2], (S, P))
+    x2 = jnp.broadcast_to(p[:, 2:3], (S, P))
+    ang = x0 * a[0:1] + x1 * a[1:2] + x2 * a[2:3]
+    return (jnp.sin(ang) * a[3:4] + jnp.cos(ang) * a[4:5]
+            + x0 * a[5:6] + x1 * a[6:7] + x2 * a[7:8])
+
+
 def split_trunk_weights_x(trunk_wc, skip, E, trunk_b=None):
     """Trace-time split for "xext": [w0_x] + per-skip [w_h, w_x], where
     w_x covers the (pts, sin-bands) rows as ONE [3+E, O] block (the
@@ -487,12 +550,12 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     enc_extra = refs[0] if enc_mode != "kernel" else None
     refs = refs[1:] if enc_mode != "kernel" else refs
     mm_refs = None
-    mm_form = enc_mode in ("matmul", "sinext", "xext")
+    mm_form = enc_mode in ("matmul", "sinext", "xext", "xin")
     perm_last = mm_form and (n_trunk - 1) not in skip
     int8_mm = int8 and mm_form
     if mm_form:
         # int8_mm appends the rotated last-layer scale as one more mm piece
-        base_mm = (1 + 2 * len(skip)) if enc_mode == "xext" \
+        base_mm = (1 + 2 * len(skip)) if enc_mode in ("xext", "xin") \
             else (2 + 3 * len(skip))
         n_mm = base_mm + ((3 if int8_mm else 2) if perm_last else 0)
         mm_refs = refs[:n_mm]
@@ -522,7 +585,11 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     def trunk(pts_blk, sl=None):
         if mm_form:
             sinw_pre = x_pre = None
-            if enc_mode in ("sinext", "xext"):
+            if enc_mode == "xin":
+                # rebuild the xext block IN-KERNEL from the pts stream —
+                # the VPU build hides under the trunk's MXU issue latency
+                x_pre = _build_xin(pts_blk, enc_extra)
+            elif enc_mode in ("sinext", "xext"):
                 blk = (enc_extra[...] if sl is None
                        else enc_extra[sl, :])
                 if enc_mode == "sinext":
@@ -894,15 +961,16 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
         light_rows, trans_rows = _latent_rows(light_rows, trans_rows,
                                               w_l, w_t, cdtype)
     perm_last = (n_trunk - 1) not in skip
-    mm_form = enc_mode in ("matmul", "sinext", "xext")
+    mm_form = enc_mode in ("matmul", "sinext", "xext", "xin")
     int8_mm = trunk_int8 and mm_form
-    base_mm = (1 + 2 * len(skip)) if enc_mode == "xext" \
+    base_mm = (1 + 2 * len(skip)) if enc_mode in ("xext", "xin") \
         else (2 + 3 * len(skip))
     n_mm = (base_mm + ((3 if int8_mm else 2) if perm_last else 0)) \
         if mm_form else 0
     if enc_mode == "outside":
         enc_spec = [_row_spec(tile, enc_extra.shape[1])]
-    elif enc_mode == "matmul":
+    elif enc_mode in ("matmul", "xin"):
+        # tiny whole-VMEM constant table (+ the split weight pieces)
         enc_spec = [_full_spec()] * (1 + n_mm)
     elif enc_mode in ("sinext", "xext"):
         # streamed rows tile first, then the full-VMEM weight pieces
@@ -963,7 +1031,7 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     import os
     par = os.environ.get("TEXPOSE_ST_FWD_PARALLEL", "0") != "0"
     if mm_form:
-        split_fn = split_trunk_weights_x if enc_mode == "xext" \
+        split_fn = split_trunk_weights_x if enc_mode in ("xext", "xin") \
             else split_trunk_weights_mm
         mm_parts = split_fn(
             trunk_wc, skip, 6 * L3,
@@ -1134,6 +1202,10 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
             # (pts, sin bands) folded into ONE streamed block — layer 0 /
             # skip run a single K=3+6L matmul (no K=3 issue)
             enc_extra = make_xext(pts, L3, aux3[1], cdtype)
+        elif enc_mode == "xin":
+            # xext block rebuilt IN-KERNEL from the pts stream; XLA only
+            # supplies the tiny [8, 3+6L] constant table
+            enc_extra = make_xin_aux(L3, aux3[1])
         elif enc_mode == "outside":
             enc_extra = _posenc_rows(pts, L3, aux3[0], aux3[1])
         else:
@@ -1247,7 +1319,7 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     if enc_mode is None:
         enc_mode = os.environ.get("TEXPOSE_ST_POSENC", "xext")
     assert enc_mode in ("kernel", "outside", "matmul", "sinext",
-                        "xext"), enc_mode
+                        "xext", "xin"), enc_mode
     # concat-free layer-0 heads (see _heads_forward split): the latent
     # contributions hoist to per-image XLA rows and backward skips both
     # heads' layer-0 dX issues.  Requires ≥2 layers per head (layer 0

@@ -88,8 +88,10 @@ def render_rays_nerf(params, cfg, pose, intr, ray_idx, z_near, z_far, key,
         rgb_raw, dens_raw = forward_samples_nerf_raw(
             params, cfg, center, ray, depth_samples, progress=progress,
             compute_dtype=compute_dtype)
-        out = fused_composite_coarse(rgb_raw, dens_raw, depth_samples, ray,
-                                     interpret=force_interpret())
+        out = fused_composite_coarse(
+            rgb_raw, dens_raw, depth_samples, ray,
+            interpret=force_interpret(),
+            flat=cfg.get("kernels", {}).get("composite_flat"))
         if cfg.nerf.get("setbg_opaque", False):
             # XLA epilogue: gradient flows through the opacity column
             out["rgb"] = out["rgb"] + 1.0 * (1.0 - out["opacity"])
@@ -130,7 +132,8 @@ def render_st_core(params, cfg, center, ray, near, far, latent_trans,
         return fused_composite_st(
             rgb_raw, trans_raw, dens_raw, depth_samples, ray,
             min_uncert=cfg.nerf.get("min_uncert", 0.05),
-            interpret=force_interpret())
+            interpret=force_interpret(),
+            flat=cfg.get("kernels", {}).get("composite_flat"))
     rgb_samples, density_samples, uncert_samples = forward_samples_nerf_st(
         params, cfg, center, ray, depth_samples, latent_trans, latent_light,
         progress=progress, mode=mode, density_key=k_density,
