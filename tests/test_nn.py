@@ -201,3 +201,28 @@ def test_vgg_bf16_matches_f32_and_differentiates(key):
     v32 = N.perceptual_loss_pairs(params, [(x, y, 1.0), (x * 0.5, y, 5.0)])
     assert g.dtype == jnp.float32 and np.isfinite(np.asarray(g)).all()
     np.testing.assert_allclose(float(v), float(v32), rtol=0.02)
+
+
+def test_sn_normalize_once_matches_inline(key):
+    """sn_normalize_disc + normalized=True must reproduce the inline
+    per-call spectral normalization exactly (logits AND new u state) —
+    the train step reuses one normalization across the batched GAN pass,
+    the R1 input-grad pass, and WGAN-GP."""
+    cfg = gan_cfg(patch_size=16)
+    params, state = N.init_discriminator(key, cfg)
+    B = 4
+    x = jax.random.normal(jax.random.PRNGKey(5), (B, 9, 16, 16))
+    scales = jnp.ones((B, 1, 1, 1)) * 0.5
+    ref_logits, ref_state = N.apply_discriminator(params, state, cfg, x,
+                                                  scales)
+    psn, sn2 = N.sn_normalize_disc(params, state)
+    got_logits, got_state = N.apply_discriminator(psn, sn2, cfg, x, scales,
+                                                  normalized=True)
+    np.testing.assert_array_equal(np.asarray(got_logits),
+                                  np.asarray(ref_logits))
+    for a, b in zip(jax.tree.leaves(ref_state), jax.tree.leaves(got_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # eval mode leaves u untouched
+    _, s_eval = N.sn_normalize_disc(params, state, training=False)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(s_eval)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

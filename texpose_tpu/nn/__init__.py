@@ -7,6 +7,7 @@ from .fields import (
 )
 from .discriminator import (
     init_discriminator, apply_discriminator, sn_apply, instance_norm,
+    sn_normalize_disc,
 )
 from .vgg import (init_vgg19, load_vgg19_npz, vgg19_features,
                   perceptual_loss, perceptual_loss_pairs)
