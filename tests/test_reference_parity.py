@@ -537,3 +537,149 @@ def test_crop_pipeline_parity(ref, rng):
         from texpose_tpu.data.crops import get_edge
         edge_got = get_edge((img[..., 0] > 0.5).astype(np.float32))
         np.testing.assert_allclose(edge_got, edge_ref, atol=0)
+
+
+def test_pretrain_graph_trajectory_parity(ref, rng):
+    """STRETCH ORACLE (VERDICT r2 item 3): run the reference's actual
+    nerf_pretrain Graph (render → mask+render losses → torch Adam) for 30
+    CPU steps and our render/loss/optax stack for the same 30 steps from
+    IDENTICAL weights on an identical batch; the loss trajectories must
+    track.  Determinism: full-coverage ray set (rand_rays = B·HW),
+    stratified sampling off, density noise off, c2f off — both sides
+    become pure functions of the weights, so no RNG coordination is
+    needed.  Reference: model/nerf_pretrain.py:449-586 (Graph),
+    model/base.py train_iteration."""
+    import types as _types
+
+    def _stub(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = _types.ModuleType(name)
+        m.__path__ = []
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    _stub("lpips", LPIPS=lambda **kw: None)
+    _stub("kornia")
+    _stub("kornia.geometry")
+    _stub("kornia.geometry.linalg", inverse_transformation=None)
+    _stub("pytorch3d.io", load_obj=None, load_ply=None)
+    _stub("plyfile", PlyData=None, PlyElement=None)
+    sys.modules["pytorch3d.structures"].Meshes = object
+    sys.modules["pytorch3d.loss.chamfer"].chamfer_distance = None
+    sys.path.insert(0, REF)
+    import model.nerf_pretrain as ref_pretrain
+
+    B, H, W, HW, N = 2, 8, 8, 64, 8
+    opt = ref.EasyDict({
+        "arch": {"layers_feat": [None, 32, 32, 32],
+                 "layers_rgb": [None, 32, 3], "skip": [1],
+                 "posenc": {"L_3D": 4, "L_view": None},
+                 "density_activ": "softplus", "tf_init": True},
+        "nerf": {"view_dep": False, "density_noise_reg": None,
+                 "setbg_opaque": None, "mask_obj": True,
+                 "depth": {"param": "metric", "scale": 10, "range": [0, 3]},
+                 "sample_intvs": N, "sample_stratified": False,
+                 "fine_sampling": False, "rand_rays": B * HW},
+        "camera": {"ndc": False, "model": "perspective"},
+        "loss_weight": {"render": 0, "mask": 0, "depth": None},
+        "data": {"pose_source": "gt", "erode_mask_loss": False},
+        "c2f": None, "device": "cpu", "H": H, "W": W,
+    })
+    torch.manual_seed(0)
+    graph = ref_pretrain.Graph(opt)
+    # the reference hardcodes .cuda() in ray_batch_sample — CPU shim
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **kw: self
+    try:
+        image = rng.uniform(size=(B, 3, H, W)).astype(np.float32)
+        mask = (rng.uniform(size=(B, 1, H, W)) > 0.4).astype(np.float32)
+        pose = np.tile(np.concatenate(
+            [np.eye(3), [[0], [0], [3.0]]], 1)[None], (B, 1, 1)
+        ).astype(np.float32)
+        intr = np.tile(np.array([[20.0, 0, 4], [0, 20.0, 4], [0, 0, 1]],
+                                np.float32)[None], (B, 1, 1))
+        z_near = np.full((B, HW), 2.0, np.float32)
+        z_far = np.full((B, HW), 4.0, np.float32)
+
+        var = ref.EasyDict({
+            "idx": torch.arange(B), "image": t(image),
+            "obj_mask": t(mask), "pose": t(pose), "pose_init": t(pose),
+            "intr": t(intr), "z_near": t(z_near), "z_far": t(z_far),
+        })
+        # fixed full-coverage ray set
+        ref_pretrain.Graph.get_ray_idx = staticmethod(
+            lambda o, v: (v.update(
+                ray_idx=torch.arange(HW).repeat(len(v.idx), 1)) or v))
+
+        steps = 30
+        optim = torch.optim.Adam(graph.nerf.parameters(), lr=1e-3)
+        ref_traj = []
+        for _ in range(steps):
+            var = graph.forward(opt, var, mode="train")
+            loss = graph.compute_loss(opt, var, mode="train")
+            total = loss.render + loss.mask
+            optim.zero_grad()
+            total.backward()
+            optim.step()
+            ref_traj.append(float(total))
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+    # ---- our side: same init weights, same batch, same ray set ----
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from texpose_tpu.utils.config import Config, process_options
+    from texpose_tpu.nn.fields import init_nerf
+    from texpose_tpu.models.render import render_rays_nerf, ray_batch_sample
+    from texpose_tpu.models.losses import mse_loss, masked_mse_loss
+
+    cfg = process_options(Config({
+        "arch": dict(opt.arch), "nerf": dict(opt.nerf),
+        "camera": dict(opt.camera), "c2f": None,
+        "data": {"image_size": [H, W]},
+        "kernels": {"fused_trunk": False, "fused_coarse": False},
+    }))
+    torch.manual_seed(0)
+    net0 = ref_pretrain.NeRF(opt)          # same init as the graph's nerf
+    params = init_nerf(jax.random.PRNGKey(0), cfg)
+    for lin, dst in zip(list(net0.mlp_feat) + list(net0.mlp_rgb),
+                        params["mlp_feat"] + params["mlp_rgb"]):
+        dst["w"] = jnp.asarray(lin.weight.detach().numpy().T)
+        dst["b"] = jnp.asarray(lin.bias.detach().numpy())
+
+    ray_idx = jnp.tile(jnp.arange(HW)[None], (B, 1))
+    image_j = jnp.asarray(image).reshape(B, 3, HW).transpose(0, 2, 1)
+    mask_j = jnp.asarray(mask).reshape(B, HW, 1)
+    img_s = ray_batch_sample(image_j, ray_idx)
+    mask_s = ray_batch_sample(mask_j, ray_idx)
+
+    def loss_fn(p):
+        out = render_rays_nerf(p, cfg, jnp.asarray(pose), jnp.asarray(intr),
+                               ray_idx, jnp.asarray(z_near),
+                               jnp.asarray(z_far), jax.random.PRNGKey(0),
+                               progress=None, mode="train")
+        return (masked_mse_loss(out["rgb"], img_s, mask_s)
+                + mse_loss(out["opacity"], mask_s))
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    step = jax.jit(lambda p, s: _adam_step(loss_fn, tx, p, s))
+    ours_traj = []
+    for _ in range(steps):
+        (params, opt_state), v = step(params, opt_state)
+        ours_traj.append(float(v))
+
+    np.testing.assert_allclose(np.asarray(ours_traj), np.asarray(ref_traj),
+                               rtol=2e-3, atol=2e-5)
+
+
+def _adam_step(loss_fn, tx, params, opt_state):
+    import jax
+    import optax
+    v, g = jax.value_and_grad(loss_fn)(params)
+    upd, opt_state = tx.update(g, opt_state, params)
+    return (optax.apply_updates(params, upd), opt_state), v
