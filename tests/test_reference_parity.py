@@ -683,3 +683,209 @@ def _adam_step(loss_fn, tx, params, opt_state):
     v, g = jax.value_and_grad(loss_fn)(params)
     upd, opt_state = tx.update(g, opt_state, params)
     return (optax.apply_updates(params, upd), opt_state), v
+
+
+def test_texture_graph_trajectory_parity(ref, rng):
+    """STRETCH ORACLE (texture stage): run the reference's actual
+    nerf_adapt_st_gan Graph — ST-NeRF patch render → uncertainty-weighted
+    render + uncert-reg + transient-reg losses → torch Adam over heads AND
+    per-image latents (trunk frozen) — for 20 CPU steps from identical
+    weights/latents on an identical batch with FIXED patch coords; our
+    render_patch + losses + optax stack must track the loss trajectory.
+    GAN/VGG/Lab terms are off (gan=None; PerceptualLoss/LabLoss are
+    environment-blocked and stubbed).  Reference:
+    model/nerf_adapt_st_gan.py:412-792."""
+    import types as _types
+
+    def _stub(name, **attrs):
+        if name in sys.modules:
+            m = sys.modules[name]
+        else:
+            m = _types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        return m
+
+    _stub("lpips", LPIPS=lambda **kw: None)
+    _stub("kornia")
+    _stub("kornia.geometry")
+    _stub("kornia.geometry.linalg", inverse_transformation=None)
+    _stub("kornia.geometry.conversions", angle_axis_to_rotation_matrix=None)
+    _stub("kornia.color", rgb_to_lab=None)
+    _stub("pytorch3d.io", load_obj=None, load_ply=None, IO=object,
+          ply_io=None)
+    _stub("plyfile", PlyData=None, PlyElement=None)
+    # tools/__init__.py star-imports mvrenderer → the full pytorch3d
+    # renderer surface must exist as inert names (shaders are subclassed
+    # at module level)
+    _stub("pytorch3d.renderer", PerspectiveCameras=object,
+          RasterizationSettings=object, MeshRenderer=object,
+          MeshRasterizer=object, SoftSilhouetteShader=object,
+          SoftPhongShader=object, AmbientLights=object,
+          HardPhongShader=object)
+    _stub("pytorch3d.renderer.mesh")
+    _stub("pytorch3d.renderer.mesh.renderer", MeshRendererWithFragments=object)
+    _stub("pytorch3d.renderer.mesh.rasterizer", Fragments=object)
+    _stub("pytorch3d.renderer.blending", BlendParams=object,
+          softmax_rgb_blend=None)
+    _stub("pytorch3d.transforms", matrix_to_rotation_6d=None,
+          rotation_6d_to_matrix=None)
+    sys.modules["pytorch3d.ops"].interpolate_face_attributes = None
+    sys.modules["pytorch3d.structures"].Meshes = object
+    sys.modules["pytorch3d.loss.chamfer"].chamfer_distance = None
+    sys.path.insert(0, REF)
+    import model.nerf_adapt_st_gan as ref_gan
+
+    B, H, W, HW, N, P = 2, 8, 8, 64, 8, 4
+    opt = _st_opt(ref)
+    opt.update({
+        "gan": None, "batch_size": B, "patch_size": P,
+        "loss_weight": ref.EasyDict({
+            "render": 0, "mask": None, "uncert": 0, "trans_reg": 0,
+            "feat": None, "lab": None, "gan_nerf": None}),
+        "data": ref.EasyDict({"pose_source": "gt"}),
+        "camera": ref.EasyDict({"ndc": False, "model": "perspective"}),
+        "H": H, "W": W, "device": "cpu",
+    })
+    opt.nerf.update({"rand_rays": B * P * P, "sample_intvs": N,
+                     "sample_stratified": False, "mask_obj": True,
+                     "setbg_opaque": None, "fine_sampling": False})
+
+    # VGG/kornia-backed loss modules are environment-blocked; terms are off
+    orig_pl, orig_ll = ref_gan.PerceptualLoss, ref_gan.LabLoss
+    orig_cuda = torch.Tensor.cuda
+    ref_gan.PerceptualLoss = lambda: None
+    ref_gan.LabLoss = lambda: None
+    torch.Tensor.cuda = lambda self, *a, **kw: self
+    try:
+        torch.manual_seed(1)
+        graph = ref_gan.Graph(opt)
+        graph.nerf.progress.data.fill_(0.42)
+        torch.manual_seed(2)
+        graph.latent_vars_trans = torch.nn.Embedding(
+            B, opt.nerf.N_latent_trans)
+        torch.nn.init.normal_(graph.latent_vars_trans.weight)
+        graph.latent_vars_light = torch.nn.Embedding(
+            B, opt.nerf.N_latent_light)
+        torch.nn.init.normal_(graph.latent_vars_light.weight)
+
+        image = rng.uniform(size=(B, 3, H, W)).astype(np.float32)
+        mask = (rng.uniform(size=(B, 1, H, W)) > 0.3).astype(np.float32)
+        pose = np.tile(np.concatenate(
+            [np.eye(3), [[0], [0], [3.0]]], 1)[None], (B, 1, 1)
+        ).astype(np.float32)
+        intr = np.tile(np.array([[20.0, 0, 4], [0, 20.0, 4], [0, 0, 1]],
+                                np.float32)[None], (B, 1, 1))
+        z_near = np.full((B, HW), 2.0, np.float32)
+        z_far = np.full((B, HW), 4.0, np.float32)
+        coords = rng.uniform(-0.9, 0.9, (B, P, P, 2)).astype(np.float32)
+
+        var = ref.EasyDict({
+            "idx": torch.arange(B), "image": t(image), "obj_mask": t(mask),
+            "pose": t(pose), "pose_init": t(pose), "intr": t(intr),
+            "z_near": t(z_near), "z_far": t(z_far),
+            "ray_idx": t(coords), "ray_scales": torch.ones(B, 1, 1, 1),
+        })
+        steps = 20
+        optim = torch.optim.Adam(
+            [p for p in graph.nerf.parameters() if p.requires_grad],
+            lr=1e-3)
+        optim.add_param_group(
+            dict(params=graph.latent_vars_light.parameters(), lr=1e-3))
+        optim.add_param_group(
+            dict(params=graph.latent_vars_trans.parameters(), lr=1e-3))
+        ref_traj = []
+        for _ in range(steps):
+            var = graph.nerf_forward(opt, var, mode="train")
+            loss = graph.compute_loss(opt, var, mode="train",
+                                      train_step="nerf")
+            total = loss.render + loss.uncert + loss.trans_reg
+            optim.zero_grad()
+            total.backward()
+            optim.step()
+            ref_traj.append(float(total))
+        lt0 = graph.latent_vars_trans.weight.detach().numpy()
+        ll0 = graph.latent_vars_light.weight.detach().numpy()
+    finally:
+        ref_gan.PerceptualLoss, ref_gan.LabLoss = orig_pl, orig_ll
+        torch.Tensor.cuda = orig_cuda
+
+    # ---- our side ----
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from texpose_tpu.utils.config import Config, process_options
+    from texpose_tpu.nn.fields import init_nerf_st
+    from texpose_tpu.models.texture_gan import (render_patch,
+                                                sample_patch_images)
+    from texpose_tpu.models.losses import (uncertainty_reg_loss)
+
+    cfg = process_options(Config({
+        "arch": dict(opt.arch), "nerf": dict(opt.nerf),
+        "camera": dict(opt.camera),
+        "c2f": {"range": [0.1, 0.6], "start": 1},
+        "data": {"image_size": [H, W]},
+        "kernels": {"fused_trunk": False, "fused_st": False,
+                    "fused_composite": False},
+    }))
+    torch.manual_seed(1)
+    import layers.nerf_static_transient_light as ref_st
+    net0 = ref_st.NeRF(opt)
+    params = init_nerf_st(jax.random.PRNGKey(0), cfg)
+    _port_linears(list(net0.mlp_feat), params["mlp_feat"])
+    _port_linears(list(net0.mlp_rgb), params["mlp_rgb"])
+    _port_linears(list(net0.mlp_trans), params["mlp_trans"])
+    torch.manual_seed(2)
+    e_t = torch.nn.Embedding(B, opt.nerf.N_latent_trans)
+    torch.nn.init.normal_(e_t.weight)
+    e_l = torch.nn.Embedding(B, opt.nerf.N_latent_light)
+    torch.nn.init.normal_(e_l.weight)
+
+    trunk = params["mlp_feat"]
+    gen = {"heads": {"mlp_rgb": params["mlp_rgb"],
+                     "mlp_trans": params["mlp_trans"]},
+           "latents": {"trans": jnp.asarray(e_t.weight.detach().numpy()),
+                       "light": jnp.asarray(e_l.weight.detach().numpy())}}
+    batch = {"image": jnp.asarray(image), "obj_mask": jnp.asarray(mask)}
+    coords_j = jnp.asarray(coords)
+    sup = sample_patch_images(cfg, batch, coords_j)
+    m_s, img_s = sup["mask"], sup["image"]
+
+    def loss_fn(g):
+        nerf_params = dict(g["heads"], mlp_feat=trunk)
+        out = render_patch(
+            nerf_params, cfg, jnp.asarray(pose), jnp.asarray(intr),
+            coords_j, jnp.asarray(z_near), jnp.asarray(z_far),
+            g["latents"]["trans"], g["latents"]["light"],
+            jax.random.PRNGKey(0), jnp.asarray(0.42), mode="train",
+            compute_dtype=jnp.float32)
+        rgb = out["rgb"].reshape(B, P, P, 3).transpose(0, 3, 1, 2)
+        unc = out["uncert"].reshape(B, P, P, 1).transpose(0, 3, 1, 2)
+        render = (m_s * ((img_s - rgb) ** 2 / unc ** 2)).sum() \
+            / (m_s.sum() + 1e-5)
+        return (render + uncertainty_reg_loss(out["uncert"])
+                + out["trans_density_mean"])
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(gen)
+
+    @jax.jit
+    def step(g, s):
+        v, grads = jax.value_and_grad(loss_fn)(g)
+        upd, s = tx.update(grads, s, g)
+        return optax.apply_updates(g, upd), s, v
+
+    ours_traj = []
+    for _ in range(steps):
+        gen, opt_state, v = step(gen, opt_state)
+        ours_traj.append(float(v))
+
+    np.testing.assert_allclose(np.asarray(ours_traj), np.asarray(ref_traj),
+                               rtol=2e-3, atol=2e-5)
+    # the latent tables land in the same place too
+    np.testing.assert_allclose(np.asarray(gen["latents"]["trans"]), lt0,
+                               rtol=5e-3, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gen["latents"]["light"]), ll0,
+                               rtol=5e-3, atol=5e-5)
