@@ -889,3 +889,145 @@ def test_texture_graph_trajectory_parity(ref, rng):
                                rtol=5e-3, atol=5e-5)
     np.testing.assert_allclose(np.asarray(gen["latents"]["light"]), ll0,
                                rtol=5e-3, atol=5e-5)
+
+
+def test_disc_trainstep_trajectory_parity(ref, rng):
+    """TRAJECTORY ORACLE (discriminator side): run the reference's actual
+    disc_trainstep semantics — spectral-normed patch Discriminator forward
+    on fixed real/fake patches, BCE real/fake losses, R1 input-gradient
+    penalty via compute_grad2 (create_graph double-grad), torch RMSprop —
+    for 25 CPU steps, and assert our sn_normalize_disc /
+    apply_discriminator / gan_loss / vjp-R1 / optax-rmsprop stack tracks
+    the loss trajectory from identical weights.  Both sides run float64:
+    the R1 double-grad + power iteration amplify f32 rounding into ~1e-2
+    trajectory drift by step 10 (measured), while the f64 trajectories
+    agree to rtol 1e-6 — i.e. the semantics are exactly equal.
+
+    The reference advances the spectral-norm power-iteration vector u on
+    EVERY training-mode forward (torch pre-forward hook), so within one
+    disc step the real pass sees u after one iteration and the fake pass
+    after two; the oracle mirrors that cadence exactly.  (Production
+    batches both passes into one — a documented deliberate delta; u
+    converges to the same principal vector either way.)  Reference:
+    model/nerf_adapt_st_gan.py:129-171,778-807, layers/discriminator.py,
+    optimizer at model/nerf_adapt_st_gan.py:84-87 with
+    options/nerf_lm_adapt_gan.yaml:76-79,98-100 loss weights."""
+    import torch.nn.functional as torch_F
+    from torch import autograd
+
+    sys.path.insert(0, REF)
+    from layers import discriminator as ref_disc_mod
+
+    B, steps = 3, 25
+    w_reg = 10.0 ** 1          # gan_reg_real: 1 (yaml default); fake reg off
+    opt = ref.EasyDict({
+        "patch_size": 16, "device": "cpu",
+        "gan": {"scale_conditional": True, "geo_conditional": False,
+                "geo_c2f": None, "L_nocs": 0, "L_normal": 0, "L_scale": 4},
+    })
+    torch.manual_seed(3)
+    net = ref_disc_mod.Discriminator(opt).double()
+    net.train()
+
+    x_real = rng.uniform(size=(B, 3, 16, 16))
+    x_fake = rng.uniform(size=(B, 3, 16, 16))
+    scales = rng.uniform(0.3, 1.0, (B, 1, 1, 1))
+
+    optim = torch.optim.RMSprop(net.parameters(), lr=1e-4)
+    scales_t = torch.from_numpy(scales)
+    ref_traj = []
+    for _ in range(steps):
+        optim.zero_grad()
+        xr = torch.from_numpy(x_real).requires_grad_()
+        xf = torch.from_numpy(x_fake).requires_grad_()
+        d_real = net(opt, xr, scales_t)
+        d_fake = net(opt, xf, scales_t)
+        loss_r = torch_F.binary_cross_entropy_with_logits(
+            d_real, torch.ones_like(d_real))
+        loss_f = torch_F.binary_cross_entropy_with_logits(
+            d_fake, torch.zeros_like(d_fake))
+        # disc_trainstep: weighted real BCE backward (retain), then the R1
+        # penalty from the SAME d_real graph, then the fake BCE
+        loss_r.backward(retain_graph=True)
+        g_in = autograd.grad(d_real.sum(), xr, create_graph=True,
+                             retain_graph=True, only_inputs=True)[0]
+        reg = g_in.pow(2).view(B, -1).sum(1).mean()
+        (w_reg * reg).backward()
+        loss_f.backward()
+        optim.step()
+        ref_traj.append(float(loss_r + loss_f + w_reg * reg))
+
+    # ---- our side ----
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from texpose_tpu.utils.config import Config, process_options
+    from texpose_tpu.nn.discriminator import (init_discriminator,
+                                              apply_discriminator,
+                                              sn_normalize_disc)
+    from texpose_tpu.models.losses import gan_loss
+    from texpose_tpu.models.optim import make_disc_optimizer
+
+    cfg = process_options(Config({
+        "patch_size": 16, "gan": dict(opt.gan),
+        "data": {"image_size": [16, 16]},
+        "optim_disc": {"lr": 1e-4, "algo": "RMSprop"},
+    }))
+
+    with jax.enable_x64(True):
+        params, state = init_discriminator(jax.random.PRNGKey(0), cfg)
+
+        def port_convs(seq, plist, slist):
+            convs = [m for m in seq if isinstance(m, torch.nn.Conv2d)]
+            assert len(convs) == len(plist), (len(convs), len(plist))
+            for i, (conv, dst) in enumerate(zip(convs, plist)):
+                w = conv.weight_orig.detach().numpy().astype(np.float64)
+                dst["w"] = jnp.asarray(w.transpose(2, 3, 1, 0))
+                slist[i] = jnp.asarray(
+                    conv.weight_u.detach().numpy().astype(np.float64))
+
+        # fresh net with the same seed = net's exact starting weights/u
+        torch.manual_seed(3)
+        net0 = ref_disc_mod.Discriminator(opt)
+        port_convs(net0.main, params["main"], state["main"])
+        port_convs(net0.final, params["final"], state["final"])
+
+        xr_j, xf_j = jnp.asarray(x_real), jnp.asarray(x_fake)
+        scales_j = jnp.asarray(scales)
+
+        def loss_fn(p, s):
+            psn1, s1 = sn_normalize_disc(p, s)
+            d_real, pull = jax.vjp(
+                lambda x: apply_discriminator(psn1, s1, cfg, x, scales_j,
+                                              normalized=True)[0], xr_j)
+            psn2, s2 = sn_normalize_disc(p, s1)
+            d_fake, _ = apply_discriminator(psn2, s2, cfg, xf_j, scales_j,
+                                            normalized=True)
+            g_in, = pull(jnp.ones_like(d_real))
+            reg = (g_in ** 2).reshape(B, -1).sum(axis=1).mean()
+            total = (gan_loss(d_real, 1) + gan_loss(d_fake, 0) + w_reg * reg)
+            return total, s2
+
+        tx = make_disc_optimizer(cfg, steps, steps)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(p, s, o):
+            (tot, s2), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, s)
+            upd, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, upd), s2, o, tot
+
+        ours_traj = []
+        for _ in range(steps):
+            params, state, opt_state, tot = step(params, state, opt_state)
+            ours_traj.append(float(tot))
+
+        np.testing.assert_allclose(np.asarray(ours_traj),
+                                   np.asarray(ref_traj), rtol=1e-6)
+        # the trained weights land in the same place too (first + last conv)
+        ref_convs = [m for m in net.main if isinstance(m, torch.nn.Conv2d)]
+        for i in (0, len(ref_convs) - 1):
+            w_ref = ref_convs[i].weight_orig.detach().numpy() \
+                .transpose(2, 3, 1, 0)
+            np.testing.assert_allclose(np.asarray(params["main"][i]["w"]),
+                                       w_ref, rtol=1e-6, atol=1e-7)

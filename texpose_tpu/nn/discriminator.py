@@ -55,10 +55,12 @@ def instance_norm(x, eps=1e-5):
 
 
 def _conv(x, w, stride, padding):
+    # accumulate in at least f32 (bf16 inputs), exactly-typed for wider
+    # inputs (the f64 trajectory oracles)
     return jax.lax.conv_general_dilated(
         x, w, (stride, stride), [(padding, padding)] * 2,
         dimension_numbers=("NCHW", "HWIO", "NCHW"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32))
 
 
 # -------------------------------------------------------------- architecture
