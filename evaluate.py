@@ -20,6 +20,7 @@ def main(argv=None):
                         prefetch_train=False)
     engine.build_networks()
     engine.setup_optimizer()
+    engine.load_initial_weights()
     engine.restore_checkpoint()
     engine.evaluate_full()
     return engine

@@ -154,6 +154,26 @@ class Engine:
         log.info(f"resumed from {fname} @ step {self.start_step}")
         return True
 
+    def load_initial_weights(self):
+        """cfg.init_weights=<path>: overlay a flat-npz weight file onto the
+        freshly built state (missing leaves — e.g. optimizer slots — keep
+        their fresh values).  This is the load path for checkpoints
+        converted from the reference's torch format
+        (tools/import_reference_ckpt.py); resume/partial restores run
+        after and take precedence."""
+        fname = self.cfg.get("init_weights")
+        if not fname:
+            return False
+        flat = ckpt.load_checkpoint_flat(fname)
+        self.state, n, skipped = ckpt.merge_flat_into_tree(self.state, flat)
+        if n == 0:
+            raise KeyError(f"init_weights {fname}: no leaf matched the "
+                           f"engine state (wrong model/config?)")
+        log.info(f"initialized {n} leaves from {fname}")
+        for s in skipped:
+            log.warn(f"init_weights skipped (shape mismatch) {s}")
+        return True
+
     def restore_pretrained_checkpoint(self):
         """Load ONLY the geometry trunk (mlp_feat) from the group-level
         pretrain checkpoint (reference util.py:202-222, --resume_pretrain)."""

@@ -138,3 +138,36 @@ def restore_subtree(fname, params_template, subtree_key,
         raise KeyError(
             f"no leaves under subtree {subtree_key!r} found in {fname}")
     return jax.tree_util.tree_unflatten(treedef, leaves), n_hit
+
+
+def merge_flat_into_tree(template, flat):
+    """Overlay {keypath: array} onto a state pytree: leaves present in
+    `flat` (matching shape) replace the template's; everything else keeps
+    the template value.  → (tree, n_loaded, skipped_keys).
+
+    Backs cfg.init_weights (imported/partial checkpoints, e.g.
+    tools/import_reference_ckpt.py output): unlike restore_checkpoint it
+    tolerates missing leaves (fresh optimizer state) and unlike
+    restore_subtree it loads every matching leaf, not one subtree.  Shape
+    mismatches are skipped and reported, not fatal — a reference texture
+    ckpt's latent tables only fit when N_train matches."""
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    n_hit = 0
+    skipped = []
+    for path, leaf in paths:
+        key = SEP.join(_key_str(k) for k in path)
+        arr = flat.get(key)
+        if arr is None:
+            leaves.append(leaf)
+        elif (hasattr(leaf, "shape")
+              and tuple(arr.shape) != tuple(leaf.shape)):
+            skipped.append(f"{key}: ckpt {arr.shape} vs {leaf.shape}")
+            leaves.append(leaf)
+        else:
+            if hasattr(leaf, "dtype"):
+                leaves.append(jnp.asarray(arr, dtype=leaf.dtype))
+            else:
+                leaves.append(arr.item() if arr.ndim == 0 else arr)
+            n_hit += 1
+    return jax.tree_util.tree_unflatten(treedef, leaves), n_hit, skipped

@@ -22,6 +22,7 @@ def main(argv=None):
     engine.load_dataset()
     engine.build_networks()
     engine.setup_optimizer()
+    engine.load_initial_weights()
     if cfg.get("resume_pretrain"):
         engine.restore_pretrained_checkpoint()
     elif cfg.get("resume_real"):
