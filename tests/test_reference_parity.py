@@ -1031,3 +1031,108 @@ def test_disc_trainstep_trajectory_parity(ref, rng):
                 .transpose(2, 3, 1, 0)
             np.testing.assert_allclose(np.asarray(params["main"][i]["w"]),
                                        w_ref, rtol=1e-6, atol=1e-7)
+
+
+def test_import_reference_checkpoint(ref, rng, tmp_path):
+    """tools/import_reference_ckpt: a torch checkpoint saved in the
+    reference's exact layout ({epoch, iter, graph} with graph children
+    nerf/discriminator/latent_vars_*, util.py:244-263) converts to our
+    flat-npz keypaths; every converted leaf equals a direct weight port
+    and the result overlays cleanly onto an engine-style state template
+    via merge_flat_into_tree (the cfg.init_weights load path)."""
+    import importlib.util as iu
+    import jax
+    import jax.numpy as jnp
+    from texpose_tpu.utils.config import Config, process_options
+    from texpose_tpu.nn.fields import init_nerf_st
+    from texpose_tpu.nn.discriminator import init_discriminator
+    from texpose_tpu.utils import checkpoint as ckpt_mod
+
+    sys.path.insert(0, REF)
+    from layers import nerf_static_transient_light as ref_st
+    from layers import discriminator as ref_disc_mod
+
+    N_train = 5
+    opt = _st_opt(ref)
+    d_opt = ref.EasyDict({
+        "patch_size": 16, "device": "cpu",
+        "gan": {"scale_conditional": True, "geo_conditional": False,
+                "geo_c2f": None, "L_nocs": 0, "L_normal": 0, "L_scale": 4},
+    })
+    torch.manual_seed(1)
+    net = ref_st.NeRF(opt)
+    torch.manual_seed(2)
+    disc = ref_disc_mod.Discriminator(d_opt)
+    e_t = torch.nn.Embedding(N_train, opt.nerf.N_latent_trans)
+    e_l = torch.nn.Embedding(N_train, opt.nerf.N_latent_light)
+
+    graph = {}
+    for name, mod in (("nerf", net), ("discriminator", disc),
+                      ("latent_vars_trans", e_t), ("latent_vars_light", e_l)):
+        for k, v in mod.state_dict().items():
+            graph[f"{name}.{k}"] = v
+    src = str(tmp_path / "ref_model.ckpt")
+    dst = str(tmp_path / "imported.ckpt")
+    torch.save({"epoch": 3, "iter": 1234, "graph": graph}, src)
+
+    spec = iu.spec_from_file_location(
+        "import_reference_ckpt",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "import_reference_ckpt.py"))
+    tool = iu.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    flat, leftovers = tool.convert_checkpoint(src, dst)
+    assert int(flat["step"]) == 1234
+    assert leftovers == [], leftovers
+
+    # converted leaves == a direct port of the same modules
+    cfg = process_options(Config({
+        "arch": dict(opt.arch), "nerf": dict(opt.nerf),
+        "c2f": {"range": [0.1, 0.6], "start": 1},
+        "data": {"image_size": [16, 16]},
+        "patch_size": 16, "gan": dict(d_opt.gan),
+    }))
+    params = init_nerf_st(jax.random.PRNGKey(0), cfg)
+    _port_linears(list(net.mlp_feat), params["mlp_feat"])
+    _port_linears(list(net.mlp_rgb), params["mlp_rgb"])
+    _port_linears(list(net.mlp_trans), params["mlp_trans"])
+    for head in ("mlp_feat", "mlp_rgb", "mlp_trans"):
+        for i, lp in enumerate(params[head]):
+            np.testing.assert_array_equal(
+                flat[f"params/nerf/{head}/{i}/w"], np.asarray(lp["w"]))
+            np.testing.assert_array_equal(
+                flat[f"params/nerf/{head}/{i}/b"], np.asarray(lp["b"]))
+    for grp, seq in (("main", disc.main), ("final", disc.final)):
+        convs = [m for m in seq if isinstance(m, torch.nn.Conv2d)]
+        for k, conv in enumerate(convs):
+            np.testing.assert_array_equal(
+                flat[f"params/disc/{grp}/{k}/w"],
+                conv.weight_orig.detach().numpy().transpose(2, 3, 1, 0))
+            np.testing.assert_array_equal(
+                flat[f"sn_state/{grp}/{k}"],
+                conv.weight_u.detach().numpy())
+    np.testing.assert_array_equal(flat["latents/trans"],
+                                  e_t.weight.detach().numpy())
+    np.testing.assert_array_equal(flat["latents/light"],
+                                  e_l.weight.detach().numpy())
+
+    # overlays onto an engine-style state template (the init_weights path)
+    d_params, sn_state = init_discriminator(jax.random.PRNGKey(1), cfg)
+    fresh = init_nerf_st(jax.random.PRNGKey(2), cfg)
+    state = {"params": {"nerf": fresh, "disc": d_params},
+             "latents": {"trans": jnp.zeros((N_train,
+                                             opt.nerf.N_latent_trans)),
+                         "light": jnp.zeros((N_train,
+                                             opt.nerf.N_latent_light))},
+             "sn_state": sn_state, "step": np.int32(0)}
+    loaded = ckpt_mod.load_checkpoint_flat(dst)
+    merged, n_hit, skipped = ckpt_mod.merge_flat_into_tree(state, loaded)
+    assert skipped == [], skipped
+    # every non-step leaf of the template got filled from the checkpoint
+    n_leaves = len(jax.tree_util.tree_leaves(state))
+    assert n_hit == n_leaves, (n_hit, n_leaves)
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["nerf"]["mlp_rgb"][0]["w"]),
+        np.asarray(params["mlp_rgb"][0]["w"]))
+    np.testing.assert_array_equal(np.asarray(merged["latents"]["light"]),
+                                  e_l.weight.detach().numpy())
