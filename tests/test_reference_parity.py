@@ -1136,3 +1136,159 @@ def test_import_reference_checkpoint(ref, rng, tmp_path):
         np.asarray(params["mlp_rgb"][0]["w"]))
     np.testing.assert_array_equal(np.asarray(merged["latents"]["light"]),
                                   e_l.weight.detach().numpy())
+
+
+def test_pretrain_env_graph_trajectory_parity(ref, rng):
+    """TRAJECTORY ORACLE (env-lighting pretrain — the last un-oracled
+    reference Graph): run the reference's actual nerf_pretrain_env Graph
+    (GT poses, view-dependent NeRF, render+mask+scale-invariant-depth
+    losses, torch Adam with the env variant's PER-ITERATION ExponentialLR)
+    for 25 CPU steps and our render/loss/optax stack for the same 25 steps
+    from IDENTICAL weights on an identical batch; the loss trajectories
+    must track.  Determinism: full-coverage ray set, stratified sampling
+    off, density noise off, c2f off.  Reference:
+    model/nerf_pretrain_env.py:429-562 (Graph), :59-87 (per-iter
+    sched.step), model/base.py:223-231 (scale_invariant_depth_loss),
+    options/nerf_lm_env.yaml (view_dep + ExponentialLR via lr_end)."""
+    import types as _types
+
+    def _stub(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = _types.ModuleType(name)
+        m.__path__ = []
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    _stub("lpips", LPIPS=lambda **kw: None)
+    _stub("kornia")
+    _stub("kornia.geometry")
+    _stub("kornia.geometry.linalg", inverse_transformation=None)
+    _stub("pytorch3d.io", load_obj=None, load_ply=None)
+    _stub("plyfile", PlyData=None, PlyElement=None)
+    sys.modules["pytorch3d.structures"].Meshes = object
+    sys.modules["pytorch3d.loss.chamfer"].chamfer_distance = None
+    sys.path.insert(0, REF)
+    import model.nerf_pretrain_env as ref_env
+
+    B, H, W, HW, N = 2, 8, 8, 64, 8
+    opt = ref.EasyDict({
+        "arch": {"layers_feat": [None, 32, 32, 32],
+                 "layers_rgb": [None, 32, 3], "skip": [1],
+                 "posenc": {"L_3D": 4, "L_view": 2},
+                 "density_activ": "softplus", "tf_init": True},
+        "nerf": {"view_dep": True, "density_noise_reg": None,
+                 "setbg_opaque": None, "mask_obj": True,
+                 "depth": {"param": "metric", "scale": 10, "range": [0, 3]},
+                 "sample_intvs": N, "sample_stratified": False,
+                 "fine_sampling": False, "rand_rays": B * HW},
+        "camera": {"ndc": False, "model": "perspective"},
+        "loss_weight": {"render": 0, "mask": 0, "depth": 0},
+        "data": {"pose_source": "gt", "erode_mask_loss": False},
+        "c2f": None, "device": "cpu", "H": H, "W": W,
+    })
+    torch.manual_seed(3)
+    graph = ref_env.Graph(opt)
+    # snapshot init weights BEFORE training (numpy) for our side
+    w0 = [(lin.weight.detach().numpy().T.copy(),
+           lin.bias.detach().numpy().copy())
+          for lin in list(graph.nerf.mlp_feat) + list(graph.nerf.mlp_rgb)]
+
+    # env ExponentialLR semantics: gamma from lr_end, sched.step() PER
+    # ITERATION (nerf_pretrain_env.py:53-55, :79)
+    lr0, lr_end, max_iter = 1e-3, 1e-4, 100
+    gamma = (lr_end / lr0) ** (1.0 / max_iter)
+
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **kw: self
+    try:
+        image = rng.uniform(size=(B, 3, H, W)).astype(np.float32)
+        mask = (rng.uniform(size=(B, 1, H, W)) > 0.4).astype(np.float32)
+        depth_gt = rng.uniform(2.0, 4.0, size=(B, HW)).astype(np.float32)
+        pose = np.tile(np.concatenate(
+            [np.eye(3), [[0], [0], [3.0]]], 1)[None], (B, 1, 1)
+        ).astype(np.float32)
+        intr = np.tile(np.array([[20.0, 0, 4], [0, 20.0, 4], [0, 0, 1]],
+                                np.float32)[None], (B, 1, 1))
+        z_near = np.full((B, HW), 2.0, np.float32)
+        z_far = np.full((B, HW), 4.0, np.float32)
+
+        var = ref.EasyDict({
+            "idx": torch.arange(B), "image": t(image),
+            "obj_mask": t(mask), "depth_gt": t(depth_gt),
+            "pose": t(pose), "pose_init": t(pose),
+            "intr": t(intr), "z_near": t(z_near), "z_far": t(z_far),
+        })
+        # fixed full-coverage ray set (the env sampler repeats one random
+        # set across the batch — full coverage makes that deterministic)
+        ref_env.Graph.get_ray_idx = staticmethod(
+            lambda o, v: (v.update(
+                ray_idx=torch.arange(HW).repeat(len(v.idx), 1)) or v))
+
+        steps = 25
+        optim = torch.optim.Adam(graph.nerf.parameters(), lr=lr0)
+        sched = torch.optim.lr_scheduler.ExponentialLR(optim, gamma)
+        ref_traj = []
+        for _ in range(steps):
+            var = graph.forward(opt, var, mode="train")
+            loss = graph.compute_loss(opt, var, mode="train")
+            total = loss.render + loss.mask + loss.depth
+            optim.zero_grad()
+            total.backward()
+            optim.step()
+            sched.step()
+            ref_traj.append(float(total))
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+    # ---- our side: same init weights, same batch, same ray set ----
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from texpose_tpu.utils.config import Config, process_options
+    from texpose_tpu.nn.fields import init_nerf
+    from texpose_tpu.models.render import render_rays_nerf, ray_batch_sample
+    from texpose_tpu.models.losses import (mse_loss, masked_mse_loss,
+                                           scale_invariant_depth_loss)
+
+    cfg = process_options(Config({
+        "arch": dict(opt.arch), "nerf": dict(opt.nerf),
+        "camera": dict(opt.camera), "c2f": None,
+        "data": {"image_size": [H, W]},
+        "kernels": {"fused_trunk": False, "fused_coarse": False},
+    }))
+    params = init_nerf(jax.random.PRNGKey(0), cfg)
+    for (w, b), dst in zip(w0, params["mlp_feat"] + params["mlp_rgb"]):
+        dst["w"] = jnp.asarray(w)
+        dst["b"] = jnp.asarray(b)
+
+    ray_idx = jnp.tile(jnp.arange(HW)[None], (B, 1))
+    image_j = jnp.asarray(image).reshape(B, 3, HW).transpose(0, 2, 1)
+    mask_j = jnp.asarray(mask).reshape(B, HW, 1)
+    depth_j = jnp.asarray(depth_gt).reshape(B, HW, 1)
+    img_s = ray_batch_sample(image_j, ray_idx)
+    mask_s = ray_batch_sample(mask_j, ray_idx)
+    depth_s = ray_batch_sample(depth_j, ray_idx)
+
+    def loss_fn(p):
+        out = render_rays_nerf(p, cfg, jnp.asarray(pose), jnp.asarray(intr),
+                               ray_idx, jnp.asarray(z_near),
+                               jnp.asarray(z_far), jax.random.PRNGKey(0),
+                               progress=None, mode="train")
+        return (masked_mse_loss(out["rgb"], img_s, mask_s)
+                + mse_loss(out["opacity"], mask_s)
+                + scale_invariant_depth_loss(out["depth"], depth_s, mask_s))
+
+    tx = optax.adam(optax.exponential_decay(lr0, transition_steps=1,
+                                            decay_rate=gamma))
+    opt_state = tx.init(params)
+    step = jax.jit(lambda p, s: _adam_step(loss_fn, tx, p, s))
+    ours_traj = []
+    for _ in range(steps):
+        (params, opt_state), v = step(params, opt_state)
+        ours_traj.append(float(v))
+
+    np.testing.assert_allclose(np.asarray(ours_traj), np.asarray(ref_traj),
+                               rtol=2e-3, atol=2e-5)
