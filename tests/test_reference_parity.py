@@ -1292,3 +1292,41 @@ def test_pretrain_env_graph_trajectory_parity(ref, rng):
 
     np.testing.assert_allclose(np.asarray(ours_traj), np.asarray(ref_traj),
                                rtol=2e-3, atol=2e-5)
+
+
+def test_novel_view_pose_parity(ref, rng):
+    """Oracle: novel-view orbit generators and residual-pose composition
+    vs the reference (camera.py:373-412) — the video/novel-view path's
+    pose math (used by generate_videos_synthesis in every Model)."""
+    from texpose_tpu.geometry import pose as G
+    import jax.numpy as jnp
+
+    def rand_R():
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        return (q * np.sign(np.linalg.det(q))).astype(np.float32)
+
+    anchor = np.concatenate(
+        [rand_R(), rng.normal(size=(3, 1)).astype(np.float32)], 1)
+
+    for motion in ("wild", "gentle"):
+        want = ref.camera.get_novel_view_poses(
+            None, t(anchor), N=6, scale=1.3, motion=motion).numpy()
+        got = np.asarray(G.get_novel_view_poses(
+            jnp.asarray(anchor), N=6, scale=1.3, motion=motion))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    want = ref.camera.get_novel_view_poses_obj(None, t(anchor), N=8).numpy()
+    got = np.asarray(G.get_novel_view_poses_obj(jnp.asarray(anchor), N=8))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    B = 4
+    refine = np.stack([np.concatenate(
+        [rand_R(), 0.1 * rng.normal(size=(3, 1)).astype(np.float32)], 1)
+        for _ in range(B)])
+    source = np.stack([np.concatenate(
+        [rand_R(), rng.normal(size=(3, 1)).astype(np.float32)], 1)
+        for _ in range(B)])
+    want = ref.camera.compose_pose_residual(t(refine), t(source)).numpy()
+    got = np.asarray(G.compose_pose_residual(jnp.asarray(refine),
+                                             jnp.asarray(source)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
