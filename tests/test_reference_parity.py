@@ -1330,3 +1330,26 @@ def test_novel_view_pose_parity(ref, rng):
     got = np.asarray(G.compose_pose_residual(jnp.asarray(refine),
                                              jnp.asarray(source)))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_point_loss_parity(ref, rng):
+    """Oracle: the robust Geman-McClure point loss vs the reference
+    (model/base.py:233-239) — pins the torch.quantile interpolation and
+    the 2×median detached scale."""
+    import importlib
+    sys.path.insert(0, REF)
+    ref_base = importlib.import_module("model.base")
+    import jax.numpy as jnp
+    from texpose_tpu.models import losses as L
+
+    B, HW = 3, 64
+    pred = rng.normal(size=(B, HW, 3)).astype(np.float32)
+    target = rng.normal(size=(B, HW, 3)).astype(np.float32)
+    mask = (rng.uniform(size=(B, HW, 1)) > 0.3).astype(np.float32)
+
+    self = types.SimpleNamespace()  # unbound method → any self works
+    want = float(ref_base.Graph.point_loss(
+        self, t(pred), t(target), t(mask)))
+    got = float(L.point_loss(jnp.asarray(pred), jnp.asarray(target),
+                             jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
