@@ -1353,3 +1353,47 @@ def test_point_loss_parity(ref, rng):
     got = float(L.point_loss(jnp.asarray(pred), jnp.asarray(target),
                              jnp.asarray(mask)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_sample_depth_inverse_parity(ref, rng):
+    """Oracle: deterministic depth sampling in both parametrizations vs
+    the reference Graph.sample_depth (model/nerf_pretrain_env.py:641-662,
+    identical in every Graph) — pins the inverse 1/(d+1e-8) convention."""
+    import importlib
+    import types as _types
+    for name, attrs in [("lpips", {"LPIPS": lambda **kw: None}),
+                        ("kornia", {}), ("kornia.geometry", {}),
+                        ("kornia.geometry.linalg",
+                         {"inverse_transformation": None}),
+                        ("pytorch3d.io", {"load_obj": None,
+                                          "load_ply": None}),
+                        ("plyfile", {"PlyData": None, "PlyElement": None})]:
+        if name not in sys.modules:
+            m = _types.ModuleType(name)
+            m.__path__ = []
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[name] = m
+    sys.modules["pytorch3d.structures"].Meshes = object
+    sys.modules["pytorch3d.loss.chamfer"].chamfer_distance = None
+    sys.path.insert(0, REF)
+    ref_env = importlib.import_module("model.nerf_pretrain_env")
+    import jax
+    import jax.numpy as jnp
+    from texpose_tpu.ops.render import sample_depth
+
+    B, R, N = 2, 7, 9
+    near = rng.uniform(1.0, 2.0, size=(B, R)).astype(np.float32)
+    far = near + rng.uniform(0.5, 2.0, size=(B, R)).astype(np.float32)
+    for param in ("metric", "inverse"):
+        opt = ref.EasyDict({
+            "device": "cpu", "H": 1, "W": R,
+            "nerf": {"sample_intvs": N, "sample_stratified": False,
+                     "depth": {"param": param}},
+        })
+        want = ref_env.Graph.sample_depth(
+            opt, B, (t(near), t(far)), num_rays=R).numpy()
+        got = np.asarray(sample_depth(jax.random.PRNGKey(0),
+                                      jnp.asarray(near), jnp.asarray(far),
+                                      N, stratified=False, param=param))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
