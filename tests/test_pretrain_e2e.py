@@ -144,3 +144,50 @@ def test_pretrain_resume(fixture_root, tmp_path):
     eng2.setup_optimizer()
     assert eng2.restore_checkpoint()
     assert eng2.start_step == 4
+
+
+def test_resume_real_field_restore(fixture_root, tmp_path):
+    """train.py --resume_real path: restore_field_checkpoint loads the FULL
+    nerf field (trunk + rgb head, unlike --resume_pretrain's trunk-only)
+    from the group-level pretrain checkpoint into a fresh engine, leaving
+    the optimizer state fresh (reference util.py:225-242)."""
+    import shutil
+
+    import jax
+    from texpose_tpu.models.pretrain import PretrainEngine
+
+    cfg = tiny_pretrain_cfg(fixture_root, tmp_path)
+    cfg.max_iter = 4
+    cfg.freq.val = 1000
+    cfg.freq.ckpt = 1000
+    eng = PretrainEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+    for _ in range(cfg.max_iter):
+        eng.state, _ = eng.step_fn(eng.state, eng.train_batch)
+    eng.save_checkpoint(cfg.max_iter)
+    group_ckpt = os.path.join(str(cfg.output_root), str(cfg.group),
+                              "pretrain_model.ckpt")
+    shutil.copyfile(os.path.join(cfg.output_path, "model.ckpt"), group_ckpt)
+
+    cfg2 = tiny_pretrain_cfg(fixture_root, tmp_path)
+    cfg2.seed = 7  # fresh init differs from eng's trained params
+    cfg2.name = "resume_real"
+    from texpose_tpu.utils.config import process_options
+    cfg2 = process_options(cfg2)
+    eng2 = PretrainEngine(cfg2)
+    eng2.load_dataset()
+    eng2.build_networks()
+    eng2.setup_optimizer()
+    trained = jax.tree_util.tree_map(np.asarray, eng.state["params"]["nerf"])
+    fresh = jax.tree_util.tree_map(np.asarray, eng2.state["params"]["nerf"])
+    assert not np.allclose(fresh["mlp_rgb"][0]["w"], trained["mlp_rgb"][0]["w"])
+
+    eng2.restore_field_checkpoint()
+    restored = jax.tree_util.tree_map(np.asarray,
+                                      eng2.state["params"]["nerf"])
+    jax.tree_util.tree_map(np.testing.assert_array_equal, restored, trained)
+    # optimizer slots stay fresh (reference resets optim on --resume_real)
+    mu = jax.tree_util.tree_leaves(eng2.state["opt_state"])
+    assert all(np.allclose(m, 0) for m in mu if hasattr(m, "shape"))
