@@ -78,3 +78,61 @@ def test_syn2real_eval_export(root, tmp_path):
     img = cv2.imread(os.path.join(out_dir, files[0]))
     # export upsampled to the raw full-frame size (reference :341-349)
     assert img.shape == (120, 160, 3)
+
+
+def test_scene_vis_eval_export(root, tmp_path):
+    """scene_vis eval export (reference nerf_adapt_st_gan.py:349-371):
+    256-px center crop, render composited on white inside the depth-derived
+    mask, plus unmasked-GT (syn_*) and plasma-depth (depth_vis_*) dumps."""
+    import shutil
+
+    import cv2
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    cfg = tiny_gan_cfg(root, tmp_path)
+    cfg.max_iter = 2
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+    for it in range(2):
+        eng.state, _ = eng.step_fn(eng.state, eng.train_batch)
+    eng.save_checkpoint(2)
+
+    # scene_vis shares the data tree; only the split files differ
+    src = os.path.join(root, "splits", "lm", "ball", "scene_all")
+    dst = os.path.join(root, "splits", "lm", "ball", "scene_vis")
+    if not os.path.exists(dst):
+        shutil.copytree(src, dst)
+
+    cfg2 = tiny_gan_cfg(root, tmp_path)
+    cfg2.syn2real = True
+    cfg2.resume = True
+    cfg2.data.scene = "scene_vis"
+    cfg2.data.image_size = [60, 80]
+    cfg2.data.raw_size = [120, 160]
+    cfg2.H, cfg2.W = 60, 80
+    eng2 = TextureGANEngine(cfg2)
+    eng2.load_dataset(eval_split="test", prefetch_train=False)
+    eng2.build_networks()
+    eng2.setup_optimizer()
+    assert eng2.restore_checkpoint()
+    res = eng2.evaluate_full()
+    assert np.isfinite(res["psnr"])
+
+    out_dir = os.path.join(cfg2.output_path, "test_view_last")
+    files = sorted(os.listdir(out_dir))
+    renders = [f for f in files if f[0].isdigit()]
+    syn = [f for f in files if f.startswith("syn_")]
+    dvis = [f for f in files if f.startswith("depth_vis_")]
+    assert len(renders) == 2 and len(syn) == 2 and len(dvis) == 2
+    for f in renders + syn + dvis:
+        img = cv2.imread(os.path.join(out_dir, f))
+        assert img.shape == (256, 256, 3), f
+    # the raw frame is 120x160 < 256: the padded border is outside the
+    # mask, so the white composite must show there
+    img = cv2.imread(os.path.join(out_dir, renders[0]))
+    assert (img[0, 0] == 255).all() and (img[-1, -1] == 255).all()
+    # the GT dump is NOT composited -- its padded border stays black
+    gt = cv2.imread(os.path.join(out_dir, syn[0]))
+    assert (gt[0, 0] == 0).all()

@@ -51,6 +51,7 @@ from ..sampling.patch import flex_patch_coords, current_scale_bounds
 from ..sampling.ray_sampler import get_rays, get_bounds
 from ..utils.log import log
 from ..utils.metrics import mse_to_psnr, write_quant
+from ..utils import vis
 from .pretrain import _compute_dtype
 
 
@@ -735,6 +736,26 @@ class TextureGANEngine(Engine):
                                  interpolation=cv2.INTER_LINEAR)
                 image = cv2.resize(image, (raw_hw[1], raw_hw[0]),
                                    interpolation=cv2.INTER_LINEAR)
+            vis_mode = cfg.data.scene == "scene_vis"
+            if vis_mode:
+                # paper-visual export (reference :349-371): 256-px center
+                # crop, render composited on WHITE inside the object mask,
+                # plus unmasked-GT and plasma-depth dumps below
+                gt = np.asarray(frame["image"])[0].transpose(1, 2, 0)
+                m = mask
+                d = (np.asarray(out["depth"]).reshape(cfg.H, cfg.W, 1)
+                     / cfg.nerf.depth.scale)
+                if raw_hw is not None and tuple(raw_hw) != (cfg.H, cfg.W):
+                    gt = cv2.resize(gt, (raw_hw[1], raw_hw[0]),
+                                    interpolation=cv2.INTER_LINEAR)
+                    m = cv2.resize(m, (raw_hw[1], raw_hw[0]),
+                                   interpolation=cv2.INTER_NEAREST)[..., None]
+                    d = cv2.resize(d, (raw_hw[1], raw_hw[0]),
+                                   interpolation=cv2.INTER_LINEAR)[..., None]
+                crop = int(cfg.render.get("vis_crop") or 256)
+                rgb, image, gt, m, d = [vis.center_crop(a, crop)
+                                        for a in (rgb, image, gt, m, d)]
+                rgb = rgb * m + (1.0 - m)
             p = float(mse_to_psnr(jnp.mean((jnp.asarray(rgb) -
                                             jnp.asarray(image)) ** 2)))
             rgb_t = jnp.asarray(rgb.transpose(2, 0, 1))[None]
@@ -745,6 +766,16 @@ class TextureGANEngine(Engine):
             fi = int(np.asarray(frame["frame_index"])[0])
             cv2.imwrite(os.path.join(test_path, f"{fi:06d}.png"),
                         (np.clip(rgb, 0, 1) * 255)[..., ::-1].astype(np.uint8))
+            if vis_mode:
+                cv2.imwrite(
+                    os.path.join(test_path, f"syn_{fi:06d}.png"),
+                    (np.clip(gt, 0, 1) * 255)[..., ::-1].astype(np.uint8))
+                dv = vis.preprocess_vis_image(
+                    d.transpose(2, 0, 1)[None], from_range=(0.3, 0.5),
+                    cmap="plasma")[0].transpose(1, 2, 0)
+                cv2.imwrite(
+                    os.path.join(test_path, f"depth_vis_{fi:06d}.png"),
+                    (dv * 255)[..., ::-1].astype(np.uint8))
         mean_psnr = float(np.mean([r["psnr"] for r in rows]))
         mean_ssim = float(np.mean([r["ssim"] for r in rows]))
         log.info(f"PSNR:  {mean_psnr:8.2f}")

@@ -38,6 +38,25 @@ def make_grid(images, num_rows=None, pad=2, pad_value=0.0):
     return grid
 
 
+def center_crop(image, size):
+    """Center-crop an [H,W,C] array to size x size with torchvision
+    semantics: images smaller than the crop are zero-padded symmetrically
+    first (torchvision.transforms.functional.center_crop; the reference's
+    scene_vis eval export uses it, model/nerf_adapt_st_gan.py:350-355)."""
+    h, w = image.shape[:2]
+    if h < size or w < size:
+        pl = max((size - w) // 2, 0)
+        pr = max((size - w + 1) // 2, 0)
+        pt = max((size - h) // 2, 0)
+        pb = max((size - h + 1) // 2, 0)
+        image = np.pad(image, ((pt, pb), (pl, pr)) +
+                       ((0, 0),) * (image.ndim - 2))
+        h, w = image.shape[:2]
+    top = int(round((h - size) / 2.0))
+    left = int(round((w - size) / 2.0))
+    return image[top:top + size, left:left + size]
+
+
 def preprocess_vis_image(images, from_range=(0.0, 1.0), cmap=None):
     """Normalize by from_range, clip to [0,1], optionally colormap single-
     channel images (util_vis.py:23-35 + get_heatmap)."""
