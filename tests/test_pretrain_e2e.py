@@ -90,8 +90,11 @@ def test_pretrain_e2e(fixture_root, tmp_path):
 
     # visualization hook writes panel PNGs
     eng.visualize(cfg.max_iter)
-    assert os.path.exists(os.path.join(cfg.output_path, "vis",
-                                       f"{cfg.max_iter:06d}_rgb.png"))
+    for panel in ("rgb", "image", "image_masked", "depth_gt",
+                  "depth_error", "z_near"):
+        assert os.path.exists(os.path.join(
+            cfg.output_path, "vis",
+            f"{cfg.max_iter:06d}_{panel}.png")), panel
 
     # eval export path: pngs + quant.txt
     res = eng.evaluate_full()

@@ -112,8 +112,10 @@ def test_texture_gan_e2e(fixture_root, tmp_path):
     assert np.isfinite(mean["PSNR"])
 
     eng.visualize(cfg.max_iter)
-    assert os.path.exists(os.path.join(cfg.output_path, "vis",
-                                       f"{cfg.max_iter:06d}_rgb_static.png"))
+    for panel in ("rgb_static", "image_masked", "gt_mask", "z_near",
+                  "depth_error", "color_error", "uncert"):
+        assert os.path.exists(os.path.join(
+            cfg.output_path, "vis", f"{cfg.max_iter:06d}_{panel}.png")), panel
     assert os.path.exists(os.path.join(cfg.output_path, "vis", "cameras.png"))
 
     res = eng.evaluate_full()

@@ -249,15 +249,29 @@ class PretrainEngine(Engine):
         opac = np.asarray(out["opacity"]).reshape(1, 1, H, W)
         image = np.asarray(frame["image"])
         mask = np.asarray(frame["obj_mask"]).reshape(1, 1, H, W)
+        # masked display uses the eroded mask when the loss does
+        # (reference :128-132)
+        lmask = (np.asarray(frame["erode_mask"]).reshape(1, 1, H, W)
+                 if cfg.data.get("erode_mask_loss") and "erode_mask" in frame
+                 else mask)
+        depth_gt = np.asarray(frame["depth_gt"]).reshape(1, 1, H, W)
+        z_near = np.asarray(frame["z_near"]).reshape(1, 1, H, W)
+        depth_err = np.abs(depth - depth_gt) * mask
         vis_dir = os.path.join(cfg.output_path, "vis")
         zs = cfg.nerf.depth.scale
+        dmax = max(float(depth.max()), 1e-6)
         panels = {
+            "image": (image, (0, 1), None),
             "rgb": (rgb, (0, 1), None),
-            "image_masked": (image * mask + (1 - mask), (0, 1), None),
+            "image_masked": (image * lmask + (1 - lmask), (0, 1), None),
             "pred_mask": (opac, (0, 1), None),
             "gt_mask": (mask, (0, 1), None),
-            "depth": (depth * mask, (0.7 * zs, max(float(depth.max()), 1e-6)),
-                      "plasma"),
+            "depth": (depth * mask, (0.7 * zs, dmax), "plasma"),
+            "depth_gt": (depth_gt, (0.7 * zs, dmax), "plasma"),
+            "depth_error": (depth_err,
+                            (0, float(np.quantile(depth_err, 0.99))),
+                            "turbo"),
+            "z_near": (z_near, (0.9 * zs, float(z_near.max())), "plasma"),
         }
         for name, (img, rng, cmap) in panels.items():
             vis.tb_image(self.writer, it, split, name,

@@ -677,12 +677,31 @@ class TextureGANEngine(Engine):
             return np.asarray(out[key]).reshape(1, H, W, c).transpose(0, 3, 1, 2)
 
         zs = cfg.nerf.depth.scale
+        image = np.asarray(frame["image"]).reshape(1, 3, H, W)
+        gt_mask = (np.asarray(frame["obj_mask"]).reshape(1, 1, H, W) > 0
+                   ).astype(np.float32)
+        depth_gt = np.asarray(frame["depth_gt"]).reshape(1, 1, H, W)
+        z_near = np.asarray(frame["z_near"]).reshape(1, 1, H, W)
+        depth_err = np.abs(img("depth", 1) - depth_gt) * gt_mask
+        color_err = ((img("rgb", 3) - image * gt_mask) ** 2
+                     ).mean(axis=1, keepdims=True)
         panels = {
+            "image": (image, (0, 1), None),
+            "image_masked": (image * gt_mask, (0, 1), None),
             "rgb": (img("rgb", 3), (0, 1), None),
             "rgb_static": (img("rgb_static", 3), (0, 1), None),
             "rgb_transient": (img("rgb_transient", 3), (0, 1), None),
             "pred_mask": (img("opacity_static", 1), (0, 1), None),
-            "depth": (img("depth", 1), (0.8 * zs, 1.1 * zs), "plasma"),
+            "gt_mask": (gt_mask, (0, 1), None),
+            "depth": (img("depth", 1) * gt_mask, (0.8 * zs, 1.1 * zs),
+                      "plasma"),
+            "z_near": (z_near, (0.6 * zs, float(z_near.max())), "plasma"),
+            "depth_error": (depth_err,
+                            (0, float(np.quantile(depth_err, 0.99))),
+                            "turbo"),
+            "color_error": (color_err,
+                            (0, float(np.quantile(color_err, 0.95))),
+                            "turbo"),
             "uncert": (img("uncert", 1),
                        (float(np.asarray(out["uncert"]).min()),
                         float(np.quantile(np.asarray(out["uncert"]), 0.99))),
