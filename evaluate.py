@@ -23,6 +23,11 @@ def main(argv=None):
     engine.load_initial_weights()
     engine.restore_checkpoint()
     engine.evaluate_full()
+    if cfg.get("video"):
+        # novel-view orbit renders + mp4s (reference evaluate.py:28's
+        # generate_videos_synthesis hook; NotImplementedError for the GAN
+        # model there and here)
+        engine.generate_videos_synthesis()
     return engine
 
 

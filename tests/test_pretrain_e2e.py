@@ -194,3 +194,30 @@ def test_resume_real_field_restore(fixture_root, tmp_path):
     # optimizer slots stay fresh (reference resets optim on --resume_real)
     mu = jax.tree_util.tree_leaves(eng2.state["opt_state"])
     assert all(np.allclose(m, 0) for m in mu if hasattr(m, "shape"))
+
+
+def test_generate_videos_synthesis(fixture_root, tmp_path):
+    """Novel-view orbit export: rgb_%d/depth_%d frames + novel_pose.npy
+    (reference model/nerf_pretrain.py:242-305,283)."""
+    from texpose_tpu.models.pretrain import PretrainEngine
+
+    cfg = tiny_pretrain_cfg(fixture_root, tmp_path)
+    cfg.max_iter = 1
+    eng = PretrainEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+    eng.state, _ = eng.step_fn(eng.state, eng.train_batch)
+
+    path = eng.generate_videos_synthesis(N=2)
+    for f in ("rgb_0.png", "rgb_1.png", "depth_0.png", "depth_1.png"):
+        assert os.path.exists(os.path.join(path, f)), f
+    poses = np.load(os.path.join(path, "novel_pose.npy"))
+    assert poses.shape == (2, 3, 4) and np.isfinite(poses).all()
+
+    # the GAN model does not implement video synthesis (reference
+    # nerf_adapt_st_gan.py:406-407) — the base hook must say so loudly
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        TextureGANEngine.generate_videos_synthesis(object())

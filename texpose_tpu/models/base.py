@@ -313,3 +313,11 @@ class Engine:
 
     def evaluate_full(self):
         raise NotImplementedError
+
+    def generate_videos_synthesis(self, *args, **kwargs):
+        """Novel-view orbit videos; implemented by the pretrain engines
+        (the reference GAN model raises NotImplementedError too,
+        model/nerf_adapt_st_gan.py:406-407)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement novel-view video "
+            f"synthesis")

@@ -329,6 +329,9 @@ class PretrainEngine(Engine):
         pose_novel = np.asarray(get_novel_view_poses(
             jnp.asarray(frame["pose"][0]), N=N,
             scale=cfg.nerf.depth.scale * 0.03, motion="gentle"))
+        # orbit poses saved for downstream pose-estimator supervision
+        # (reference :283 novel_pose.npy)
+        np.save(os.path.join(novel_path, "novel_pose.npy"), pose_novel)
         zs = cfg.nerf.depth.scale
         for i in range(N):
             f = dict(frame, pose=jnp.asarray(pose_novel[i:i + 1]))
