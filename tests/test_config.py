@@ -58,3 +58,31 @@ def test_seed_suffix(tmp_path):
     ycfg.write_text("group: g\nname: n\n")
     cfg = set_options(argv=[f"--yaml={ycfg}", "--seed=7"])
     assert cfg.name == "n_seed7"
+
+
+def test_resolve_yaml_bare_name(tmp_path, monkeypatch):
+    """--yaml accepts the reference's bare-name form (options.py:50-51:
+    --yaml=nerf_lm_adapt_gan -> options/<name>.yaml; here configs/)."""
+    from texpose_tpu.utils.config import resolve_yaml, set_options
+
+    # literal paths still win
+    f = tmp_path / "direct.yaml"
+    f.write_text("model: m\n")
+    assert resolve_yaml(str(f)) == str(f)
+
+    # bare name resolves against ./configs in the cwd
+    cdir = tmp_path / "configs"
+    cdir.mkdir()
+    (cdir / "tiny.yaml").write_text("model: bare\nseed: 0\n")
+    monkeypatch.chdir(tmp_path)
+    assert resolve_yaml("tiny").endswith(os.path.join("configs",
+                                                      "tiny.yaml"))
+    cfg = set_options(["--yaml=tiny", "--name=x"])
+    assert cfg.model == "bare" and cfg.name == "x"
+
+    # the shipped configs resolve from anywhere (package-relative)
+    assert os.path.isfile(resolve_yaml("nerf_lm_pretrain"))
+
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        resolve_yaml("no_such_config")

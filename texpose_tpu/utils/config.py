@@ -144,6 +144,29 @@ def parse_cli_overrides(argv) -> Config:
     return cfg
 
 
+def resolve_yaml(name: str) -> str:
+    """Resolve a ``--yaml=`` value to a file path.
+
+    Accepts a literal path, or — like the reference's bare-name form
+    ``--yaml=nerf_lm_adapt_gan`` → ``options/<name>.yaml``
+    (options.py:50-51) — a name resolved against ``configs/`` in the
+    current directory or next to the installed package.
+    """
+    pkg_root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    base = str(name) if str(name).endswith((".yaml", ".yml")) \
+        else str(name) + ".yaml"
+    tried = []
+    for cand in (str(name), base,
+                 os.path.join("configs", base),
+                 os.path.join(pkg_root, "configs", base)):
+        if os.path.isfile(cand):
+            return cand
+        tried.append(cand)
+    raise FileNotFoundError(
+        f"--yaml={name!r}: no config found (tried {tried})")
+
+
 def set_options(argv=None, default_yaml=None, allow_new=True) -> Config:
     """Full option bootstrap: CLI → yaml load → merge → postprocess.
 
@@ -154,6 +177,7 @@ def set_options(argv=None, default_yaml=None, allow_new=True) -> Config:
     cli = parse_cli_overrides(argv)
     yaml_file = cli.pop("yaml", default_yaml)
     if yaml_file:
+        yaml_file = resolve_yaml(yaml_file)
         cfg = load_yaml(yaml_file)
         cfg.yaml = yaml_file
     else:
