@@ -232,6 +232,39 @@ def test_topk_mean_latent_selection(fixture_root, tmp_path):
     assert np.isfinite(res["psnr"])
 
 
+def test_val_light_topk_mean(fixture_root, tmp_path):
+    """render.val_light=topk_mean routes validation through the eval
+    protocol's pose-proximity averaged latents (drift-predictive val curve);
+    default stays the reference's image-0 latents."""
+    import jax.numpy as jnp
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    cfg = tiny_gan_cfg(fixture_root, tmp_path)
+    cfg.render.val_light = "topk_mean"
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+    calls = []
+    orig = eng._topk_latents
+    eng._topk_latents = lambda pose, k=None: calls.append(1) or orig(pose, k)
+    mean = eng.validate(0)
+    assert calls, "val_light=topk_mean must route through _topk_latents"
+    assert np.isfinite(mean["PSNR"])
+    # default (reference parity): image-0 latents, no topk call
+    cfg2 = tiny_gan_cfg(fixture_root, tmp_path / "b")
+    eng2 = TextureGANEngine(cfg2)
+    eng2.load_dataset()
+    eng2.build_networks()
+    eng2.setup_optimizer()
+    calls2 = []
+    orig2 = eng2._topk_latents
+    eng2._topk_latents = (
+        lambda pose, k=None: calls2.append(1) or orig2(pose, k))
+    mean2 = eng2.validate(0)
+    assert not calls2 and np.isfinite(mean2["PSNR"])
+
+
 def test_trunk_frozen(fixture_root, tmp_path):
     """The geometry trunk must receive zero gradient (frozen), while heads
     and latents receive nonzero gradient (reference

@@ -233,6 +233,16 @@ class PretrainEngine(Engine):
                                            for k, v in mean.items()))
         return mean
 
+    def _depth_gt_range(self, zs, dmax):
+        """Heatmap range for the depth_gt panel (reference
+        model/nerf_pretrain.py depth_gt from_range; the env variant
+        overrides with fixed fractions of depth.scale)."""
+        return (0.7 * zs, dmax)
+
+    def _z_near_range(self, zs, z_near):
+        """Heatmap range for the z_near panel."""
+        return (0.9 * zs, float(z_near.max()))
+
     def visualize(self, it, split="train"):
         """Render the first eval frame and dump rgb/depth/opacity panels
         (reference model/nerf_pretrain.py:125-164 TB images, produced as
@@ -267,11 +277,11 @@ class PretrainEngine(Engine):
             "pred_mask": (opac, (0, 1), None),
             "gt_mask": (mask, (0, 1), None),
             "depth": (depth * mask, (0.7 * zs, dmax), "plasma"),
-            "depth_gt": (depth_gt, (0.7 * zs, dmax), "plasma"),
+            "depth_gt": (depth_gt, self._depth_gt_range(zs, dmax), "plasma"),
             "depth_error": (depth_err,
                             (0, float(np.quantile(depth_err, 0.99))),
                             "turbo"),
-            "z_near": (z_near, (0.9 * zs, float(z_near.max())), "plasma"),
+            "z_near": (z_near, self._z_near_range(zs, z_near), "plasma"),
         }
         for name, (img, rng, cmap) in panels.items():
             vis.tb_image(self.writer, it, split, name,
@@ -364,6 +374,14 @@ class PretrainEnvEngine(PretrainEngine):
     base optimizer here)."""
 
     pose_source_fixed = "gt"
+
+    def _depth_gt_range(self, zs, dmax):
+        # reference model/nerf_pretrain_env.py:119-131 uses fixed
+        # (0.6, 0.8)*depth.scale heatmap normalization
+        return (0.6 * zs, 0.8 * zs)
+
+    def _z_near_range(self, zs, z_near):
+        return (0.6 * zs, 0.8 * zs)
 
 
 def _compute_dtype(cfg):

@@ -634,14 +634,23 @@ class TextureGANEngine(Engine):
     def validate(self, it):
         """Full-frame validation with the main loss suite (reference
         validate → compute_loss(mode='val') :712-777 + val PSNR :241-245;
-        latents of image 0, like the reference's render val path :595)."""
+        latents of image 0, like the reference's render val path :595).
+
+        ``cfg.render.val_light="topk_mean"`` (default off — reference
+        parity) switches the val latents to the eval protocol's
+        pose-proximity averaged latents so the val curve tracks the same
+        quantity the quality gate measures (per-image latent drift is
+        invisible to the image-0 protocol)."""
         cfg = self.cfg
         n = min(len(self.eval_data), cfg.data.get("val_sub") or 1)
+        val_light = cfg.render.get("val_light")
         lt = self.state["latents"]["trans"][0:1]
         ll = self.state["latents"]["light"][0:1]
         rows = []
         for i in range(n):
             frame = self.eval_frame(i)
+            if val_light == "topk_mean":
+                lt, ll = self._topk_latents(np.asarray(frame["pose"])[0])
             out = self._render_frame_st(frame, lt, ll)
             mask = (frame["obj_mask"] > 0).astype(jnp.float32).reshape(1, -1, 1)
             image = frame["image"].reshape(1, 3, -1).transpose(0, 2, 1)
@@ -695,6 +704,7 @@ class TextureGANEngine(Engine):
             "gt_mask": (gt_mask, (0, 1), None),
             "depth": (img("depth", 1) * gt_mask, (0.8 * zs, 1.1 * zs),
                       "plasma"),
+            "depth_gt": (depth_gt, (0.8 * zs, 1.1 * zs), "plasma"),
             "z_near": (z_near, (0.6 * zs, float(z_near.max())), "plasma"),
             "depth_error": (depth_err,
                             (0, float(np.quantile(depth_err, 0.99))),

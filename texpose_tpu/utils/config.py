@@ -157,9 +157,16 @@ def resolve_yaml(name: str) -> str:
     base = str(name) if str(name).endswith((".yaml", ".yml")) \
         else str(name) + ".yaml"
     tried = []
-    for cand in (str(name), base,
-                 os.path.join("configs", base),
-                 os.path.join(pkg_root, "configs", base)):
+    # path-style names (e.g. "configs/x.yaml") also resolve package-relative
+    # when run from outside the repo: join pkg_root directly AND with a
+    # stripped leading "configs/" so both spellings work from anywhere.
+    cands = [str(name), base,
+             os.path.join("configs", base),
+             os.path.join(pkg_root, base),
+             os.path.join(pkg_root, "configs",
+                          base[len("configs/"):] if base.startswith("configs/")
+                          else base)]
+    for cand in cands:
         if os.path.isfile(cand):
             return cand
         tried.append(cand)
