@@ -232,6 +232,37 @@ def test_topk_mean_latent_selection(fixture_root, tmp_path):
     assert np.isfinite(res["psnr"])
 
 
+def test_latent_specific_lr(fixture_root, tmp_path):
+    """optim.lr_latent gives the latent tables their own (lower) Adam lr;
+    heads keep the G schedule (drift mitigation, default off)."""
+    import jax.numpy as jnp
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    def run(lr_latent, sub):
+        cfg = tiny_gan_cfg(fixture_root, tmp_path / sub)
+        if lr_latent is not None:
+            cfg.optim.lr_latent = lr_latent
+        eng = TextureGANEngine(cfg)
+        eng.load_dataset()
+        eng.build_networks()
+        eng.setup_optimizer()
+        lat0 = np.asarray(eng.state["latents"]["light"]).copy()
+        head0 = np.asarray(eng.state["params"]["nerf"]["mlp_rgb"][0]["w"]).copy()
+        for _ in range(3):
+            eng.state, _ = eng.step_fn(eng.state, eng.train_batch)
+        dlat = np.abs(np.asarray(eng.state["latents"]["light"]) - lat0).max()
+        dhead = np.abs(np.asarray(
+            eng.state["params"]["nerf"]["mlp_rgb"][0]["w"]) - head0).max()
+        return dlat, dhead
+
+    dlat_def, dhead_def = run(None, "def")
+    dlat_low, dhead_low = run(1e-5, "low")
+    assert dlat_low > 0 and dhead_low > 0          # both still train
+    assert dlat_low < dlat_def * 0.2, (dlat_low, dlat_def)   # latents slowed
+    # heads unaffected by the latent group (Adam step magnitude ~ lr)
+    np.testing.assert_allclose(dhead_low, dhead_def, rtol=0.3)
+
+
 def test_val_light_topk_mean(fixture_root, tmp_path):
     """render.val_light=topk_mean routes validation through the eval
     protocol's pose-proximity averaged latents (drift-predictive val curve);

@@ -64,22 +64,6 @@ def _dot_t2(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _dot_int8(x, wq_ref, ws_ref):
-    """[T,I] f32 × int8-quantized weights → f32 [T,O].
-
-    Weights are offline per-output-column quantized (frozen trunk —
-    calibration is a one-off at trace time); activations quantize per ROW
-    with a dynamic max-abs scale, so the int8 grid adapts to each sample's
-    range.  The MXU runs int8×int8→int32 at 2× the bf16 rate on v5e.
-    """
-    ax = jnp.max(jnp.abs(x), axis=1, keepdims=True)          # [T,1]
-    sx = jnp.maximum(ax, 1e-12) * (1.0 / 127.0)
-    xq = jnp.round(x * (1.0 / sx)).astype(jnp.int8)
-    acc = jax.lax.dot_general(xq, wq_ref[...], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * sx * ws_ref[...]
-
-
 def make_posenc_mm_aux(L, c2f_w, dtype=jnp.float32):
     """[5, 6L] packed constants for the matmul-form posenc:
     rows 0-2 = D (pts @ D gives each band's angle), row 3 = phase
@@ -146,69 +130,6 @@ def make_xext(pts, L, c2f_w, dtype=jnp.bfloat16):
         [pts.astype(dtype), make_sinw(pts, L, c2f_w, dtype)], axis=1)
 
 
-def make_xin_aux(L, c2f_w, dtype=jnp.float32):
-    """[8, 3+6L] constant table for the IN-KERNEL xext-block build
-    ("xin" mode): rows 0-2 = per-coordinate band frequencies (zero on the
-    pts columns), rows 3-4 = c2f-weighted sin/cos column masks (zero on
-    pts columns), rows 5-7 = pts-column selectors.
-
-    The kernel rebuilds make_xext's [T, 3+6L] block from the streamed pts
-    with ~12 full-width VPU ops (three lane-broadcasts of the pts columns,
-    fused multiply-adds, one sin + one cos):
-
-        ang = Σ_c X_c·F_c ;  blk = wS·sin(ang) + wC·cos(ang) + Σ_c X_c·P_c
-
-    — BITWISE make_sinw's f32 element-wise math (at each band column two
-    of the three F_c terms are exactly zero, and sin/cos are the same
-    f32 primitives; a sin(x+π/2) phase trick would round the argument).
-    The pts columns blend in via the P_c selectors (F/w are zero there).
-    No narrow-lane concats (the legacy in-kernel build's ~2 ms/131k-row
-    cost), no HIGHEST matmul (~0.47 ms/pass), and the XLA-side make_sinw
-    3-D build + transpose copies disappear.
-
-    MEASURED (r3, tools/ab_cfg.py interleaved same-process on v5e):
-    **+0.047 ms/step WORSE than xext** (5.61 vs 5.56) — the in-kernel
-    VPU build does NOT hide under the trunk's MXU issue latency at
-    production tiles, and the XLA-side make_sinw cost inside the full
-    scanned step is smaller than the isolated Sh/Si probe suggested.
-    Kept as a tested mode for shapes where the XLA build dominates."""
-    L = int(L)
-    P = 3 + 6 * L
-    freqs = (2.0 ** np.arange(L)) * np.pi
-    F = np.zeros((3, P), np.float32)
-    mask_s = np.zeros((P,), np.float32)
-    mask_c = np.zeros((P,), np.float32)
-    sel = np.zeros((3, P), np.float32)
-    for d in range(3):
-        o = 3 + d * 2 * L
-        F[d, o:o + L] = freqs
-        F[d, o + L:o + 2 * L] = freqs
-        mask_s[o:o + L] = 1.0
-        mask_c[o + L:o + 2 * L] = 1.0
-        sel[d, d] = 1.0
-    wb = jnp.concatenate([jnp.zeros((3,), jnp.float32),
-                          jnp.tile(jnp.concatenate([c2f_w, c2f_w]), 3)
-                          .astype(jnp.float32)])
-    return jnp.concatenate([jnp.asarray(F),
-                            (wb * mask_s)[None, :],
-                            (wb * mask_c)[None, :],
-                            jnp.asarray(sel)], axis=0).astype(dtype)
-
-
-def _build_xin(pts_blk, aux_ref):
-    """In-kernel xext-block build (see make_xin_aux): pts [S,3] +
-    aux [8, 3+6L] → [S, 3+6L] f32."""
-    a = aux_ref[...]
-    p = pts_blk.astype(jnp.float32)
-    S, P = p.shape[0], a.shape[1]
-    x0 = jnp.broadcast_to(p[:, 0:1], (S, P))
-    x1 = jnp.broadcast_to(p[:, 1:2], (S, P))
-    x2 = jnp.broadcast_to(p[:, 2:3], (S, P))
-    ang = x0 * a[0:1] + x1 * a[1:2] + x2 * a[2:3]
-    return (jnp.sin(ang) * a[3:4] + jnp.cos(ang) * a[4:5]
-            + x0 * a[5:6] + x1 * a[6:7] + x2 * a[7:8])
-
-
 def split_trunk_weights_x(trunk_wc, skip, E, trunk_b=None):
     """Trace-time split for "xext": [w0_x] + per-skip [w_h, w_x], where
     w_x covers the (pts, sin-bands) rows as ONE [3+E, O] block (the
@@ -252,19 +173,12 @@ def split_trunk_weights_mm(trunk_wc, skip, E, trunk_b=None):
 
 
 def _trunk_feat_mm(pts, auxm_ref, w_refs, b_refs, skip, cdtype,
-                   mm_refs=None, perm_last=False, ws_refs=None,
-                   last_scale=None, sinw_pre=None, x_pre=None):
+                   mm_refs=None, perm_last=False,
+                   sinw_pre=None, x_pre=None):
     """Matmul-form posenc trunk: see make_posenc_mm_aux.  mm_refs: the
     split_trunk_weights_mm pieces (falls back to ref slicing if absent);
     perm_last: mm_refs carries the density-col-rotated last layer — both
     output slices become lane-aligned.
-
-    ws_refs (per-layer [1,O] scales, entries used only for plain hidden
-    layers) switches those layers' matmuls to int8 (_dot_int8); with
-    last_scale, the rotated last layer is int8 too.  Layer 0 and the skip
-    layers stay in cdtype — they carry the f32-exact sin bands (≈20% of
-    trunk FLOPs), so int8 composes with the concat-free posenc instead of
-    forcing the materialized "outside" encoding.
 
     sinw_pre ("sinext" mode): the weighted sin bands computed OUTSIDE the
     kernel (make_sinw) and streamed in — skips the in-kernel HIGHEST
@@ -288,16 +202,10 @@ def _trunk_feat_mm(pts, auxm_ref, w_refs, b_refs, skip, cdtype,
                 z = (_dot(h.astype(cdtype), mm_refs[k][...])
                      + _dot(xc, mm_refs[k + 1][...]) + b_refs[li][...])
             elif last and perm_last:
-                if last_scale is not None:
-                    wn, bn = mm_refs[-3], mm_refs[-2]
-                    z = _dot_int8(h, wn, last_scale) + bn[...]
-                else:
-                    z = _dot(h.astype(cdtype), mm_refs[-2][...]) \
-                        + mm_refs[-1][...]
+                z = _dot(h.astype(cdtype), mm_refs[-2][...]) \
+                    + mm_refs[-1][...]
                 F = z.shape[1] - 1
                 return jnp.maximum(z[:, :F], 0.0), z[:, F:F + 1]
-            elif ws_refs is not None:
-                z = _dot_int8(h, w_refs[li], ws_refs[li]) + b_refs[li][...]
             else:
                 z = _dot(h.astype(cdtype), w_refs[li][...]) + b_refs[li][...]
             if last:
@@ -351,16 +259,10 @@ def _trunk_feat_mm(pts, auxm_ref, w_refs, b_refs, skip, cdtype,
                  + _dot(sinw, w_sin) + b_refs[li][...])
         elif last and perm_last:
             # density column rotated to the end → both slices lane-aligned
-            if last_scale is not None:
-                wn, bn = mm_refs[-3], mm_refs[-2]
-                z = _dot_int8(h, wn, last_scale) + bn[...]
-            else:
-                z = _dot(h.astype(cdtype), mm_refs[-2][...]) \
-                    + mm_refs[-1][...]
+            z = _dot(h.astype(cdtype), mm_refs[-2][...]) \
+                + mm_refs[-1][...]
             F = z.shape[1] - 1
             return jnp.maximum(z[:, :F], 0.0), z[:, F:F + 1]
-        elif ws_refs is not None:
-            z = _dot_int8(h, w_refs[li], ws_refs[li]) + b_refs[li][...]
         else:
             z = _dot(h.astype(cdtype), w_refs[li][...]) + b_refs[li][...]
         if last:
@@ -432,27 +334,21 @@ def _trunk_feat_mm_multi(blks, w_refs, b_refs, skip, cdtype, mm_refs,
         hs = [jnp.maximum(z, 0.0) for z in zs]
 
 
-def _trunk_feat(pts, aux3, w_refs, b_refs, skip, L3, cdtype, ws_refs=None,
-                x_pre=None):
+def _trunk_feat(pts, aux3, w_refs, b_refs, skip, L3, cdtype, x_pre=None):
     """In-VMEM trunk forward → (feat [T,F] f32, density_raw [T,1]).
-    ws_refs (per-layer [1,O] scales) switches the matmuls to int8.
     x_pre: posenc computed OUTSIDE the kernel (streamed [T,3+6L]) — the
     in-kernel narrow-lane posenc build costs ~2 ms per 131k rows (60% of
     the old forward; mxu_probe r3), while the matmul chain itself runs at
     ~180 TFLOPs."""
     x = _posenc_rows(pts, L3, aux3[0], aux3[1]) if x_pre is None else x_pre
-    if ws_refs is None:
-        x = x.astype(cdtype)
+    x = x.astype(cdtype)
     h = x
     n = len(w_refs)
     dens = None
     for li in range(n):
         if li in skip:
             h = jnp.concatenate([h, x], axis=-1)
-        if ws_refs is not None:
-            h = _dot_int8(h, w_refs[li], ws_refs[li]) + b_refs[li][...]
-        else:
-            h = _dot(h.astype(cdtype), w_refs[li][...]) + b_refs[li][...]
+        h = _dot(h.astype(cdtype), w_refs[li][...]) + b_refs[li][...]
         if li == n - 1:
             dens = h[:, 0:1]
             h = h[:, 1:]
@@ -537,7 +433,7 @@ def _heads_forward(feat, ray_enc, pts, light, trans, wr, br, wt, bt, cdtype,
 # ------------------------------------------------------------------ forward
 
 def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
-                fullblock, packed, int8, enc_mode, split, ilp,
+                fullblock, packed, enc_mode, split, ilp,
                 heads_fullblock, pts_ref,
                 enc_ref, aux3_ref, light_ref, trans_ref, *refs):
     # split: enc_ref streams [tile, E+3] (enc ⊕ pts); light_ref/trans_ref
@@ -550,21 +446,17 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     enc_extra = refs[0] if enc_mode != "kernel" else None
     refs = refs[1:] if enc_mode != "kernel" else refs
     mm_refs = None
-    mm_form = enc_mode in ("matmul", "sinext", "xext", "xin")
+    mm_form = enc_mode in ("matmul", "sinext", "xext")
     perm_last = mm_form and (n_trunk - 1) not in skip
-    int8_mm = int8 and mm_form
     if mm_form:
-        # int8_mm appends the rotated last-layer scale as one more mm piece
-        base_mm = (1 + 2 * len(skip)) if enc_mode in ("xext", "xin") \
+        base_mm = (1 + 2 * len(skip)) if enc_mode == "xext" \
             else (2 + 3 * len(skip))
-        n_mm = base_mm + ((3 if int8_mm else 2) if perm_last else 0)
+        n_mm = base_mm + (2 if perm_last else 0)
         mm_refs = refs[:n_mm]
         refs = refs[n_mm:]
     wf = refs[:n_trunk]
     bf = refs[n_trunk:2 * n_trunk]
     o = 2 * n_trunk
-    wsf = refs[o:o + n_trunk] if int8 else None
-    o += n_trunk if int8 else 0
     if split:
         # rgb layer 0 arrives as the (w_feat, w_encpts) pair
         wr = ((refs[o], refs[o + 1]),) + tuple(refs[o + 2:o + nr + 1])
@@ -585,11 +477,7 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     def trunk(pts_blk, sl=None):
         if mm_form:
             sinw_pre = x_pre = None
-            if enc_mode == "xin":
-                # rebuild the xext block IN-KERNEL from the pts stream —
-                # the VPU build hides under the trunk's MXU issue latency
-                x_pre = _build_xin(pts_blk, enc_extra)
-            elif enc_mode in ("sinext", "xext"):
+            if enc_mode in ("sinext", "xext"):
                 blk = (enc_extra[...] if sl is None
                        else enc_extra[sl, :])
                 if enc_mode == "sinext":
@@ -600,15 +488,13 @@ def _fwd_kernel(L3, skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
                 pts_blk, enc_extra if enc_mode == "matmul" else None,
                 wf, bf, skip, cdtype,
                 mm_refs=mm_refs, perm_last=perm_last,
-                ws_refs=wsf if int8_mm else None,
-                last_scale=mm_refs[-1] if (int8_mm and perm_last) else None,
                 sinw_pre=sinw_pre, x_pre=x_pre)
         x_pre = None
         if enc_mode == "outside":
             x_pre = (enc_extra[...] if sl is None
                      else enc_extra[sl, :]).astype(cdtype)
         return _trunk_feat(pts_blk, aux3_ref, wf, bf, skip, L3, cdtype,
-                           ws_refs=wsf, x_pre=x_pre)
+                           x_pre=x_pre)
 
     if fullblock:
         # the trunk has no per-image dependence: run its 9 matmuls ONCE on
@@ -922,7 +808,7 @@ def _latent_rows(light_rows, trans_rows, w_l, w_t, cdtype):
 def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
              rgb_w, rgb_b, tr_w, tr_b, aux3, skip, L3, tile, rows_per_img,
              cdtype, interpret, subtiles=1, fullblock=False, packed=False,
-             trunk_int8=False, enc_mode="kernel", enc_extra=None,
+             enc_mode="kernel", enc_extra=None,
              split=False, ilp=False, heads_fullblock=False):
     # `tile` rows stream per grid step; compute runs on tile/subtiles-row
     # slices (narrow VMEM intermediates, fewer grid steps → less per-step
@@ -940,12 +826,12 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     F = trunk_w[-1].shape[1] - 1
     E = ray_enc.shape[1]
     ilp = (bool(ilp) and enc_mode in ("sinext", "xext") and not fullblock
-           and not trunk_int8 and subtiles > 1)
+           and subtiles > 1)
     # heads_fullblock needs the additive-latent (split) layer-0 form
     heads_fullblock = bool(heads_fullblock) and split and subtiles > 1
     kernel = functools.partial(_fwd_kernel, L3, skip, nr, nt, n_trunk,
                                tiles_per_img, cdtype, subtiles, fullblock,
-                               packed, trunk_int8, enc_mode, split, ilp,
+                               packed, enc_mode, split, ilp,
                                heads_fullblock)
     if split:
         # concat-free heads: stream enc ⊕ pts as one block IN THE COMPUTE
@@ -961,15 +847,13 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
         light_rows, trans_rows = _latent_rows(light_rows, trans_rows,
                                               w_l, w_t, cdtype)
     perm_last = (n_trunk - 1) not in skip
-    mm_form = enc_mode in ("matmul", "sinext", "xext", "xin")
-    int8_mm = trunk_int8 and mm_form
-    base_mm = (1 + 2 * len(skip)) if enc_mode in ("xext", "xin") \
+    mm_form = enc_mode in ("matmul", "sinext", "xext")
+    base_mm = (1 + 2 * len(skip)) if enc_mode == "xext" \
         else (2 + 3 * len(skip))
-    n_mm = (base_mm + ((3 if int8_mm else 2) if perm_last else 0)) \
-        if mm_form else 0
+    n_mm = (base_mm + (2 if perm_last else 0)) if mm_form else 0
     if enc_mode == "outside":
         enc_spec = [_row_spec(tile, enc_extra.shape[1])]
-    elif enc_mode in ("matmul", "xin"):
+    elif enc_mode == "matmul":
         # tiny whole-VMEM constant table (+ the split weight pieces)
         enc_spec = [_full_spec()] * (1 + n_mm)
     elif enc_mode in ("sinext", "xext"):
@@ -988,7 +872,6 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
                 + enc_spec
                 + [_full_spec()] * (2 * n_trunk + 2 * nr + 2 * nt
                                     + (1 if split else 0)
-                                    + (n_trunk if trunk_int8 else 0)
                                     + (1 if packed else 0)))
     out_specs = (_row_spec(tile, 3), _row_spec(tile, 1), _row_spec(tile, 5),
                  _row_spec(tile, F))
@@ -998,25 +881,7 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
                  jax.ShapeDtypeStruct((M, 1), jnp.float32),
                  jax.ShapeDtypeStruct((M, 5), jnp.float32),
                  jax.ShapeDtypeStruct((M, F), cdtype))
-    if trunk_int8:
-        # offline per-output-column weight quantization (trunk frozen)
-        wsf = [jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
-                           1e-12) * (1.0 / 127.0) for w in trunk_w]
-        if int8_mm:
-            # matmul posenc composes: only the plain hidden layers run
-            # int8 (the kernel reads w_refs[li] for those); layer 0 / skip
-            # / last are consumed via the cdtype mm pieces below
-            trunk_wc = [
-                jnp.round(w / s).astype(jnp.int8)
-                if (0 < li < n_trunk - 1 and li not in skip)
-                else w.astype(cdtype)
-                for li, (w, s) in enumerate(zip(trunk_w, wsf))]
-        else:
-            trunk_wc = [jnp.round(w / s).astype(jnp.int8)
-                        for w, s in zip(trunk_w, wsf)]
-    else:
-        wsf = []
-        trunk_wc = [w.astype(cdtype) for w in trunk_w]
+    trunk_wc = [w.astype(cdtype) for w in trunk_w]
     if split:
         rgb_wc = [wr_f, wr_ep] + [w.astype(cdtype) for w in rgb_w[1:]]
         tr_wc = [tr_w[0][:F].astype(cdtype)] \
@@ -1031,22 +896,11 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
     import os
     par = os.environ.get("TEXPOSE_ST_FWD_PARALLEL", "0") != "0"
     if mm_form:
-        split_fn = split_trunk_weights_x if enc_mode in ("xext", "xin") \
+        split_fn = split_trunk_weights_x if enc_mode == "xext" \
             else split_trunk_weights_mm
         mm_parts = split_fn(
             trunk_wc, skip, 6 * L3,
-            trunk_b=None if int8_mm else (trunk_b if perm_last else None))
-        if int8_mm and perm_last:
-            # rotated-density last layer, int8: quantize per OUTPUT column
-            # after the rotation so the scale row rotates with it
-            wn, bn = trunk_w[-1], trunk_b[-1]
-            wn_rot = jnp.concatenate([wn[:, 1:], wn[:, 0:1]], axis=1)
-            sn = jnp.maximum(
-                jnp.max(jnp.abs(wn_rot), axis=0, keepdims=True),
-                1e-12) * (1.0 / 127.0)
-            mm_parts += [jnp.round(wn_rot / sn).astype(jnp.int8),
-                         jnp.concatenate([bn[..., 1:], bn[..., 0:1]],
-                                         axis=-1), sn]
+            trunk_b=trunk_b if perm_last else None)
     else:
         mm_parts = []
     return pl.pallas_call(
@@ -1057,7 +911,7 @@ def _run_fwd(pts, ray_enc, light_rows, trans_rows, trunk_w, trunk_b,
         compiler_params=_compiler_params(interpret, parallel=par),
     )(pts_arg, ray_enc, aux3, light_rows, trans_rows,
       *([enc_extra] if enc_mode != "kernel" else []), *mm_parts,
-      *trunk_wc, *trunk_b, *wsf, *rgb_wc, *rgb_b, *tr_wc, *tr_b, *pack)
+      *trunk_wc, *trunk_b, *rgb_wc, *rgb_b, *tr_wc, *tr_b, *pack)
 
 
 def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
@@ -1178,7 +1032,7 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
 @functools.lru_cache(maxsize=None)
 def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
              sub_fwd=1, sub_bwd=1, fullblock=False, packed=False,
-             trunk_int8=False, enc_mode="matmul", split=False, ilp=False,
+             enc_mode="matmul", split=False, ilp=False,
              bwd_fullblock=False, heads_fullblock=False):
     """Build the differentiable fused op for a static config.
 
@@ -1202,10 +1056,6 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
             # (pts, sin bands) folded into ONE streamed block — layer 0 /
             # skip run a single K=3+6L matmul (no K=3 issue)
             enc_extra = make_xext(pts, L3, aux3[1], cdtype)
-        elif enc_mode == "xin":
-            # xext block rebuilt IN-KERNEL from the pts stream; XLA only
-            # supplies the tiny [8, 3+6L] constant table
-            enc_extra = make_xin_aux(L3, aux3[1])
         elif enc_mode == "outside":
             enc_extra = _posenc_rows(pts, L3, aux3[0], aux3[1])
         else:
@@ -1216,7 +1066,7 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, cdtype, interpret,
                        heads["tr_w"], heads["tr_b"],
                        aux3, skip, L3, tile_fwd, rows_per_img, cdtype,
                        interpret, subtiles=sub_fwd, fullblock=fullblock,
-                       packed=packed, trunk_int8=trunk_int8,
+                       packed=packed,
                        enc_mode=enc_mode, enc_extra=enc_extra, split=split,
                        ilp=ilp, heads_fullblock=heads_fullblock)
         return out
@@ -1264,7 +1114,7 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
                    tile_fwd=512, tile_bwd=512,
                    compute_dtype=jnp.bfloat16, interpret=False,
                    subtiles_fwd=None, subtiles_bwd=None, fullblock=None,
-                   packed=None, trunk_int8=None, enc_mode=None,
+                   packed=None, enc_mode=None,
                    split_heads=None, trunk_ilp=None, bwd_fullblock=None,
                    heads_fullblock=None):
     """Differentiable fused ST-field.
@@ -1303,23 +1153,19 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
         packed = os.environ.get("TEXPOSE_ST_PACK_HEADS", "1") == "1"
     packed = bool(packed) and len(head_params["mlp_rgb"]) >= 2 \
         and len(head_params["mlp_trans"]) >= 2
-    # int8 trunk matmuls (2× MXU rate on v5e; frozen trunk → offline
-    # per-column weight scales + per-row dynamic activation scales).
-    # Default OFF until the quality gate proves it flat.
-    if trunk_int8 is None:
-        trunk_int8 = os.environ.get("TEXPOSE_ST_TRUNK_INT8", "0") == "1"
-    trunk_int8 = bool(trunk_int8)
     # posenc mode: "xext" (pts folded into the streamed sin-band block —
     # layer 0/skip run one K=3+6L matmul; default, measured trunk-only
     # 1.53 vs 1.60 ms and fwd+bwd 4.31 vs 4.34 on v5e), "sinext"
     # (matmul-form trunk + XLA-built sin bands streamed in — no in-kernel
     # HIGHEST angle matmul), "matmul" (concat-free, fully in-kernel),
     # "outside" (full XLA posenc streamed in), "kernel" (legacy in-kernel
-    # elementwise build)
+    # elementwise build).  Measured-dead modes were REMOVED in r4: int8
+    # trunk (issue-latency-bound passes — dequant only adds ops; fwd 2.44
+    # vs 2.25 ms) and "xin" (in-kernel VPU rebuild, +0.047 ms/step).
     if enc_mode is None:
         enc_mode = os.environ.get("TEXPOSE_ST_POSENC", "xext")
     assert enc_mode in ("kernel", "outside", "matmul", "sinext",
-                        "xext", "xin"), enc_mode
+                        "xext"), enc_mode
     # concat-free layer-0 heads (see _heads_forward split): the latent
     # contributions hoist to per-image XLA rows and backward skips both
     # heads' layer-0 dX issues.  Requires ≥2 layers per head (layer 0
@@ -1364,6 +1210,6 @@ def fused_st_field(pts, ray_enc, light_rows, trans_rows, trunk_params,
     op = _make_op(tuple(sorted(skip)), int(L3), int(tile_fwd) * sub_fwd,
                   int(tile_bwd) * sub_bwd, int(rows_per_img), compute_dtype,
                   bool(interpret), sub_fwd, sub_bwd, fullblock, packed,
-                  trunk_int8, enc_mode, split_heads, trunk_ilp,
+                  enc_mode, split_heads, trunk_ilp,
                   bwd_fullblock, heads_fullblock)
     return op(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3)

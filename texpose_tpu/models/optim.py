@@ -53,8 +53,40 @@ def disc_schedule(cfg, max_iter, steps_per_epoch):
     return dlr
 
 
+def latent_schedule(cfg, max_iter, steps_per_epoch):
+    """Latent-table lr schedule: same per-epoch staircase shape as G but
+    starting from optim.lr_latent (and ending at optim.lr_latent_end when
+    given, else decaying by the same ratio as the heads).  Long-horizon
+    drift mitigation: the per-image latents otherwise ride the head
+    schedule from 1e-3, and slow latent drift is the measured driver of
+    the 20k-step eval-PSNR decline (CLAUDE.md r2 root-cause)."""
+    lr0 = cfg.optim.lr_latent
+    lr, lr_end = cfg.optim.lr, cfg.optim.get("lr_end")
+    lr_latent_end = cfg.optim.get("lr_latent_end") or (
+        lr0 * (lr_end / lr) if lr_end else None)
+    gamma = (cfg.optim.get("sched") or {}).get("gamma")
+    if gamma:
+        return optax.exponential_decay(
+            lr0, transition_steps=steps_per_epoch, decay_rate=float(gamma),
+            staircase=True)
+    if lr_latent_end:
+        n_epochs = max(max_iter // steps_per_epoch, 1)
+        return optax.exponential_decay(
+            lr0, transition_steps=steps_per_epoch,
+            decay_rate=(lr_latent_end / lr0) ** (1.0 / n_epochs),
+            staircase=True)
+    return lr0
+
+
 def make_generator_optimizer(cfg, max_iter, steps_per_epoch):
-    return optax.adam(generator_schedule(cfg, max_iter, steps_per_epoch))
+    head_opt = optax.adam(generator_schedule(cfg, max_iter, steps_per_epoch))
+    if not cfg.optim.get("lr_latent"):
+        return head_opt
+    lat_opt = optax.adam(latent_schedule(cfg, max_iter, steps_per_epoch))
+    # gen_params is {"heads": ..., "latents": ...} — prefix-tree labels
+    return optax.multi_transform(
+        {"heads": head_opt, "latents": lat_opt},
+        param_labels={"heads": "heads", "latents": "latents"})
 
 
 def make_disc_optimizer(cfg, max_iter, steps_per_epoch):

@@ -484,7 +484,6 @@ def apply_nerf_st_raw(params, cfg, points, ray_unit, latent_trans,
         subtiles_bwd=kcfg.get("st_subtiles_bwd"),
         fullblock=kcfg.get("st_trunk_fullblock"),
         packed=kcfg.get("st_pack_heads"),
-        trunk_int8=kcfg.get("st_trunk_int8"),
         enc_mode=kcfg.get("st_posenc"),
         split_heads=kcfg.get("st_split_heads"),
         trunk_ilp=kcfg.get("st_trunk_ilp"))

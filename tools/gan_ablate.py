@@ -86,9 +86,11 @@ VARIANTS = {
     # dynamics untouched); r3 candidate vs latreg for the 20k gate
     "ema": {"render.latent_ema": 0.999},
     "ema_latreg": {"render.latent_ema": 0.999, "latent_reg": -2},
-    # int8 trunk kernel quality gate (perf candidate; ship only if flat)
-    "int8": {"kernels.st_trunk_int8": True},
-    "ema_int8": {"render.latent_ema": 0.999, "kernels.st_trunk_int8": True},
+    # latent-specific lr (r4: VERDICT item-1 mitigation candidate — latents
+    # otherwise ride the head schedule from 1e-3; slow per-image latent
+    # drift is the measured 20k-decline driver)
+    "latlr": {"optim.lr_latent": 1.e-4},
+    "latlr3": {"optim.lr_latent": 3.e-4},
 }
 
 
@@ -133,7 +135,7 @@ def pretrain(cache, iters):
     open(stamp, "w").close()
 
 
-def run_variant(cache, name, overrides, iters, eval_at):
+def run_variant(cache, name, overrides, iters, eval_at, seed=0):
     from texpose_tpu.utils.config import process_options
     from texpose_tpu.models.texture_gan import TextureGANEngine
     cfg = _base("nerf_lm_adapt_gan.yaml", cache)
@@ -142,6 +144,7 @@ def run_variant(cache, name, overrides, iters, eval_at):
     cfg.nerf.depth.box_source = "pred_box_init_calib"
     cfg.max_iter = iters
     cfg.name = f"abl_{name}"
+    cfg.seed = seed
     cfg.resume_pretrain = True
     for k, v in overrides.items():
         if "." in k:
@@ -198,40 +201,62 @@ def main():
         "ABL_EVAL_AT", "2000,10000,20000").split(",")]
     names = os.environ.get("ABL_VARIANTS",
                            "base,latreg,lab,nofeat").split(",")
+    seeds = [int(s) for s in os.environ.get("ABL_SEEDS", "0").split(",")]
     pretrain(cache, p_iters)
+    # table[name][seed] = [(mark, ev), ...]
     table = {}
     for name in names:
-        print(f"=== variant {name} ({VARIANTS[name]}) ===", flush=True)
-        table[name] = run_variant(cache, name, VARIANTS[name], g_iters,
-                                  eval_at)
-    print("\n=== SUMMARY (psnr/ssim by real step) ===", flush=True)
-    for name, rows in table.items():
-        cells = "  ".join(f"@{m}: {ev['psnr']:.2f}/{ev['ssim']:.3f}"
-                          for m, ev in rows)
-        print(f"{name:12s} {cells}", flush=True)
+        table[name] = {}
+        for seed in seeds:
+            print(f"=== variant {name} seed {seed} ({VARIANTS[name]}) ===",
+                  flush=True)
+            table[name][seed] = run_variant(cache, name, VARIANTS[name],
+                                            g_iters, eval_at, seed=seed)
 
-    # driver-visible quality artifact (VERDICT r2 weak item 3): ABL_JSON=path
-    # writes per-variant psnr/ssim by horizon plus the long-horizon gates
-    # evaluated on the FIRST variant (the shipped defaults)
+    def _means(rows_by_seed):
+        """mark -> mean psnr across seeds."""
+        marks = [m for m, _ in next(iter(rows_by_seed.values()))]
+        return {m: float(np.mean([dict(rows)[m]["psnr"]
+                                  for rows in rows_by_seed.values()]))
+                for m in marks}
+
+    print("\n=== SUMMARY (psnr by real step; mean over "
+          f"{len(seeds)} seed(s)) ===", flush=True)
+    for name, rows_by_seed in table.items():
+        mean = _means(rows_by_seed)
+        cells = "  ".join(f"@{m}: {v:.2f}" for m, v in mean.items())
+        per_seed = "; ".join(
+            f"s{s}: " + "/".join(f"{ev['psnr']:.2f}" for _, ev in rows)
+            for s, rows in rows_by_seed.items())
+        print(f"{name:12s} {cells}   [{per_seed}]", flush=True)
+
+    # driver-visible quality artifact: per-variant per-seed psnr/ssim by
+    # horizon; the long-horizon gates evaluate the MEAN across seeds of the
+    # FIRST variant (the shipped defaults) — single-run gating was swallowed
+    # by the fixture's own +-0.4 dB band (VERDICT r3 weak item 1)
     if os.environ.get("ABL_JSON"):
         import json
         out = {
             "fixture": {"fixed_light": FIXED_LIGHT, "n_train": N_TRAIN,
-                        "pretrain_iters": p_iters, "gan_iters": g_iters},
+                        "pretrain_iters": p_iters, "gan_iters": g_iters,
+                        "seeds": seeds},
             "variants": {
-                name: [{"step": m, **{k: round(float(v), 4)
-                                      for k, v in ev.items()}}
-                       for m, ev in rows]
-                for name, rows in table.items()},
+                name: {str(seed): [{"step": m,
+                                    **{k: round(float(v), 4)
+                                       for k, v in ev.items()}}
+                                   for m, ev in rows]
+                       for seed, rows in rows_by_seed.items()}
+                for name, rows_by_seed in table.items()},
+            "mean_psnr": {name: {str(m): round(v, 4)
+                                 for m, v in _means(rbs).items()}
+                          for name, rbs in table.items()},
         }
-        first = table[names[0]]
-        by_mark = {m: ev for m, ev in first}
+        by_mark = _means(table[names[0]])
         if {2000, 10000} <= set(by_mark):
-            out["gate_10k_ge_2k"] = bool(
-                by_mark[10000]["psnr"] >= by_mark[2000]["psnr"])
+            out["gate_10k_ge_2k"] = bool(by_mark[10000] >= by_mark[2000])
         if {10000, 20000} <= set(by_mark):
             out["gate_20k_ge_10k_minus_1db"] = bool(
-                by_mark[20000]["psnr"] >= by_mark[10000]["psnr"] - 1.0)
+                by_mark[20000] >= by_mark[10000] - 1.0)
         with open(os.environ["ABL_JSON"], "w") as f:
             json.dump(out, f, indent=1)
         print(f"wrote {os.environ['ABL_JSON']}", flush=True)

@@ -6,7 +6,7 @@ set -u
 cd "$(dirname "$0")/.."
 
 run() {
-  echo "=== $* [VMEM=${TEXPOSE_VMEM_LIMIT_MB:-def} SUBF=${TEXPOSE_ST_SUBTILES_FWD:-def} SUBB=${TEXPOSE_ST_SUBTILES_BWD:-def} INT8=${TEXPOSE_ST_TRUNK_INT8:-0}] ==="
+  echo "=== $* [VMEM=${TEXPOSE_VMEM_LIMIT_MB:-def} SUBF=${TEXPOSE_ST_SUBTILES_FWD:-def} SUBB=${TEXPOSE_ST_SUBTILES_BWD:-def} ] ==="
   "$@" 2>&1 | grep -v "Platform 'axon'"
 }
 
@@ -31,9 +31,6 @@ TEXPOSE_VMEM_LIMIT_MB=64 TEXPOSE_ST_SUBTILES_BWD=4 \
 
 echo "--- 6. VMEM=64, bwd 2048 stream (1024 x sub 2) ---"
 TEXPOSE_VMEM_LIMIT_MB=64 run python tools/bench_kernels.py 512 1024
-
-echo "--- 7. int8 trunk, default tiles ---"
-TEXPOSE_ST_TRUNK_INT8=1 run python tools/bench_kernels.py 512 512
 
 echo "--- 8. VMEM=100, fwd 8192-row stream (1024 x sub 8) ---"
 TEXPOSE_VMEM_LIMIT_MB=100 TEXPOSE_ST_SUBTILES_FWD=8 \
