@@ -151,6 +151,94 @@ def _torch_lpips_oracle(npz_path, x, y):
     return total
 
 
+def _make_real_shaped_vgg_npz(tmp_path, seed=3):
+    """Synthetic state dict with the REAL torchvision vgg19 features[0..14]
+    layout, ported through tools/port_weights.py."""
+    from port_weights import port_vgg19
+    g = torch.Generator().manual_seed(seed)
+    sd = {}
+    for item in _VGG_LAYOUT:
+        if item[0] != "conv":
+            continue
+        _, idx, cin, cout = item
+        sd[f"features.{idx}.weight"] = torch.randn(
+            (cout, cin, 3, 3), generator=g) * 0.05
+        sd[f"features.{idx}.bias"] = torch.randn((cout,), generator=g) * 0.01
+    pth = str(tmp_path / "vgg19.pth")
+    npz = str(tmp_path / "vgg19_feat14.npz")
+    torch.save(sd, pth)
+    port_vgg19(npz, state_dict=pth)
+    return npz
+
+
+def _make_real_shaped_lpips_npz(tmp_path, seed=4):
+    """npz with the exact keypaths cfg.lpips_weights expects:
+    conv{0..4}.weight/.bias (AlexNet features) + lin{0..4}.weight
+    (LPIPS 1x1 calibration)."""
+    rng = np.random.default_rng(seed)
+    keep = {}
+    for i, (ks, cin, cout, _, _) in enumerate(ALEX_CONVS):
+        keep[f"conv{i}.weight"] = rng.normal(
+            0, 0.05, (cout, cin, ks, ks)).astype(np.float32)
+        keep[f"conv{i}.bias"] = rng.normal(0, 0.01, (cout,)).astype(
+            np.float32)
+        keep[f"lin{i}.weight"] = np.abs(rng.normal(
+            0, 1, (1, cout, 1, 1))).astype(np.float32)
+    npz = str(tmp_path / "lpips_alex.npz")
+    np.savez(npz, **keep)
+    return npz
+
+
+def test_weights_drop_full_system(tmp_path):
+    """Rehearse the real-weights drop end-to-end (VERDICT r4 item 5): with
+    cfg.vgg_weights / cfg.lpips_weights pointing at real-shaped npz files,
+    a short GAN train + evaluate must (a) feed the LOADED VGG params into
+    the feat loss, (b) produce a quant.txt whose perceptual column is
+    'lpips' (calibrated), not 'lpips_uncal', with zero code changes."""
+    import jax
+    from texpose_tpu.data.fixture import generate_fixture
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_texture_gan_e2e import tiny_gan_cfg
+
+    root = generate_fixture(str(tmp_path / "bop"), n_train=6, n_test=1,
+                            scene="scene_all", image_scale=0.25, crop_res=32)
+    vgg_npz = _make_real_shaped_vgg_npz(tmp_path)
+    lpips_npz = _make_real_shaped_lpips_npz(tmp_path)
+
+    cfg = tiny_gan_cfg(root, tmp_path)
+    cfg.vgg_weights = vgg_npz
+    cfg.lpips_weights = lpips_npz
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+
+    # (a) the engine's VGG params ARE the ported file's (feat loss consumes
+    # self.vgg_params in the jitted step closure)
+    ported = np.load(vgg_npz)
+    got0 = np.asarray(jax.tree_util.tree_leaves(eng.vgg_params)[0])
+    want0 = ported["features.0.weight"]
+    matched = any(
+        np.asarray(leaf).shape == want0.transpose(2, 3, 1, 0).shape
+        and np.allclose(np.asarray(leaf), want0.transpose(2, 3, 1, 0))
+        or np.asarray(leaf).shape == want0.shape
+        and np.allclose(np.asarray(leaf), want0)
+        for leaf in jax.tree_util.tree_leaves(eng.vgg_params))
+    assert matched, "loaded VGG params do not contain the ported conv0"
+
+    for _ in range(3):
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
+    assert np.isfinite(float(np.asarray(loss["feat"])))
+
+    # (b) eval flips to calibrated LPIPS with zero code changes
+    res = eng.evaluate_full()
+    assert np.isfinite(res["psnr"])
+    assert eng.lpips_key == "lpips"
+    quant = open(os.path.join(cfg.output_path, "quant.txt")).read()
+    assert "lpips" in quant and "lpips_uncal" not in quant
+
+
 def test_lpips_load_path_parity(tmp_path):
     rng = np.random.default_rng(0)
     keep = {}

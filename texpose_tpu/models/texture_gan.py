@@ -556,15 +556,20 @@ class TextureGANEngine(Engine):
         the rest — the reference's mask-prior acceleration
         (model/nerf_adapt_st_gan.py:652-679) made jit-static."""
         cfg = self.cfg
-        if self.mesh is not None:
-            # cfg.mesh active → ray-axis shard_map over the device mesh
-            # (SURVEY §2c "sequence"=rays; parallel/mesh.py); every chip
-            # renders an H·W shard of the frame
-            return self._render_frame_st_sharded(frame, latent_trans,
-                                                 latent_light, masked)
         obj = np.asarray(frame["obj_mask"]).reshape(-1)
         coverage = float((obj > 0).mean())
         chunk = int(cfg.nerf.rand_rays)
+        if self.mesh is not None:
+            # cfg.mesh active → ray-axis shard_map over the device mesh
+            # (SURVEY §2c "sequence"=rays; parallel/mesh.py).  With sparse
+            # object coverage the BUCKETED object-ray set shards (each chip
+            # renders a slice of the padded index set, not of H·W) —
+            # multi-chip eval stays strictly cheaper than single-chip.
+            if masked and 0 < coverage < 0.5:
+                return self._render_frame_st_sharded_masked(
+                    frame, latent_trans, latent_light, obj, chunk)
+            return self._render_frame_st_sharded(frame, latent_trans,
+                                                 latent_light, masked)
         if masked and 0 < coverage < 0.5:
             from .render import (masked_ray_indices, render_rays_masked_st,
                                  scatter_masked_st)
@@ -602,6 +607,37 @@ class TextureGANEngine(Engine):
                                 frame["intr"], frame["z_near"],
                                 frame["z_far"], latent_trans, latent_light,
                                 obj_mask)
+
+    def _render_frame_st_sharded_masked(self, frame, latent_trans,
+                                        latent_light, obj, chunk):
+        """Multi-chip masked render: the padded object-ray index set shards
+        over the mesh (parallel.render_masked_nerf_st_sharded); defaults
+        fill the background exactly like the single-chip bucketed path."""
+        cfg = self.cfg
+        from ..parallel import (masked_ray_indices_sharded,
+                                render_masked_nerf_st_sharded)
+        from .render import scatter_masked_st
+        idx_p, _n = masked_ray_indices_sharded(obj, chunk,
+                                               self.mesh.shape["dp"])
+        cachekey = ("sharded_masked", len(idx_p))
+        if not hasattr(self, "_render_jits"):
+            self._render_jits = {}
+        if cachekey not in self._render_jits:
+            mesh = self.mesh
+
+            @jax.jit
+            def fn(params, pose, intr, z_near, z_far, lt, ll, idx):
+                return render_masked_nerf_st_sharded(
+                    mesh, params, cfg, pose, intr, z_near, z_far, lt, ll,
+                    jax.random.PRNGKey(0), idx, progress=jnp.asarray(1.0),
+                    compute_dtype=_compute_dtype(cfg), chunk=chunk)
+            self._render_jits[cachekey] = fn
+        out = self._render_jits[cachekey](
+            self.state["params"]["nerf"], frame["pose"], frame["intr"],
+            frame["z_near"], frame["z_far"], latent_trans, latent_light,
+            jnp.asarray(idx_p))
+        return scatter_masked_st(cfg, out, jnp.asarray(idx_p), _n,
+                                 (frame["obj_mask"] > 0).astype(jnp.float32))
 
     def _render_frame_st_sharded(self, frame, latent_trans, latent_light,
                                  masked=True):

@@ -108,6 +108,61 @@ def render_full_nerf_sharded(mesh, params, cfg, pose, intr, z_near, z_far,
     return _sharded_full_render(body, mesh, axis, cfg, chunk)
 
 
+def masked_ray_indices_sharded(obj_mask, chunk, n_shards):
+    """Host-side: object-ray indices padded so each of the n_shards gets an
+    equal, chunk-divisible slice (the power-of-two bucketing of
+    models.render.masked_ray_indices is preserved for power-of-two meshes,
+    keeping the jit cache small).
+
+    obj_mask [HW] → (idx [P] int32 with P % (chunk·n_shards) == 0, n_valid).
+    """
+    from ..models.render import masked_ray_indices
+    idx_p, n = masked_ray_indices(obj_mask, chunk)
+    unit = chunk * n_shards
+    total = -(-len(idx_p) // unit) * unit
+    idx_p = np.pad(idx_p, (0, total - len(idx_p)), mode="edge")
+    return idx_p, n
+
+
+def render_masked_nerf_st_sharded(mesh, params, cfg, pose, intr, z_near,
+                                  z_far, latent_trans, latent_light, key,
+                                  ray_idx, progress=None, compute_dtype=None,
+                                  chunk=None, axis="dp"):
+    """Masked multi-chip ST render: the PADDED OBJECT-RAY index set — not
+    H·W — shards over the mesh.  At the reference eval envelope (~10-20%
+    object coverage) the full-frame shard does 5-10× redundant work per
+    chip; sharding the bucketed index set keeps multi-chip eval strictly
+    cheaper than single-chip (the reference's mask-prior acceleration,
+    model/nerf_adapt_st_gan.py:652-679, on the mesh).
+
+    ray_idx [P] from masked_ray_indices_sharded.  Returns dict of [B,P,C]
+    aligned with ray_idx; scatter with models.render.scatter_masked_st.
+    """
+    B = pose.shape[0]
+    chunk = chunk or cfg.nerf.rand_rays
+    n = mesh.shape[axis]
+    per = ray_idx.shape[0] // n
+
+    def per_shard(idx_shard):
+        chunks = idx_shard.reshape(per // chunk, chunk)
+
+        def body(ci):
+            idx = jnp.broadcast_to(ci[None], (B, chunk))
+            out = render_rays_nerf_st(params, cfg, pose, intr, idx, z_near,
+                                      z_far, latent_trans, latent_light,
+                                      key, progress, mode="eval",
+                                      compute_dtype=compute_dtype)
+            return {k: v for k, v in out.items() if v.ndim == 3}
+
+        out = jax.lax.map(body, chunks)
+        return {k: jnp.moveaxis(v, 0, 1).reshape(v.shape[1], -1, v.shape[-1])
+                for k, v in out.items()}
+
+    shard_fn = jax.shard_map(per_shard, mesh=mesh, in_specs=P(axis),
+                             out_specs=P(None, axis), check_vma=False)
+    return shard_fn(ray_idx)
+
+
 def render_full_nerf_st_sharded(mesh, params, cfg, pose, intr, z_near, z_far,
                                 latent_trans, latent_light, key,
                                 progress=None, compute_dtype=None,
