@@ -770,7 +770,11 @@ class TextureGANEngine(Engine):
         test_path = cfg.render.get("save_path") or os.path.join(
             cfg.output_path, f"test_view_{ckpt_num}")
         os.makedirs(test_path, exist_ok=True)
-        rng = np.random.default_rng(0)
+        # render.eval_seed varies the anchor protocol's random pick
+        # (reference :487-502 draws from the global torch RNG; repeated
+        # evals there see different picks — this knob lets harnesses
+        # average that pick noise instead of freezing one draw)
+        rng = np.random.default_rng(int(cfg.render.get("eval_seed", 0) or 0))
         rows = []
         raw_hw = getattr(self.eval_data, "raw_hw", None)
         light_mode = cfg.render.get("light", "anchor")

@@ -167,14 +167,23 @@ def run_variant(cache, name, overrides, iters, eval_at, seed=0):
         done = it + K
         if mi < len(marks) and done >= marks[mi]:
             ev = eng.evaluate_full()    # config-default latent protocol
-            # secondary: the reference's random-pick anchor protocol
-            # (:487-502) — fragile to single-latent drift; kept for
-            # comparison
-            prev = eng.cfg.render.get("light", "topk_mean")
-            eng.cfg.render.light = "anchor"
-            eva = eng.evaluate_full()
-            eng.cfg.render.light = prev
-            ev["psnr_anchor"], ev["ssim_anchor"] = eva["psnr"], eva["ssim"]
+            # the eval-latent protocol is a RENDER-TIME choice, so every
+            # candidate can be measured on the SAME training run: the
+            # reference's random-pick anchor (:487-502, fragile to
+            # single-latent drift), whole-table mean, and topk_mean at a
+            # wider k (averaging more neighbors dilutes one drifted latent)
+            prev_light = eng.cfg.render.get("light", "topk_mean")
+            prev_k = int(eng.cfg.render.N_candidate)
+            for tag, light, k in (("anchor", "anchor", prev_k),
+                                  ("mean", "mean", prev_k),
+                                  ("topk8", "topk_mean", 8)):
+                eng.cfg.render.light = light
+                eng.cfg.render.N_candidate = k
+                e2 = eng.evaluate_full()
+                ev[f"psnr_{tag}"], ev[f"ssim_{tag}"] = e2["psnr"], e2["ssim"]
+            eng.cfg.render.light = prev_light
+            eng.cfg.render.N_candidate = prev_k
+            eva = {"psnr": ev["psnr_anchor"], "ssim": ev["ssim_anchor"]}
             # a mark fires at the first dispatch boundary >= the nominal
             # step; record the REAL step count so horizons aren't
             # mislabeled when scan_k doesn't divide the mark
@@ -213,22 +222,30 @@ def main():
             table[name][seed] = run_variant(cache, name, VARIANTS[name],
                                             g_iters, eval_at, seed=seed)
 
-    def _means(rows_by_seed):
-        """mark -> mean psnr across seeds."""
+    def _means(rows_by_seed, field="psnr"):
+        """mark -> mean <field> across seeds."""
         marks = [m for m, _ in next(iter(rows_by_seed.values()))]
-        return {m: float(np.mean([dict(rows)[m]["psnr"]
+        return {m: float(np.mean([dict(rows)[m][field]
                                   for rows in rows_by_seed.values()]))
                 for m in marks}
+
+    PROTOCOLS = ("psnr", "psnr_anchor", "psnr_mean", "psnr_topk8")
 
     print("\n=== SUMMARY (psnr by real step; mean over "
           f"{len(seeds)} seed(s)) ===", flush=True)
     for name, rows_by_seed in table.items():
-        mean = _means(rows_by_seed)
-        cells = "  ".join(f"@{m}: {v:.2f}" for m, v in mean.items())
-        per_seed = "; ".join(
-            f"s{s}: " + "/".join(f"{ev['psnr']:.2f}" for _, ev in rows)
-            for s, rows in rows_by_seed.items())
-        print(f"{name:12s} {cells}   [{per_seed}]", flush=True)
+        for field in PROTOCOLS:
+            try:
+                mean = _means(rows_by_seed, field)
+            except KeyError:
+                continue
+            cells = "  ".join(f"@{m}: {v:.2f}" for m, v in mean.items())
+            per_seed = "; ".join(
+                f"s{s}: " + "/".join(f"{dict(rows)[m][field]:.2f}"
+                                     for m in sorted(dict(rows)))
+                for s, rows in rows_by_seed.items())
+            print(f"{name:10s} {field:12s} {cells}   [{per_seed}]",
+                  flush=True)
 
     # driver-visible quality artifact: per-variant per-seed psnr/ssim by
     # horizon; the long-horizon gates evaluate the MEAN across seeds of the
@@ -251,6 +268,22 @@ def main():
                                  for m, v in _means(rbs).items()}
                           for name, rbs in table.items()},
         }
+        # per-protocol seed-mean gates on the first (shipped-defaults)
+        # variant: which render-time latent protocol survives 20k steps
+        proto_gates = {}
+        for field in PROTOCOLS:
+            try:
+                bm = _means(table[names[0]], field)
+            except KeyError:
+                continue
+            g = {"mean_psnr": {str(m): round(v, 4) for m, v in bm.items()}}
+            if {2000, 10000} <= set(bm):
+                g["gate_10k_ge_2k"] = bool(bm[10000] >= bm[2000])
+            if {10000, 20000} <= set(bm):
+                g["gate_20k_ge_10k_minus_1db"] = bool(
+                    bm[20000] >= bm[10000] - 1.0)
+            proto_gates[field] = g
+        out["protocol_gates"] = proto_gates
         by_mark = _means(table[names[0]])
         if {2000, 10000} <= set(by_mark):
             out["gate_10k_ge_2k"] = bool(by_mark[10000] >= by_mark[2000])
