@@ -111,9 +111,10 @@ def _forward_core(refs, min_uncert):
                 tri_s=tri_s)
 
 
-def _fwd_kernel(min_uncert, *refs):
-    ins, out_ref = refs[:-1], refs[-1]
-    f = _forward_core([r[...] for r in ins], min_uncert)
+def _fwd_cols(f, min_uncert):
+    """Packed [TR, 16] forward columns from _forward_core intermediates —
+    shared by the plane/flat pallas kernels here and the fused
+    field+composite mega-kernel (fused_st_render.py)."""
 
     def rsum(x):
         return jnp.sum(x, axis=1, keepdims=True)
@@ -132,16 +133,14 @@ def _fwd_kernel(min_uncert, *refs):
     cols.append(rsum(f["u"] * f["pt"]) + min_uncert)     # uncert
     cols.append(rsum(f["dens_t"]))                       # trans-reg numerator
     cols.append(jnp.zeros_like(cols[0]))                 # pad
-    out_ref[...] = jnp.concatenate(cols, axis=1)
+    return jnp.concatenate(cols, axis=1)
 
 
-def _bwd_kernel(min_uncert, *refs):
-    ins = refs[:12]                                      # 11 planes + g
-    tri_refs = refs[12:14]
-    outs = refs[14:]                                     # 8 grad planes
-    g = ins[11][...]                                     # [TR, 16]
-    f = _forward_core([r[...] for r in ins[:11]] + [t[...] for t in tri_refs],
-                      min_uncert)
+def _bwd_cols(f, g, t3_plane, t4_plane):
+    """Closed-form composite VJP from _forward_core intermediates and the
+    packed [TR,16] cotangent: returns (d_rgb_cols [3×(TR,N)],
+    d_tr_cols [5×(TR,N)]) — the raw-output gradients.  Shared by the
+    plane/flat kernels and the mega-kernel."""
 
     def col(i):
         return g[:, i:i + 1]                             # [TR,1] broadcast
@@ -149,26 +148,25 @@ def _bwd_kernel(min_uncert, *refs):
     g_rgb = [col(0), col(1), col(2)]
     g_rgbs = [col(3), col(4), col(5)]
     g_rgbt = [col(6), col(7), col(8)]
-    g_depth = col(9)
     g_op = col(10)
-    g_ops = col(11)
     g_opt = col(12)
     g_unc = col(13)
     g_treg = col(14)
 
     cs, ct = f["cs"], f["ct"]
     ps, pt, p, ws, wt = f["ps"], f["pt"], f["p"], f["ws"], f["wt"]
-    T, T_s, T_t = f["T"], f["T_s"], f["T_t"]
-    a_s, a_t, a = f["a_s"], f["a_t"], f["a"]
-    dist, depth, u = f["dist"], f["depth"], f["u"]
+    T, T_t = f["T"], f["T_t"]
+    dist, u = f["dist"], f["u"]
     tri_s = f["tri_s"]
 
+    d_rgb_cols = []
+    d_tr_cols = []
     # --- color grads (through sigmoid) ---
     for c in range(3):
         dcs = ps * g_rgb[c] + ws * g_rgbs[c]
-        outs[c][...] = dcs * cs[c] * (1.0 - cs[c])       # d rgb_raw_c
+        d_rgb_cols.append(dcs * cs[c] * (1.0 - cs[c]))   # d rgb_raw_c
         dct = pt * g_rgb[c] + wt * g_rgbt[c]
-        outs[3 + c][...] = dct * ct[c] * (1.0 - ct[c])   # d trans_raw_c
+        d_tr_cols.append(dct * ct[c] * (1.0 - ct[c]))    # d trans_raw_c
 
     # --- transient density grad (traw3) ---
     # per-sample coefficients multiplying ps / pt / wt / p in the scalar loss
@@ -183,10 +181,32 @@ def _bwd_kernel(min_uncert, *refs):
     d_sdt = d_sdt - _mm(F_ps * ps + F_pt * pt + F_p * p, tri_s)  # through T
     d_sdt = d_sdt - _mm(F_wt * wt, tri_s)                        # through T_t
     # d sdt/d traw3 = dist * softplus'(traw3) = dist * sigmoid(traw3)
-    outs[6][...] = (d_sdt * dist + g_treg) * _sigmoid(ins[6][...])
+    d_tr_cols.append((d_sdt * dist + g_treg) * _sigmoid(t3_plane))
 
     # --- uncertainty grad (traw4) ---
-    outs[7][...] = pt * g_unc * _sigmoid(ins[7][...])
+    d_tr_cols.append(pt * g_unc * _sigmoid(t4_plane))
+    return d_rgb_cols, d_tr_cols
+
+
+def _fwd_kernel(min_uncert, *refs):
+    ins, out_ref = refs[:-1], refs[-1]
+    f = _forward_core([r[...] for r in ins], min_uncert)
+    out_ref[...] = _fwd_cols(f, min_uncert)
+
+
+def _bwd_kernel(min_uncert, *refs):
+    ins = refs[:12]                                      # 11 planes + g
+    tri_refs = refs[12:14]
+    outs = refs[14:]                                     # 8 grad planes
+    g = ins[11][...]                                     # [TR, 16]
+    f = _forward_core([r[...] for r in ins[:11]] + [t[...] for t in tri_refs],
+                      min_uncert)
+    d_rgb_cols, d_tr_cols = _bwd_cols(f, g, ins[6][...], ins[7][...])
+    for c in range(3):
+        outs[c][...] = d_rgb_cols[c]
+        outs[3 + c][...] = d_tr_cols[c]
+    outs[6][...] = d_tr_cols[3]
+    outs[7][...] = d_tr_cols[4]
 
 
 def _row_spec(tile, c):
@@ -319,25 +339,7 @@ def _fwd_kernel_flat(min_uncert, N, rgb_ref, tr_ref, dens_ref, dist_ref,
               + _flat_planes(dens_ref, None, 1, TR, N)
               + [dist_ref[...], depth_ref[...], tri_e[...], tri_s[...]])
     f = _forward_core(planes, min_uncert)
-
-    def rsum(x):
-        return jnp.sum(x, axis=1, keepdims=True)
-
-    cols = []
-    for c in range(3):
-        cols.append(rsum(f["ps"] * f["cs"][c] + f["pt"] * f["ct"][c]))
-    for c in range(3):
-        cols.append(rsum(f["ws"] * f["cs"][c]))
-    for c in range(3):
-        cols.append(rsum(f["wt"] * f["ct"][c]))
-    cols.append(rsum(f["ws"] * f["depth"]))
-    cols.append(rsum(f["p"]))
-    cols.append(rsum(f["ws"]))
-    cols.append(rsum(f["wt"]))
-    cols.append(rsum(f["u"] * f["pt"]) + min_uncert)
-    cols.append(rsum(f["dens_t"]))
-    cols.append(jnp.zeros_like(cols[0]))
-    out_ref[...] = jnp.concatenate(cols, axis=1)
+    out_ref[...] = _fwd_cols(f, min_uncert)
 
 
 def _bwd_kernel_flat(min_uncert, N, rgb_ref, tr_ref, dens_ref, dist_ref,
@@ -349,47 +351,7 @@ def _bwd_kernel_flat(min_uncert, N, rgb_ref, tr_ref, dens_ref, dist_ref,
               + _flat_planes(dens_ref, None, 1, TR, N)
               + [dist_ref[...], depth_ref[...], tri_e[...], tri_s[...]])
     f = _forward_core(planes, min_uncert)
-    g = g_ref[...]
-
-    def col(i):
-        return g[:, i:i + 1]
-
-    g_rgb = [col(0), col(1), col(2)]
-    g_rgbs = [col(3), col(4), col(5)]
-    g_rgbt = [col(6), col(7), col(8)]
-    g_depth = col(9)
-    g_op = col(10)
-    g_ops = col(11)
-    g_opt = col(12)
-    g_unc = col(13)
-    g_treg = col(14)
-
-    cs, ct = f["cs"], f["ct"]
-    ps, pt, p, ws, wt = f["ps"], f["pt"], f["p"], f["ws"], f["wt"]
-    T, T_s, T_t = f["T"], f["T_s"], f["T_t"]
-    dist, depth, u = f["dist"], f["depth"], f["u"]
-    tri_s_v = f["tri_s"]
-
-    d_rgb_cols = []
-    d_tr_cols = []
-    for c in range(3):
-        dcs = ps * g_rgb[c] + ws * g_rgbs[c]
-        d_rgb_cols.append(dcs * cs[c] * (1.0 - cs[c]))
-        dct = pt * g_rgb[c] + wt * g_rgbt[c]
-        d_tr_cols.append(dct * ct[c] * (1.0 - ct[c]))
-
-    F_ps = sum(cs[c] * g_rgb[c] for c in range(3))
-    F_pt = sum(ct[c] * g_rgb[c] for c in range(3)) + u * g_unc
-    F_wt = sum(ct[c] * g_rgbt[c] for c in range(3)) + g_opt
-    F_p = g_op
-    d_sdt = F_pt * T * f["e_t"] + F_wt * T_t * f["e_t"] + F_p * T * f["e"]
-    d_sdt = d_sdt - _mm(F_ps * ps + F_pt * pt + F_p * p, tri_s_v)
-    d_sdt = d_sdt - _mm(F_wt * wt, tri_s_v)
-    t3_plane = planes[6]
-    t4_plane = planes[7]
-    d_tr_cols.append((d_sdt * dist + g_treg) * _sigmoid(t3_plane))
-    d_tr_cols.append(pt * g_unc * _sigmoid(t4_plane))
-
+    d_rgb_cols, d_tr_cols = _bwd_cols(f, g_ref[...], planes[6], planes[7])
     drgb_ref[...] = _flat_store(d_rgb_cols, p3_ref, 3, TR, N)
     dtr_ref[...] = _flat_store(d_tr_cols, p5_ref, 5, TR, N)
 
@@ -509,6 +471,14 @@ def fused_composite_st(rgb_raw, trans_raw, dens_raw, depth_samples, ray,
                       bool(interpret))
         packed = op(r0, r1, r2, t0, t1, t2, t3, t4,
                     jax.lax.stop_gradient(dens), dist, d)
+
+    return packed_to_dict(packed, B, R, N)
+
+
+def packed_to_dict(packed, B, R, N):
+    """Unpack the [BR,16] composite buffer into the render dict (shared by
+    fused_composite_st and the field+composite mega-kernel)."""
+    BR = B * R
 
     def out(lo, hi):
         return packed[:, lo:hi].reshape(B, R, hi - lo)

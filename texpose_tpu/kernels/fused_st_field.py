@@ -657,82 +657,9 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed, split,
                                     w_pack=w_pack, split=split)
         g_rgb = g_rgb_ref[sl, :].astype(jnp.float32)
         g_tr = g_trans_ref[sl, :].astype(jnp.float32)
-
-        def r_slot(li):
-            return li + 1 if (split and li >= 1) else li
-
-        t_base = nR + nr
-        if packed:
-            # both tiny-N final layers in ONE dW issue + ONE dX issue on the
-            # block-diagonal packing (off-diagonal dW blocks are grads of
-            # structural zeros — discarded)
-            Fr = wr[nr - 1].shape[0]
-            Cr = wr[nr - 1].shape[1]
-            g_pack = jnp.concatenate([g_rgb, g_tr], axis=-1)
-            dwp = _dot_t1(acts["x_pack"].astype(cdtype),
-                          g_pack.astype(cdtype))
-            scratch[r_slot(nr - 1)][...] += dwp[:Fr, :Cr]
-            scratch[nR + nr - 1][...] += jnp.sum(g_rgb, axis=0,
-                                                 keepdims=True)
-            scratch[t_base + nt - 1][...] += dwp[Fr:, Cr:]
-            scratch[t_base + nt + nt - 1][...] += jnp.sum(g_tr, axis=0,
-                                                          keepdims=True)
-            dx = _dot_t2(g_pack.astype(cdtype), w_pack[...])
-            g_rgb = dx[:, :Fr] * (acts[f"rz{nr-2}"] > 0)
-            g_tr = dx[:, Fr:] * (acts[f"tz{nt-2}"] > 0)
-            start_r, start_t = nr - 2, nt - 2
-        else:
-            start_r, start_t = nr - 1, nt - 1
-
-        # ---- rgb head backward ----
-        g = g_rgb
-        hs = [acts.get("a0")] + [jnp.maximum(acts[f"rz{k}"], 0.0)
-                                 for k in range(nr - 1)]
-        for li in range(start_r, 0, -1):
-            scratch[r_slot(li)][...] += _dot_t1(hs[li].astype(cdtype),
-                                                g.astype(cdtype))
-            scratch[nR + li][...] += jnp.sum(g, axis=0, keepdims=True)
-            g = _dot_t2(g.astype(cdtype), wr[li][...])
-            g = g * (acts[f"rz{li-1}"] > 0)
-        # layer 0: g is dz0
-        scratch[nR][...] += jnp.sum(g, axis=0, keepdims=True)      # bias
-        if split:
-            scratch[0][...] += _dot_t1(feat.astype(cdtype),
-                                       g.astype(cdtype))
-            scratch[1][...] += _dot_t1(rayenc.astype(cdtype),
-                                       g.astype(cdtype))
-            # d_latent = per-image row-sum of dz0, finished in XLA
-            dz0_rgb = g
-            dlight = jnp.sum(g, axis=0, keepdims=True)             # [1,O]
-        else:
-            scratch[0][...] += _dot_t1(hs[0].astype(cdtype),
-                                       g.astype(cdtype))
-            g = _dot_t2(g.astype(cdtype), wr[0][...])
-            off = feat.shape[1] + rayenc.shape[1] + pts.shape[1]
-            dlight = jnp.sum(g[:, off:], axis=0, keepdims=True)   # [1,48]
-
-        # ---- transient head backward ----
-        g = g_tr
-        hs = [acts.get("t0")] + [jnp.maximum(acts[f"tz{k}"], 0.0)
-                                 for k in range(nt - 1)]
-        for li in range(start_t, 0, -1):
-            scratch[t_base + li][...] += _dot_t1(hs[li].astype(cdtype),
-                                                 g.astype(cdtype))
-            scratch[t_base + nt + li][...] += jnp.sum(g, axis=0,
-                                                      keepdims=True)
-            g = _dot_t2(g.astype(cdtype), wt[li][...])
-            g = g * (acts[f"tz{li-1}"] > 0)
-        scratch[t_base + nt][...] += jnp.sum(g, axis=0, keepdims=True)
-        if split:
-            scratch[t_base][...] += _dot_t1(feat.astype(cdtype),
-                                            g.astype(cdtype))
-            dz0_tr = g
-            dtrans = jnp.sum(g, axis=0, keepdims=True)             # [1,O]
-        else:
-            scratch[t_base][...] += _dot_t1(hs[0].astype(cdtype),
-                                            g.astype(cdtype))
-            g = _dot_t2(g.astype(cdtype), wt[0][...])
-            dtrans = jnp.sum(g[:, feat.shape[1]:], axis=0, keepdims=True)
+        dz0_rgb, dz0_tr, dlight, dtrans = _heads_bwd_subtile(
+            acts, feat, rayenc, pts, g_rgb, g_tr, wr, br, wt, bt, w_pack,
+            scratch, nr, nt, cdtype, split, packed)
 
         if fullblock and img is None:
             # per-image latent grads: subtile-resolved row sums of dz0
@@ -753,6 +680,95 @@ def _bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed, split,
     def _():
         for o, s in zip(outs, scratch):
             o[...] = s[...]
+
+
+def _heads_bwd_subtile(acts, feat, rayenc, pts, g_rgb, g_tr, wr, br, wt, bt,
+                       w_pack, scratch, nr, nt, cdtype, split, packed):
+    """Backward of both heads for ONE compute subtile: accumulates dW/db
+    into the VMEM scratch slots (the _run_bwd output layout) and returns
+    (dz0_rgb, dz0_tr, dlight, dtrans) — the layer-0 cotangents (split mode;
+    None otherwise) and this subtile's latent-grad row-sums.  Shared by
+    the ST-field bwd kernel and the field+composite mega-kernel
+    (fused_st_render.py)."""
+    nR = nr + 1 if split else nr
+
+    def r_slot(li):
+        return li + 1 if (split and li >= 1) else li
+
+    t_base = nR + nr
+    dz0_rgb = dz0_tr = None
+    if packed:
+        # both tiny-N final layers in ONE dW issue + ONE dX issue on the
+        # block-diagonal packing (off-diagonal dW blocks are grads of
+        # structural zeros — discarded)
+        Fr = wr[nr - 1].shape[0]
+        Cr = wr[nr - 1].shape[1]
+        g_pack = jnp.concatenate([g_rgb, g_tr], axis=-1)
+        dwp = _dot_t1(acts["x_pack"].astype(cdtype),
+                      g_pack.astype(cdtype))
+        scratch[r_slot(nr - 1)][...] += dwp[:Fr, :Cr]
+        scratch[nR + nr - 1][...] += jnp.sum(g_rgb, axis=0,
+                                             keepdims=True)
+        scratch[t_base + nt - 1][...] += dwp[Fr:, Cr:]
+        scratch[t_base + nt + nt - 1][...] += jnp.sum(g_tr, axis=0,
+                                                      keepdims=True)
+        dx = _dot_t2(g_pack.astype(cdtype), w_pack[...])
+        g_rgb = dx[:, :Fr] * (acts[f"rz{nr-2}"] > 0)
+        g_tr = dx[:, Fr:] * (acts[f"tz{nt-2}"] > 0)
+        start_r, start_t = nr - 2, nt - 2
+    else:
+        start_r, start_t = nr - 1, nt - 1
+
+    # ---- rgb head backward ----
+    g = g_rgb
+    hs = [acts.get("a0")] + [jnp.maximum(acts[f"rz{k}"], 0.0)
+                             for k in range(nr - 1)]
+    for li in range(start_r, 0, -1):
+        scratch[r_slot(li)][...] += _dot_t1(hs[li].astype(cdtype),
+                                            g.astype(cdtype))
+        scratch[nR + li][...] += jnp.sum(g, axis=0, keepdims=True)
+        g = _dot_t2(g.astype(cdtype), wr[li][...])
+        g = g * (acts[f"rz{li-1}"] > 0)
+    # layer 0: g is dz0
+    scratch[nR][...] += jnp.sum(g, axis=0, keepdims=True)      # bias
+    if split:
+        scratch[0][...] += _dot_t1(feat.astype(cdtype),
+                                   g.astype(cdtype))
+        scratch[1][...] += _dot_t1(rayenc.astype(cdtype),
+                                   g.astype(cdtype))
+        # d_latent = per-image row-sum of dz0, finished in XLA
+        dz0_rgb = g
+        dlight = jnp.sum(g, axis=0, keepdims=True)             # [1,O]
+    else:
+        scratch[0][...] += _dot_t1(hs[0].astype(cdtype),
+                                   g.astype(cdtype))
+        g = _dot_t2(g.astype(cdtype), wr[0][...])
+        off = feat.shape[1] + rayenc.shape[1] + pts.shape[1]
+        dlight = jnp.sum(g[:, off:], axis=0, keepdims=True)   # [1,48]
+
+    # ---- transient head backward ----
+    g = g_tr
+    hs = [acts.get("t0")] + [jnp.maximum(acts[f"tz{k}"], 0.0)
+                             for k in range(nt - 1)]
+    for li in range(start_t, 0, -1):
+        scratch[t_base + li][...] += _dot_t1(hs[li].astype(cdtype),
+                                             g.astype(cdtype))
+        scratch[t_base + nt + li][...] += jnp.sum(g, axis=0,
+                                                  keepdims=True)
+        g = _dot_t2(g.astype(cdtype), wt[li][...])
+        g = g * (acts[f"tz{li-1}"] > 0)
+    scratch[t_base + nt][...] += jnp.sum(g, axis=0, keepdims=True)
+    if split:
+        scratch[t_base][...] += _dot_t1(feat.astype(cdtype),
+                                        g.astype(cdtype))
+        dz0_tr = g
+        dtrans = jnp.sum(g, axis=0, keepdims=True)             # [1,O]
+    else:
+        scratch[t_base][...] += _dot_t1(hs[0].astype(cdtype),
+                                        g.astype(cdtype))
+        g = _dot_t2(g.astype(cdtype), wt[0][...])
+        dtrans = jnp.sum(g[:, feat.shape[1]:], axis=0, keepdims=True)
+    return dz0_rgb, dz0_tr, dlight, dtrans
 
 
 # --------------------------------------------------------------- pallas_call
@@ -993,9 +1009,14 @@ def _run_bwd(feat, ray_enc, pts, light_rows, trans_rows, rgb_w, rgb_b,
       *rgb_wc, *rgb_b, *tr_wc, *tr_b, *pack)
     if not split:
         return outs
-    # XLA assembly back to the original parameter layout: the latent
-    # blocks' dW rows and the [B,Dl]/[B,Dt] latent grads both fall out of
-    # the per-image dz0 row-sums (d_lrow/d_trow, the last two outputs)
+    return _finish_split(outs, light_rows, trans_rows, w_l, w_t, nr, nt)
+
+
+def _finish_split(outs, light_rows, trans_rows, w_l, w_t, nr, nt):
+    """XLA assembly back to the original parameter layout (split mode):
+    the latent blocks' dW rows and the [B,Dl]/[B,Dt] latent grads both
+    fall out of the per-image dz0 row-sums (d_lrow/d_trow, the last two
+    outputs).  Shared by _run_bwd and the mega-kernel's bwd."""
     outs = list(outs)
     nR = nr + 1
     d_lrow, d_trow = outs[-2], outs[-1]

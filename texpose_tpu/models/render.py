@@ -30,7 +30,8 @@ from ..geometry.rays import (convert_NDC, pixel_grid,
                              img2cam, cam2world, to_hom)
 from ..nn.fields import (forward_samples_nerf, forward_samples_nerf_st,
                          forward_samples_nerf_st_raw, use_fused_render,
-                         forward_samples_nerf_raw, use_fused_coarse_render)
+                         forward_samples_nerf_raw, use_fused_coarse_render,
+                         use_fused_st_render)
 from ..ops.render import sample_depth, composite, composite_static_transient
 
 
@@ -123,6 +124,15 @@ def render_st_core(params, cfg, center, ray, near, far, latent_trans,
         param=cfg.nerf.depth.param)
     B, R = near.shape
     N = int(cfg.nerf.sample_intvs)
+    if use_fused_st_render(cfg, B, R, N, params):
+        # MEGA path: field + composite in ONE fwd/bwd pallas_call pair —
+        # no raw-output HBM round-trip, two XLA↔Mosaic boundaries per
+        # step instead of four (kernels/fused_st_render.py)
+        from ..nn.fields import forward_st_render
+        return forward_st_render(
+            params, cfg, center, ray, depth_samples, latent_trans,
+            latent_light, cfg.nerf.get("min_uncert", 0.05),
+            progress=progress, compute_dtype=compute_dtype)
     if use_fused_render(cfg, B, R, N):
         from ..kernels.fused_composite import fused_composite_st
         from ..kernels import force_interpret

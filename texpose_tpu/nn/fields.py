@@ -606,6 +606,85 @@ def use_fused_render(cfg, B, R, N):
         return False
 
 
+def use_fused_st_render(cfg, B, R, N, params):
+    """Gate for the field+composite MEGA-kernel (kernels/fused_st_render.py,
+    one fwd/bwd pallas_call pair): the two-kernel fused contract must hold
+    PLUS the mega-only requirements — xext posenc, split heads, ≥2-layer
+    heads, no trunk-fullblock/ILP experiments, and complete rays per
+    compute subtile (mega_layout_ok)."""
+    import os
+    kcfg = cfg.get("kernels", {})
+    knob = kcfg.get("st_mega")
+    if knob is None:
+        knob = os.environ.get("TEXPOSE_ST_MEGA", "1") == "1"
+    if not knob:
+        return False
+    if not use_fused_render(cfg, B, R, N):
+        return False
+    enc_mode = kcfg.get("st_posenc") or os.environ.get(
+        "TEXPOSE_ST_POSENC", "xext")
+    split = kcfg.get("st_split_heads")
+    if split is None:
+        split = os.environ.get("TEXPOSE_ST_SPLIT_HEADS", "1") == "1"
+    if enc_mode != "xext" or not split:
+        return False
+    if kcfg.get("st_trunk_fullblock") or kcfg.get("st_trunk_ilp"):
+        return False
+    if len(params.get("mlp_rgb", ())) < 2 \
+            or len(params.get("mlp_trans", ())) < 2:
+        return False
+    try:
+        from ..kernels.fused_st_render import (fused_st_render_available,
+                                               mega_layout_ok)
+        if not fused_st_render_available():
+            return False
+    except Exception:
+        return False
+    sub_f = kcfg.get("st_subtiles_fwd") or os.environ.get(
+        "TEXPOSE_ST_SUBTILES_FWD", "4")
+    sub_b = kcfg.get("st_subtiles_bwd") or os.environ.get(
+        "TEXPOSE_ST_SUBTILES_BWD", "2")
+    M = B * R * N
+    return mega_layout_ok(_fit_tile(512, R * N), _fit_tile(512, R * N),
+                          int(sub_f), int(sub_b), M, N, R * N)
+
+
+def forward_st_render(params, cfg, center, ray, depth_samples, latent_trans,
+                      latent_light, min_uncert, progress=None,
+                      compute_dtype=None, interpret=False):
+    """Mega-kernel render: field + dual composite in one pallas_call pair
+    (kernels/fused_st_render.py).  Same prep as forward_samples_nerf_st_raw
+    and the same return contract as fused_composite_st."""
+    from ..kernels.fused_st_render import fused_st_render
+    from ..kernels import force_interpret
+    interpret = interpret or force_interpret()
+    pts4 = center[..., None, :] + ray[..., None, :] * depth_samples
+    ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    B, R, N, _ = pts4.shape
+    L3 = cfg.arch.posenc.L_3D
+    pts = pts4.reshape(-1, 3)
+    # per-RAY dirs: encode [B,R,3] and broadcast the ENCODINGS over samples
+    # (see apply_nerf_st_raw)
+    ray_enc = _encode_view(cfg, ray_unit, progress, c2f=True)
+    ray_enc = jnp.broadcast_to(ray_enc[..., None, :],
+                               (B, R, N, ray_enc.shape[-1]))
+    ray_enc = ray_enc.reshape(pts.shape[0], -1)
+    from ..kernels.fused_trunk import _freq
+    aux3 = jnp.stack([_freq(L3, pts.dtype),
+                      _c2f_band_weights(cfg, L3, progress).astype(pts.dtype)])
+    heads = {"mlp_rgb": params["mlp_rgb"], "mlp_trans": params["mlp_trans"]}
+    kcfg = cfg.get("kernels", {})
+    return fused_st_render(
+        pts, ray_enc, latent_light, latent_trans, params["mlp_feat"], heads,
+        aux3, tuple(cfg.arch.skip), L3, R * N, depth_samples, ray,
+        min_uncert=min_uncert,
+        tile_fwd=_fit_tile(512, R * N), tile_bwd=_fit_tile(512, R * N),
+        compute_dtype=compute_dtype or jnp.bfloat16, interpret=interpret,
+        subtiles_fwd=kcfg.get("st_subtiles_fwd"),
+        subtiles_bwd=kcfg.get("st_subtiles_bwd"),
+        packed=kcfg.get("st_pack_heads"))
+
+
 def forward_samples_nerf_st_raw(params, cfg, center, ray, depth_samples,
                                 latent_trans, latent_light, progress=None,
                                 compute_dtype=None, interpret=False):

@@ -82,10 +82,11 @@ def check_st():
     lt = jax.random.normal(k3, (B, cfg.nerf.N_latent_trans)) * 0.1
     ll = jax.random.normal(k3, (B, cfg.nerf.N_latent_light)) * 0.1
 
-    def loss(args, fused):
+    def loss(args, mode):
         heads, lt, ll = args
+        fused = mode != "plain"
         cfg.kernels = {"fused_st": fused, "fused_composite": fused,
-                       "fused_trunk": fused}
+                       "fused_trunk": fused, "st_mega": mode == "mega"}
         p = dict(heads, mlp_feat=params["mlp_feat"])
         out = render_st_core(p, cfg, center, ray, near, far, lt, ll,
                              jax.random.PRNGKey(0), jnp.asarray(1.0),
@@ -95,19 +96,21 @@ def check_st():
             + out["trans_density_mean"] * 1e-3
 
     heads = {k: v for k, v in params.items() if k != "mlp_feat"}
-    for fused in (True, False):
-        tag = "fused" if fused else "plain"
+    res = {}
+    for mode in ("mega", "fused", "plain"):
         v, g = jax.jit(jax.value_and_grad(
-            lambda a: loss(a, fused)))((heads, lt, ll))
+            lambda a: loss(a, mode)))((heads, lt, ll))
         jax.block_until_ready(v)
-        if fused:
-            vf, gf = v, g
-        else:
-            vp, gp = v, g
-        print(f"st {tag}: loss={float(v):.6f}")
-    rv, rg = _rel(vf, vp), _tree_rel(gf, gp)
-    print(f"st fused-vs-plain: value rel={rv:.2e} grad rel={rg:.2e}")
-    return rv < 2e-2 and rg < 5e-2
+        res[mode] = (v, g)
+        print(f"st {mode}: loss={float(v):.6f}")
+    ok = True
+    vp, gp = res["plain"]
+    for mode in ("mega", "fused"):
+        vf, gf = res[mode]
+        rv, rg = _rel(vf, vp), _tree_rel(gf, gp)
+        print(f"st {mode}-vs-plain: value rel={rv:.2e} grad rel={rg:.2e}")
+        ok = ok and rv < 2e-2 and rg < 5e-2
+    return ok
 
 
 if __name__ == "__main__":
