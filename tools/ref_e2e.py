@@ -38,7 +38,10 @@ import shutil
 import sys
 import types
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: the harness environment pre-sets JAX_PLATFORMS=axon (the real
+# TPU tunnel, one client at a time) — setdefault would silently leave the
+# "ours" stage on the TPU, concurrent with whatever else holds the tunnel
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
 
@@ -587,12 +590,23 @@ def main():
             os.symlink(target, p)
 
     stage = os.environ.get("E2E_STAGE", "all")
-    results = {"config": {"pretrain_iters": PRETRAIN_ITERS,
-                          "gan_epochs": GAN_EPOCHS, "n_train": N_TRAIN,
-                          "n_test": N_TEST, "seed": SEED,
-                          "arch_feat": ARCH_FEAT, "rand_rays": RAND_RAYS,
-                          "sample_intvs": SAMPLE_INTVS,
-                          "eval_repeats": EVAL_REPEATS}}
+    # stages ACCUMULATE into JSON_OUT (each ref stage is ~20-30 CPU-min —
+    # a later kill or a staged re-run must not lose completed results)
+    results = {}
+    if os.path.exists(JSON_OUT):
+        with open(JSON_OUT) as f:
+            results = json.load(f)
+    results["config"] = {"pretrain_iters": PRETRAIN_ITERS,
+                         "gan_epochs": GAN_EPOCHS, "n_train": N_TRAIN,
+                         "n_test": N_TEST, "seed": SEED,
+                         "arch_feat": ARCH_FEAT, "rand_rays": RAND_RAYS,
+                         "sample_intvs": SAMPLE_INTVS,
+                         "eval_repeats": EVAL_REPEATS}
+
+    def _dump():
+        with open(JSON_OUT, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {JSON_OUT}", flush=True)
 
     if stage in ("all", "ref", "ref_pretrain"):
         print("=== reference pretrain (real Model.train) ===", flush=True)
@@ -602,11 +616,13 @@ def main():
               f"{results['ref_pretrain']['curve'][-1]:.4f} "
               f"eval PSNR {results['ref_pretrain']['eval_psnr']:.2f}",
               flush=True)
+        _dump()
     if stage in ("all", "ref", "ref_gan"):
         print("=== reference GAN (real Model.train) ===", flush=True)
         results["ref_gan"] = run_ref_gan(workdir, data_root, ref_out)
         print(f"ref gan: final loss {results['ref_gan']['curve'][-1]:.4f} "
               f"eval PSNR {results['ref_gan']['eval_psnr']:.2f}", flush=True)
+        _dump()
     if stage in ("all", "ours"):
         print("=== ours (engine pipeline) ===", flush=True)
         results["ours"] = run_ours(data_root, ours_out)
@@ -615,7 +631,8 @@ def main():
               f"gan eval PSNR {results['ours']['gan_eval_psnr']:.2f}",
               flush=True)
 
-    if stage == "all":
+    if "ref_pretrain" in results and "ref_gan" in results \
+            and "ours" in results:
         dp = abs(results["ref_pretrain"]["eval_psnr"]
                  - results["ours"]["pretrain_eval_psnr"])
         dg = abs(results["ref_gan"]["eval_psnr"]
@@ -628,9 +645,7 @@ def main():
         print(f"Δpretrain {dp:.3f} dB (gate {results['gate_pretrain']}), "
               f"Δgan {dg:.3f} dB (gate {results['gate_gan']})", flush=True)
 
-    with open(JSON_OUT, "w") as f:
-        json.dump(results, f, indent=1)
-    print(f"wrote {JSON_OUT}", flush=True)
+    _dump()
 
 
 if __name__ == "__main__":
