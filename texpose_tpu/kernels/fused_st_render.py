@@ -12,9 +12,10 @@ complete rays at N=64 samples) runs trunk → heads → composite without
 leaving VMEM:
 
   forward:  xext posenc stream → frozen trunk → split heads →
-            in-kernel (S,C)→(S/N, N·C) reshape → permutation-matmul
-            plane extraction (fused_composite._flat_planes form) →
-            dual-density composite → packed [BR,16].
+            per-column (S,1)→(S/N,N) plane reshape (the direct
+            (S,C)→(S/N,N·C) cast is unsupported by Mosaic; see
+            tools/probe_reshape.py) → dual-density composite →
+            packed [BR,16].
             Residuals written: feat [M,256] (cdtype) + dens [M,1] (f32).
   backward: heads recompute from feat, composite recompute + closed-form
             VJP (fused_composite._bwd_cols), d_raw re-interleave, heads
@@ -52,31 +53,26 @@ from .fused_st_field import (
     _build_w_pack, _row_spec, _full_spec)
 from .fused_composite import (
     _forward_core, _fwd_cols, _bwd_cols, _tri_excl, _tri_suffix,
-    _perm_extract, _hi_dot, N_OUT, packed_to_dict)
+    N_OUT, packed_to_dict)
 
 
 def fused_st_render_available():
     return _PALLAS_OK
 
 
-def _planes_v(y, perm_ref, C, N):
-    """Channel planes from a [RS, N·C] interleaved VALUE block (the
-    in-kernel reshape of the [S,C] head output): one exact permutation
-    matmul → C lane-contiguous [RS,N] slices (fused_composite._flat_planes
-    on values instead of refs)."""
-    if C == 1:
-        return [y]
-    z = _hi_dot(y, perm_ref[...])
-    return [z[:, c * N:(c + 1) * N] for c in range(C)]
+def _planes_v(y, C, N):
+    """Per-ray channel planes from the [S,C] head-output VALUE: per column,
+    lane-slice + (S,1)→(S/N,N) reshape.  The direct (S,C)→(S/N,N·C) shape
+    cast is REJECTED by Mosaic's infer-vector-layout; the per-column route
+    lowers cleanly (tools/probe_reshape.py cases A/C, measured on v5e)."""
+    RS = y.shape[0] // N
+    return [y[:, c:c + 1].reshape(RS, N) for c in range(C)]
 
 
-def _store_v(planes, perm_ref, C):
-    """Inverse of _planes_v: C [RS,N] planes → one [RS, N·C] interleaved
-    block via z @ Pᵀ."""
-    z = jnp.concatenate(planes, axis=1)
-    if C == 1:
-        return z
-    return _hi_dot(z, perm_ref[...], (((1,), (1,)), ((), ())))
+def _store_v(planes):
+    """Inverse of _planes_v: C [RS,N] planes → [S,C] flat rows."""
+    S = planes[0].shape[0] * planes[0].shape[1]
+    return jnp.concatenate([p.reshape(S, 1) for p in planes], axis=1)
 
 
 # ------------------------------------------------------------------ forward
@@ -84,7 +80,7 @@ def _store_v(planes, perm_ref, C):
 def _mega_fwd_kernel(skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
                      packed, N, min_uncert,
                      enc_ref, light_ref, trans_ref, xext_ref, dist_ref,
-                     depth_ref, tri_e, tri_s, p3, p5, *refs):
+                     depth_ref, tri_e, tri_s, *refs):
     # weight unpacking mirrors fused_st_field._fwd_kernel (xext + split)
     perm_last = (n_trunk - 1) not in skip
     n_mm = 1 + 2 * len(skip) + (2 if perm_last else 0)
@@ -119,8 +115,7 @@ def _mega_fwd_kernel(skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
             feat, enc_ref[sl, :], None, light, trans, wr, br, wt, bt,
             cdtype, w_pack=w_pack, split=True)
         # ---- composite: 8 complete rays per subtile, all in VMEM ----
-        planes = (_planes_v(rgb_raw.reshape(RS, N * 3), p3, 3, N)
-                  + _planes_v(trans_raw.reshape(RS, N * 5), p5, 5, N)
+        planes = (_planes_v(rgb_raw, 3, N) + _planes_v(trans_raw, 5, N)
                   + [dens.reshape(RS, N), dist_ref[rsl, :],
                      depth_ref[rsl, :], tri_e_v, tri_s_v])
         f = _forward_core(planes, min_uncert)
@@ -145,7 +140,7 @@ def _run_fwd(enc_in, light_in, trans_in, xext, dist, depth, mm_parts,
     in_specs = ([_row_spec(tile, enc_in.shape[1]), _full_spec(),
                  _full_spec(), _row_spec(tile, xext.shape[1]),
                  ray_spec, ray_spec]
-                + [_full_spec()] * (4 + len(mm_parts) + 2 * n_trunk
+                + [_full_spec()] * (2 + len(mm_parts) + 2 * n_trunk
                                     + (nr + 1) + nr + 2 * nt
                                     + (1 if packed else 0)))
     out_specs = (pl.BlockSpec((TRt, N_OUT), lambda i: (i, 0),
@@ -159,7 +154,7 @@ def _run_fwd(enc_in, light_in, trans_in, xext, dist, depth, mm_parts,
         out_shape=out_shape, interpret=interpret,
         compiler_params=_compiler_params(interpret),
     )(enc_in, light_in, trans_in, xext, dist, depth,
-      _tri_excl(N), _tri_suffix(N), _perm_extract(N, 3), _perm_extract(N, 5),
+      _tri_excl(N), _tri_suffix(N),
       *mm_parts, *trunk_wc, *trunk_b, *rgb_wc, *rgb_b, *tr_wc, *tr_b, *pack)
 
 
@@ -168,8 +163,7 @@ def _run_fwd(enc_in, light_in, trans_in, xext, dist, depth, mm_parts,
 def _mega_bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed,
                      N, min_uncert,
                      feat_ref, enc_ref, light_ref, trans_ref, dens_ref,
-                     dist_ref, depth_ref, g_ref, tri_e, tri_s, p3, p5,
-                     *refs):
+                     dist_ref, depth_ref, g_ref, tri_e, tri_s, *refs):
     nR = nr + 1
     wr = ((refs[0], refs[1]),) + tuple(refs[2:nR])
     br = refs[nR:nR + nr]
@@ -206,15 +200,14 @@ def _mega_bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed,
             feat, rayenc, None, light, trans, wr, br, wt, bt, cdtype,
             want_acts=True, w_pack=w_pack, split=True)
         # ---- composite recompute + closed-form VJP, all in VMEM ----
-        planes = (_planes_v(rgb_raw.reshape(RS, N * 3), p3, 3, N)
-                  + _planes_v(trans_raw.reshape(RS, N * 5), p5, 5, N)
+        planes = (_planes_v(rgb_raw, 3, N) + _planes_v(trans_raw, 5, N)
                   + [dens_ref[sl, :].reshape(RS, N), dist_ref[rsl, :],
                      depth_ref[rsl, :], tri_e_v, tri_s_v])
         f = _forward_core(planes, min_uncert)
         d_rgb_cols, d_tr_cols = _bwd_cols(f, g_ref[rsl, :], planes[6],
                                           planes[7])
-        g_rgb = _store_v(d_rgb_cols, p3, 3).reshape(S, 3)
-        g_tr = _store_v(d_tr_cols, p5, 5).reshape(S, 5)
+        g_rgb = _store_v(d_rgb_cols)
+        g_tr = _store_v(d_tr_cols)
         _, _, dlight, dtrans = _heads_bwd_subtile(
             acts, feat, rayenc, None, g_rgb, g_tr, wr, br, wt, bt, w_pack,
             scratch, nr, nt, cdtype, True, packed)
@@ -249,7 +242,7 @@ def _run_bwd(feat, enc_in, light_rows, trans_rows, light_in, trans_in,
                  ray_spec, ray_spec,
                  pl.BlockSpec((TRt, N_OUT), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
-                + [_full_spec()] * (4 + len(rgb_wc) + nr + 2 * nt
+                + [_full_spec()] * (2 + len(rgb_wc) + nr + 2 * nt
                                     + (1 if packed else 0)))
     O = rgb_w[0].shape[1]
     w_shapes = ([(F, O), (E + 3, O)] + [w.shape for w in rgb_w[1:]],
@@ -272,7 +265,7 @@ def _run_bwd(feat, enc_in, light_rows, trans_rows, light_in, trans_in,
         interpret=interpret,
         compiler_params=_compiler_params(interpret),
     )(feat, enc_in, light_in, trans_in, dens, dist, depth, g,
-      _tri_excl(N), _tri_suffix(N), _perm_extract(N, 3), _perm_extract(N, 5),
+      _tri_excl(N), _tri_suffix(N),
       *rgb_wc, *rgb_b, *tr_wc, *tr_b, *pack)
     return _finish_split(outs, light_rows, trans_rows, w_l, w_t, nr, nt)
 

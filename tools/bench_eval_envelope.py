@@ -1,0 +1,139 @@
+"""Rehearse the reference's REAL eval envelope: a ~1869-frame 480x640
+syn2real test split (reference README.md:49-64 — the LineMOD Duck test set)
+streamed through evaluate_full end-to-end (per-frame disk load -> device
+transfer -> masked render -> metrics -> PNG dump), timing the whole sweep
+and asserting device memory stays O(1 frame) (models/base.py:105-133
+streaming contract).
+
+Usage:
+  python tools/bench_eval_envelope.py               # full 1869 @ 480x640 (TPU)
+  EVAL_N=8 EVAL_HW=96,128 python tools/bench_eval_envelope.py   # CPU smoke
+
+Writes EVAL_ENVELOPE.json at the repo root:
+  {"frames": N, "wall_s": ..., "views_per_s": ..., "psnr": ...,
+   "peak_hbm_mb": ..., "hbm_delta_mb": ..., "o1_frame_memory": true}
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+EVAL_N = int(os.environ.get("EVAL_N", "1869"))
+HW = tuple(int(x) for x in os.environ.get("EVAL_HW", "480,640").split(","))
+OUT_JSON = os.environ.get("EVAL_JSON", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "EVAL_ENVELOPE.json"))
+
+
+def _mem_mb():
+    """Device memory in use (MB) — TPU backends report memory_stats;
+    CPU returns None (the assertion degrades to wall-clock only)."""
+    import jax
+    stats = jax.local_devices()[0].memory_stats() or {}
+    b = stats.get("bytes_in_use")
+    return None if b is None else b / 1e6
+
+
+def _peak_mb():
+    import jax
+    stats = jax.local_devices()[0].memory_stats() or {}
+    b = stats.get("peak_bytes_in_use")
+    return None if b is None else b / 1e6
+
+
+def main():
+    from texpose_tpu.utils.config import load_yaml, process_options
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+    from texpose_tpu.data.fixture import generate_fixture
+    import jax
+
+    cache = os.path.join(tempfile.gettempdir(), "texpose_bench_fixture_v1")
+    if not os.path.exists(os.path.join(cache, ".done")):
+        os.makedirs(cache, exist_ok=True)
+        generate_fixture(cache, n_train=16, n_test=1, scene="scene_all",
+                         image_scale=1.0, crop_res=128)
+        open(os.path.join(cache, ".done"), "w").close()
+
+    # synthetic long split: cycle the fixture's test entries to EVAL_N lines
+    # in a derived scene dir (same frames on disk — every index still does
+    # the full per-frame disk->device->render->metrics->PNG pipeline)
+    split_src = os.path.join(cache, "splits", "lm", "ball", "scene_all")
+    scene = f"scene_env{EVAL_N}"
+    split_dst = os.path.join(cache, "splits", "lm", "ball", scene)
+    os.makedirs(split_dst, exist_ok=True)
+    test_lines = [ln for ln in open(os.path.join(split_src, "test.txt"))
+                  if ln.strip()]
+    with open(os.path.join(split_dst, "test.txt"), "w") as f:
+        for i in range(EVAL_N):
+            f.write(test_lines[i % len(test_lines)])
+    for name in ("train.txt", "val.txt"):
+        shutil.copy(os.path.join(split_src, name),
+                    os.path.join(split_dst, name))
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_yaml(os.path.join(here, "configs", "nerf_lm_adapt_gan.yaml"))
+    cfg.yaml = "x"
+    cfg = process_options(cfg)
+    cfg.data.root = cache
+    cfg.data.splits_root = os.path.join(cache, "splits")
+    cfg.data.object = "ball"
+    cfg.data.scene = scene
+    cfg.nerf.depth.box_source = "pred_box_init_calib"
+    out_root = os.path.join(tempfile.gettempdir(), "texpose_eval_envelope")
+    shutil.rmtree(out_root, ignore_errors=True)
+    cfg.output_root = out_root
+    cfg.syn2real = True
+    cfg.data.image_size = list(HW)
+    cfg = process_options(cfg)
+    cfg.max_iter = 10
+
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset(eval_split="test", prefetch_train=False)
+    eng.build_networks()
+    eng.setup_optimizer()
+    n = len(eng.eval_data)
+    assert n == EVAL_N, (n, EVAL_N)
+
+    # warm the compile caches on one frame so the sweep times steady-state
+    frame = eng.eval_frame(0)
+    lt = np.zeros((1, cfg.nerf.N_latent_trans), np.float32)
+    ll = np.asarray(eng.state["latents"]["light"][0:1])
+    jax.block_until_ready(eng._render_frame_st(frame, lt, ll)["rgb_static"])
+    eng._eval_cache = (None, None)
+
+    m0 = _mem_mb()
+    t0 = time.perf_counter()
+    res = eng.evaluate_full()
+    wall = time.perf_counter() - t0
+    m1 = _mem_mb()
+    peak = _peak_mb()
+
+    views_s = n / wall
+    delta = None if (m0 is None or m1 is None) else m1 - m0
+    # O(1 frame): the whole sweep may not grow device memory by more than
+    # a generous multiple of one 480x640 frame (~7.4 MB) + jit workspace
+    o1 = delta is None or delta < 512.0
+    out = {"frames": n, "hw": list(HW), "wall_s": round(wall, 2),
+           "views_per_s": round(views_s, 3),
+           "psnr": round(float(res["psnr"]), 3),
+           "mem_before_mb": m0 and round(m0, 1),
+           "mem_after_mb": m1 and round(m1, 1),
+           "hbm_delta_mb": delta and round(delta, 1),
+           "peak_hbm_mb": peak and round(peak, 1),
+           "o1_frame_memory": bool(o1)}
+    print(json.dumps(out), flush=True)
+    with open(OUT_JSON, "w") as f:
+        json.dump(out, f, indent=1)
+    shutil.rmtree(out_root, ignore_errors=True)
+    assert o1, f"device memory grew {delta} MB over the sweep"
+
+
+if __name__ == "__main__":
+    main()
