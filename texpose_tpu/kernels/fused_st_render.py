@@ -69,10 +69,31 @@ def _planes_v(y, C, N):
     return [y[:, c:c + 1].reshape(RS, N) for c in range(C)]
 
 
-def _store_v(planes):
-    """Inverse of _planes_v: C [RS,N] planes → [S,C] flat rows."""
-    S = planes[0].shape[0] * planes[0].shape[1]
-    return jnp.concatenate([p.reshape(S, 1) for p in planes], axis=1)
+def _store_v(planes, e_ref, m_ref):
+    """Inverse of _planes_v: C [RS,N] planes → [S,C] flat rows.
+
+    The direct (RS,N)→(S,1) shape cast FAILS Mosaic's infer-vector-layout
+    when the plane comes from real compute (probe_reshape case E — the
+    A/C round-trip only folded away).  Exact one-hot interleave instead:
+    g_c[s] = rowsum((E @ P_c) * M)[s] = P_c[s//N, s%N], with E [S,RS]
+    ray-one-hot and M [S,N] sample-one-hot passed as kernel inputs.
+    Precision.HIGHEST keeps the K=8 matmul f32-exact (default precision
+    bf16-rounds the grads; probe_reshape2 cases 2/4)."""
+    e, m = e_ref[...], m_ref[...]
+    cols = [jnp.sum(jnp.dot(e, p, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST) * m,
+                    axis=1, keepdims=True) for p in planes]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _interleave_consts(S, N):
+    """numpy one-hot E [S,S//N] / M [S,N] for _store_v (Mosaic: no
+    captured array constants — passed as pallas_call inputs)."""
+    import numpy as np
+    s = np.arange(S)
+    e = (s[:, None] // N == np.arange(S // N)[None, :]).astype(np.float32)
+    m = (s[:, None] % N == np.arange(N)[None, :]).astype(np.float32)
+    return jnp.asarray(e), jnp.asarray(m)
 
 
 # ------------------------------------------------------------------ forward
@@ -163,7 +184,8 @@ def _run_fwd(enc_in, light_in, trans_in, xext, dist, depth, mm_parts,
 def _mega_bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed,
                      N, min_uncert,
                      feat_ref, enc_ref, light_ref, trans_ref, dens_ref,
-                     dist_ref, depth_ref, g_ref, tri_e, tri_s, *refs):
+                     dist_ref, depth_ref, g_ref, tri_e, tri_s, il_e, il_m,
+                     *refs):
     nR = nr + 1
     wr = ((refs[0], refs[1]),) + tuple(refs[2:nR])
     br = refs[nR:nR + nr]
@@ -206,8 +228,8 @@ def _mega_bwd_kernel(nr, nt, B, tiles_per_img, cdtype, subtiles, packed,
         f = _forward_core(planes, min_uncert)
         d_rgb_cols, d_tr_cols = _bwd_cols(f, g_ref[rsl, :], planes[6],
                                           planes[7])
-        g_rgb = _store_v(d_rgb_cols)
-        g_tr = _store_v(d_tr_cols)
+        g_rgb = _store_v(d_rgb_cols, il_e, il_m)
+        g_tr = _store_v(d_tr_cols, il_e, il_m)
         _, _, dlight, dtrans = _heads_bwd_subtile(
             acts, feat, rayenc, None, g_rgb, g_tr, wr, br, wt, bt, w_pack,
             scratch, nr, nt, cdtype, True, packed)
@@ -242,7 +264,7 @@ def _run_bwd(feat, enc_in, light_rows, trans_rows, light_in, trans_in,
                  ray_spec, ray_spec,
                  pl.BlockSpec((TRt, N_OUT), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
-                + [_full_spec()] * (2 + len(rgb_wc) + nr + 2 * nt
+                + [_full_spec()] * (4 + len(rgb_wc) + nr + 2 * nt
                                     + (1 if packed else 0)))
     O = rgb_w[0].shape[1]
     w_shapes = ([(F, O), (E + 3, O)] + [w.shape for w in rgb_w[1:]],
@@ -259,13 +281,18 @@ def _run_bwd(feat, enc_in, light_rows, trans_rows, light_in, trans_in,
                     jax.ShapeDtypeStruct(lat_shapes[1], jnp.float32)])
     out_specs = tuple(_full_spec() for _ in out_shape)
     scratch = [pltpu.VMEM(s.shape, jnp.float32) for s in out_shape]
+    # the bwd's weight-grad scratch + streams + interleave constants need
+    # 17.7M scoped VMEM — just over Mosaic's 16M default (measured OOM on
+    # v5e); raise the budget for THIS call only (v5e has 128M physical)
+    import os as _os
+    bwd_mb = float(_os.environ.get("TEXPOSE_MEGA_BWD_VMEM_MB", "24"))
     outs = pl.pallas_call(
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=tuple(out_shape), scratch_shapes=scratch,
         interpret=interpret,
-        compiler_params=_compiler_params(interpret),
+        compiler_params=_compiler_params(interpret, vmem_limit_mb=bwd_mb),
     )(feat, enc_in, light_in, trans_in, dens, dist, depth, g,
-      _tri_excl(N), _tri_suffix(N),
+      _tri_excl(N), _tri_suffix(N), *_interleave_consts(sub, N),
       *rgb_wc, *rgb_b, *tr_wc, *tr_b, *pack)
     return _finish_split(outs, light_rows, trans_rows, w_l, w_t, nr, nt)
 
