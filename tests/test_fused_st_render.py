@@ -189,3 +189,34 @@ def test_mega_packed_off_matches(key, monkeypatch):
     for k in KEYS:
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                    atol=3e-5, err_msg=k)
+
+
+def test_mega_full_bwd_matches_hybrid(key, monkeypatch):
+    """TEXPOSE_MEGA_FULLBWD=1 (the fully-fused bwd kept for A/B) must
+    produce the same gradients as the default hybrid backward."""
+    cfg = _cfg()
+    B, R, N = 2, 64, 16
+    params = init_nerf_st(key, cfg)
+    center, ray, near, far, lt, ll = _scene(key, B, R)
+    scene = (center, ray, near, far)
+    heads = {k: v for k, v in params.items() if k != "mlp_feat"}
+    monkeypatch.setenv("TEXPOSE_FUSED_INTERPRET", "1")
+    assert use_fused_st_render(cfg, B, R, N, params)
+
+    def loss(h, lt_, ll_):
+        o = _run(dict(h, mlp_feat=params["mlp_feat"]), cfg, scene, lt_, ll_)
+        return ((o["rgb"] ** 2).mean() + (o["rgb_static"] ** 2).mean()
+                + (o["uncert"] ** 2).mean() + o["trans_density_mean"])
+
+    monkeypatch.delenv("TEXPOSE_MEGA_FULLBWD", raising=False)
+    g_hyb = jax.grad(loss, argnums=(0, 1, 2))(heads, lt, ll)
+    monkeypatch.setenv("TEXPOSE_MEGA_FULLBWD", "1")
+    from texpose_tpu.kernels.fused_st_render import _make_op
+    _make_op.cache_clear()          # same static config, new bwd mode
+    g_full = jax.grad(loss, argnums=(0, 1, 2))(heads, lt, ll)
+    _make_op.cache_clear()
+    flat_h = jax.tree_util.tree_leaves(g_hyb)
+    flat_f = jax.tree_util.tree_leaves(g_full)
+    for i, (a, b) in enumerate(zip(flat_f, flat_h)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
+                                   err_msg=f"grad leaf {i}")

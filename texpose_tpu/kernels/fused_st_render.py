@@ -16,12 +16,16 @@ leaving VMEM:
             (S,C)→(S/N,N·C) cast is unsupported by Mosaic; see
             tools/probe_reshape.py) → dual-density composite →
             packed [BR,16].
-            Residuals written: feat [M,256] (cdtype) + dens [M,1] (f32).
-  backward: heads recompute from feat, composite recompute + closed-form
-            VJP (fused_composite._bwd_cols), d_raw re-interleave, heads
-            backward (fused_st_field._heads_bwd_subtile) — dW/db/latent
-            grads accumulate in VMEM scratch; NO per-row gradient ever
-            touches HBM.
+            Residuals written: feat [M,256] (cdtype) + dens [M,1] (f32)
+            + raw head outputs [M,3]/[M,5] (f32, hybrid-bwd residuals).
+  backward (default, HYBRID): the existing composite-bwd and field-bwd
+            kernels chained, identical math to the two-kernel path.
+            Measured on v5e (tools/probe_mega_time.py, scan-chained
+            marginals): mega fwd beats two-kernel fwd by 0.26 ms, but
+            the fully-fused mega bwd (TEXPOSE_MEGA_FULLBWD=1, kept for
+            A/B) loses +2.2 ms — the per-ray composite recompute and
+            one-hot re-interleave serialize on tiny [8,64] tiles inside
+            the row-streamed kernel, so the bwd stays two-kernel.
 
 Hot loop match: reference layers/nerf_static_transient_light.py:76-212
 (field) + :168-212 (composite); the trunk stays frozen (:87-100,236-239)
@@ -99,7 +103,7 @@ def _interleave_consts(S, N):
 # ------------------------------------------------------------------ forward
 
 def _mega_fwd_kernel(skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
-                     packed, N, min_uncert,
+                     packed, N, min_uncert, raw_out,
                      enc_ref, light_ref, trans_ref, xext_ref, dist_ref,
                      depth_ref, tri_e, tri_s, *refs):
     # weight unpacking mirrors fused_st_field._fwd_kernel (xext + split)
@@ -116,7 +120,11 @@ def _mega_fwd_kernel(skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     wt = refs[o + nr:o + nr + nt]
     bt = refs[o + nr + nt:o + nr + 2 * nt]
     w_pack = refs[o + nr + 2 * nt] if packed else None
-    packed_ref, dens_ref, feat_ref = refs[-3:]
+    if raw_out:
+        packed_ref, dens_ref, feat_ref, rgb_out_ref, tr_out_ref = refs[-5:]
+    else:
+        packed_ref, dens_ref, feat_ref = refs[-3:]
+        rgb_out_ref = tr_out_ref = None
 
     S = enc_ref.shape[0] // subtiles
     RS = S // N
@@ -135,6 +143,11 @@ def _mega_fwd_kernel(skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
         rgb_raw, trans_raw = _heads_forward(
             feat, enc_ref[sl, :], None, light, trans, wr, br, wt, bt,
             cdtype, w_pack=w_pack, split=True)
+        if raw_out:
+            # hybrid-bwd residuals: the two-kernel backward consumes the
+            # raw head outputs from HBM (fused_composite bwd recompute)
+            rgb_out_ref[sl, :] = rgb_raw.astype(jnp.float32)
+            tr_out_ref[sl, :] = trans_raw.astype(jnp.float32)
         # ---- composite: 8 complete rays per subtile, all in VMEM ----
         planes = (_planes_v(rgb_raw, 3, N) + _planes_v(trans_raw, 5, N)
                   + [dens.reshape(RS, N), dist_ref[rsl, :],
@@ -146,7 +159,7 @@ def _mega_fwd_kernel(skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
 def _run_fwd(enc_in, light_in, trans_in, xext, dist, depth, mm_parts,
              trunk_wc, trunk_b, rgb_wc, rgb_b, tr_wc, tr_b, pack,
              skip, tile, rows_per_img, N, F, min_uncert, cdtype, subtiles,
-             packed, interpret):
+             packed, interpret, raw_out=False):
     M = xext.shape[0]
     BR = M // N
     TRt = tile // N
@@ -155,7 +168,7 @@ def _run_fwd(enc_in, light_in, trans_in, xext, dist, depth, mm_parts,
     n_trunk, nr, nt = len(trunk_wc), len(rgb_wc) - 1, len(tr_wc)
     kernel = functools.partial(
         _mega_fwd_kernel, skip, nr, nt, n_trunk, tiles_per_img, cdtype,
-        subtiles, packed, N, float(min_uncert))
+        subtiles, packed, N, float(min_uncert), raw_out)
     ray_spec = pl.BlockSpec((TRt, N), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     in_specs = ([_row_spec(tile, enc_in.shape[1]), _full_spec(),
@@ -170,6 +183,10 @@ def _run_fwd(enc_in, light_in, trans_in, xext, dist, depth, mm_parts,
     out_shape = (jax.ShapeDtypeStruct((BR, N_OUT), jnp.float32),
                  jax.ShapeDtypeStruct((M, 1), jnp.float32),
                  jax.ShapeDtypeStruct((M, F), cdtype))
+    if raw_out:
+        out_specs = out_specs + (_row_spec(tile, 3), _row_spec(tile, 5))
+        out_shape = out_shape + (jax.ShapeDtypeStruct((M, 3), jnp.float32),
+                                 jax.ShapeDtypeStruct((M, 5), jnp.float32))
     return pl.pallas_call(
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
@@ -301,13 +318,21 @@ def _run_bwd(feat, enc_in, light_rows, trans_rows, light_in, trans_in,
 
 @functools.lru_cache(maxsize=None)
 def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, N, min_uncert,
-             cdtype, interpret, sub_fwd, sub_bwd, packed):
+             cdtype, interpret, sub_fwd, sub_bwd, packed, full_bwd=False):
     """Differentiable fused ST render for a static config.
 
     f(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3, dist,
       depth) → packed [BR,16].  Gradients flow to heads and the latent
     rows only (frozen trunk; dist/depth enter stop-gradient like the
-    two-kernel composite)."""
+    two-kernel composite).
+
+    Backward modes (scan-chained marginals, tools/probe_mega_time.py on
+    v5e): the fully-fused mega bwd (full_bwd=True) loses +2.2 ms to the
+    two-kernel bwd — the per-ray composite recompute + one-hot
+    re-interleave serialize on tiny [8,64] tiles inside the row-streamed
+    kernel.  Default is the HYBRID: mega fwd (one XLA↔Mosaic boundary,
+    −0.26 ms vs two-kernel fwd) + the existing composite-bwd and
+    field-bwd kernels chained (raw head outputs saved as residuals)."""
 
     def prep(heads, light_rows, trans_rows, pts, ray_enc):
         F = heads["rgb_w"][0].shape[0] - ray_enc.shape[1] - 3 \
@@ -328,7 +353,7 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, N, min_uncert,
         return enc_in, light_in, trans_in, rgb_wc, tr_wc, w_l, w_t, pack
 
     def fwd_only(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3,
-                 dist, depth):
+                 dist, depth, raw_out=False):
         xext = make_xext(pts, L3, aux3[1], cdtype)
         enc_in, light_in, trans_in, rgb_wc, tr_wc, _, _, pack = prep(
             heads, light_rows, trans_rows, pts, ray_enc)
@@ -342,35 +367,64 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, N, min_uncert,
                         mm_parts, trunk_wc, trunk["b"], rgb_wc,
                         heads["rgb_b"], tr_wc, heads["tr_b"], pack,
                         skip, tile_fwd, rows_per_img, N, F, min_uncert,
-                        cdtype, sub_fwd, packed, interpret)
+                        cdtype, sub_fwd, packed, interpret,
+                        raw_out=raw_out)
 
     @jax.custom_vjp
     def op(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3, dist,
            depth):
-        packed_out, _, _ = fwd_only(heads, light_rows, trans_rows, pts,
-                                    ray_enc, trunk, aux3, dist, depth)
+        packed_out = fwd_only(heads, light_rows, trans_rows, pts,
+                              ray_enc, trunk, aux3, dist, depth)[0]
         return packed_out
 
     def op_fwd(heads, light_rows, trans_rows, pts, ray_enc, trunk, aux3,
                dist, depth):
-        packed_out, dens, feat = fwd_only(heads, light_rows, trans_rows,
-                                          pts, ray_enc, trunk, aux3, dist,
-                                          depth)
+        outs = fwd_only(heads, light_rows, trans_rows, pts, ray_enc,
+                        trunk, aux3, dist, depth, raw_out=not full_bwd)
+        if full_bwd:
+            packed_out, dens, feat = outs
+            raw_rgb = raw_tr = None
+        else:
+            packed_out, dens, feat, raw_rgb, raw_tr = outs
         res = (heads, light_rows, trans_rows, pts, ray_enc, feat, dens,
-               dist, depth, trunk, aux3)
+               raw_rgb, raw_tr, dist, depth, trunk, aux3)
         return packed_out, res
 
     def op_bwd(res, g):
-        (heads, light_rows, trans_rows, pts, ray_enc, feat, dens, dist,
-         depth, trunk, aux3) = res
-        enc_in, light_in, trans_in, rgb_wc, tr_wc, w_l, w_t, pack = prep(
-            heads, light_rows, trans_rows, pts, ray_enc)
-        outs = _run_bwd(feat, enc_in, light_rows, trans_rows, light_in,
-                        trans_in, dens, dist, depth, g,
-                        heads["rgb_w"], heads["rgb_b"],
-                        heads["tr_w"], heads["tr_b"], rgb_wc, tr_wc,
-                        w_l, w_t, pack, tile_bwd, rows_per_img, N,
-                        min_uncert, cdtype, sub_bwd, packed, interpret)
+        (heads, light_rows, trans_rows, pts, ray_enc, feat, dens,
+         raw_rgb, raw_tr, dist, depth, trunk, aux3) = res
+        if full_bwd:
+            enc_in, light_in, trans_in, rgb_wc, tr_wc, w_l, w_t, pack = \
+                prep(heads, light_rows, trans_rows, pts, ray_enc)
+            outs = _run_bwd(feat, enc_in, light_rows, trans_rows, light_in,
+                            trans_in, dens, dist, depth, g,
+                            heads["rgb_w"], heads["rgb_b"],
+                            heads["tr_w"], heads["tr_b"], rgb_wc, tr_wc,
+                            w_l, w_t, pack, tile_bwd, rows_per_img, N,
+                            min_uncert, cdtype, sub_bwd, packed, interpret)
+        else:
+            # HYBRID: composite-bwd kernel → re-interleave in XLA →
+            # field-bwd kernel (identical math to the two-kernel path)
+            from .fused_composite import _run_bwd as _comp_bwd
+            from .fused_st_field import _run_bwd as _field_bwd
+            M = feat.shape[0]
+            BR = M // N
+
+            def planes(x, C):
+                x = x.reshape(BR, N, C)
+                return [x[:, :, c] for c in range(C)]
+
+            pl_list = (planes(raw_rgb, 3) + planes(raw_tr, 5)
+                       + planes(dens, 1) + [dist, depth])
+            grads8 = _comp_bwd(tuple(pl_list), g, N, min_uncert, 256,
+                               interpret)
+            d_rgb = jnp.stack(grads8[0:3], axis=-1).reshape(M, 3)
+            d_tr = jnp.stack(grads8[3:8], axis=-1).reshape(M, 5)
+            outs = _field_bwd(feat, ray_enc, pts, light_rows, trans_rows,
+                              heads["rgb_w"], heads["rgb_b"],
+                              heads["tr_w"], heads["tr_b"], d_rgb, d_tr,
+                              tile_bwd, rows_per_img, cdtype, interpret,
+                              subtiles=sub_bwd, packed=packed, split=True)
         nr, nt = len(heads["rgb_w"]), len(heads["tr_w"])
         d_heads = {
             "rgb_w": tuple(outs[:nr]),
@@ -434,10 +488,11 @@ def fused_st_render(pts, ray_enc, light_rows, trans_rows, trunk_params,
              "rgb_b": tuple(lp["b"] for lp in head_params["mlp_rgb"]),
              "tr_w": tuple(lp["w"] for lp in head_params["mlp_trans"]),
              "tr_b": tuple(lp["b"] for lp in head_params["mlp_trans"])}
+    full_bwd = os.environ.get("TEXPOSE_MEGA_FULLBWD", "0") == "1"
     op = _make_op(tuple(sorted(skip)), int(L3), int(tile_fwd) * sub_fwd,
                   int(tile_bwd) * sub_bwd, int(rows_per_img), int(N),
                   float(min_uncert), compute_dtype, bool(interpret),
-                  sub_fwd, sub_bwd, packed)
+                  sub_fwd, sub_bwd, packed, full_bwd)
     packed_out = op(heads, light_rows, trans_rows, pts, ray_enc, trunk,
                     aux3, dist, d)
     return packed_to_dict(packed_out, B, R, N)

@@ -633,17 +633,20 @@ def main():
 
     if "ref_pretrain" in results and "ref_gan" in results \
             and "ours" in results:
-        dp = abs(results["ref_pretrain"]["eval_psnr"]
-                 - results["ours"]["pretrain_eval_psnr"])
-        dg = abs(results["ref_gan"]["eval_psnr"]
-                 - results["ours"]["gan_eval_psnr"])
+        # signed delta = ours − ref; the parity claim is "match OR BEAT",
+        # so the gate is one-sided: ours may not be WORSE than the
+        # reference by more than 0.5 dB (being better passes).
+        dp = (results["ours"]["pretrain_eval_psnr"]
+              - results["ref_pretrain"]["eval_psnr"])
+        dg = (results["ours"]["gan_eval_psnr"]
+              - results["ref_gan"]["eval_psnr"])
         results["delta_pretrain_psnr"] = dp
         results["delta_gan_psnr"] = dg
         results["band_db"] = 0.5
-        results["gate_pretrain"] = dp <= 0.5
-        results["gate_gan"] = dg <= 0.5
-        print(f"Δpretrain {dp:.3f} dB (gate {results['gate_pretrain']}), "
-              f"Δgan {dg:.3f} dB (gate {results['gate_gan']})", flush=True)
+        results["gate_pretrain"] = dp >= -0.5
+        results["gate_gan"] = dg >= -0.5
+        print(f"Δpretrain {dp:+.3f} dB (gate {results['gate_pretrain']}), "
+              f"Δgan {dg:+.3f} dB (gate {results['gate_gan']})", flush=True)
 
     _dump()
 
