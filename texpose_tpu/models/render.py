@@ -31,7 +31,8 @@ from ..geometry.rays import (convert_NDC, pixel_grid,
 from ..nn.fields import (forward_samples_nerf, forward_samples_nerf_st,
                          forward_samples_nerf_st_raw, use_fused_render,
                          forward_samples_nerf_raw, use_fused_coarse_render,
-                         use_fused_st_render)
+                         use_fused_st_render, use_fused_coarse_mega,
+                         forward_coarse_render)
 from ..ops.render import sample_depth, composite, composite_static_transient
 
 
@@ -79,6 +80,16 @@ def render_rays_nerf(params, cfg, pose, intr, ray_idx, z_near, z_far, key,
         param=cfg.nerf.depth.param)
     B, R = center.shape[0], center.shape[1]
     N = int(cfg.nerf.sample_intvs)
+    if use_fused_coarse_mega(cfg, B, R, N, mode):
+        # MEGA path: field + composite in ONE forward pallas_call — no
+        # raw-output HBM round-trip on the forward
+        # (kernels/fused_coarse_render.py; backward stays two-kernel)
+        out = forward_coarse_render(params, cfg, center, ray,
+                                    depth_samples, progress=progress,
+                                    compute_dtype=compute_dtype)
+        if cfg.nerf.get("setbg_opaque", False):
+            out["rgb"] = out["rgb"] + 1.0 * (1.0 - out["opacity"])
+        return out
     if use_fused_coarse_render(cfg, B, R, N, mode):
         # fully-fused path: coarse field kernel → coarse composite kernel
         # on RAW outputs (kernels/fused_composite_coarse.py) — removes the

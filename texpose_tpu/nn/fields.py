@@ -336,6 +336,74 @@ def use_fused_coarse_render(cfg, B, R, N, mode):
         return False
 
 
+def use_fused_coarse_mega(cfg, B, R, N, mode):
+    """Gate for the coarse field+composite MEGA-kernel
+    (kernels/fused_coarse_render.py, fused forward + hybrid backward):
+    the two-kernel fused contract must hold PLUS complete rays per
+    compute subtile (coarse_mega_layout_ok)."""
+    import os
+    kcfg = cfg.get("kernels", {})
+    knob = kcfg.get("coarse_mega")
+    if knob is None:
+        knob = os.environ.get("TEXPOSE_COARSE_MEGA", "1") == "1"
+    if not knob:
+        return False
+    if not use_fused_coarse_render(cfg, B, R, N, mode):
+        return False
+    try:
+        from ..kernels.fused_coarse_render import (
+            fused_coarse_render_available, coarse_mega_layout_ok)
+        if not fused_coarse_render_available():
+            return False
+    except Exception:
+        return False
+    sub_f = kcfg.get("coarse_subtiles_fwd") or os.environ.get(
+        "TEXPOSE_COARSE_SUBTILES_FWD", "2")
+    sub_b = kcfg.get("coarse_subtiles_bwd") or os.environ.get(
+        "TEXPOSE_COARSE_SUBTILES_BWD", "1")
+    M = B * R * N
+    return coarse_mega_layout_ok(_fit_tile(512, M), int(sub_f),
+                                 int(sub_b), M, N)
+
+
+def forward_coarse_render(params, cfg, center, ray, depth_samples,
+                          progress=None, compute_dtype=None,
+                          interpret=False):
+    """Mega-kernel coarse render: field + composite in one forward
+    pallas_call (kernels/fused_coarse_render.py).  Same prep as
+    forward_samples_nerf_raw and the same return contract as
+    fused_composite_coarse."""
+    from ..kernels.fused_coarse_render import fused_coarse_render
+    from ..kernels.fused_trunk import _freq
+    from ..kernels import force_interpret
+    interpret = interpret or force_interpret()
+    pts4 = center[..., None, :] + ray[..., None, :] * depth_samples
+    B, R, N, _ = pts4.shape
+    L3 = cfg.arch.posenc.L_3D
+    pts = pts4.reshape(-1, 3)
+    if cfg.nerf.view_dep:
+        # per-RAY dirs: encode [B,R,3] and broadcast the ENCODINGS over
+        # samples (see apply_nerf_raw)
+        ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+        enc = _encode_view(cfg, ray_unit, progress)
+        enc = jnp.broadcast_to(enc[..., None, :],
+                               (B, R, N, enc.shape[-1]))
+        enc = enc.reshape(pts.shape[0], -1)
+    else:
+        enc = None
+    aux3 = jnp.stack([_freq(L3, pts.dtype),
+                      _c2f_band_weights(cfg, L3, progress).astype(pts.dtype)])
+    kcfg = cfg.get("kernels", {})
+    return fused_coarse_render(
+        pts, enc, params["mlp_feat"], params["mlp_rgb"], aux3,
+        tuple(cfg.arch.skip), L3, depth_samples, ray,
+        tile=_fit_tile(512, pts.shape[0]),
+        compute_dtype=compute_dtype or jnp.bfloat16, interpret=interpret,
+        subtiles_fwd=kcfg.get("coarse_subtiles_fwd"),
+        subtiles_bwd=kcfg.get("coarse_subtiles_bwd"),
+        enc_mode=kcfg.get("coarse_posenc"))
+
+
 def forward_samples_nerf_raw(params, cfg, center, ray, depth_samples,
                              progress=None, compute_dtype=None,
                              interpret=False):
