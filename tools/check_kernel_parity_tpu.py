@@ -67,6 +67,56 @@ def check_coarse():
     return rv < 2e-2 and rg < 5e-2
 
 
+def check_coarse_render():
+    """Full pretrain render route on TPU: coarse MEGA (field+composite one
+    kernel) vs two-kernel fused vs plain XLA, values + trunk/head grads."""
+    from texpose_tpu.nn.fields import init_nerf
+    from texpose_tpu.models.render import render_rays_nerf
+    cfg = _cfg("nerf_lm_pretrain.yaml")
+    key = jax.random.PRNGKey(0)
+    params = init_nerf(key, cfg)
+    B, R = 8, 512
+    HW = int(cfg.data.image_size[0]) * int(cfg.data.image_size[1])
+    cfg.H = int(cfg.data.image_size[0])
+    cfg.W = int(cfg.data.image_size[1])
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    pose = jnp.tile(jnp.eye(3, 4)[None], (B, 1, 1))
+    pose = pose.at[:, 2, 3].set(40.0)
+    f = float(cfg.H) * 1.2
+    intr = jnp.tile(jnp.asarray([[f, 0, cfg.W / 2], [0, f, cfg.H / 2],
+                                 [0, 0, 1.0]])[None], (B, 1, 1))
+    ray_idx = jax.random.randint(k1, (B, R), 0, HW)
+    z_near = jnp.full((B, HW), 34.0)
+    z_far = jnp.full((B, HW), 46.0)
+
+    def loss(params, mode):
+        fused = mode != "plain"
+        cfg.kernels = {"fused_coarse": fused, "fused_composite": fused,
+                       "fused_trunk": fused, "coarse_mega": mode == "mega"}
+        out = render_rays_nerf(params, cfg, pose, intr, ray_idx, z_near,
+                               z_far, k2, progress=jnp.asarray(0.5),
+                               mode="train", compute_dtype=jnp.bfloat16)
+        return ((out["rgb"] ** 2).mean() + (out["depth"] ** 2).mean() * 1e-3
+                + out["opacity"].mean())
+
+    res = {}
+    for mode in ("mega", "fused", "plain"):
+        v, g = jax.jit(jax.value_and_grad(
+            lambda p: loss(p, mode)))(params)
+        jax.block_until_ready(v)
+        res[mode] = (v, g)
+        print(f"coarse-render {mode}: loss={float(v):.6f}")
+    ok = True
+    vp, gp = res["plain"]
+    for mode in ("mega", "fused"):
+        vf, gf = res[mode]
+        rv, rg = _rel(vf, vp), _tree_rel(gf, gp)
+        print(f"coarse-render {mode}-vs-plain: value rel={rv:.2e} "
+              f"grad rel={rg:.2e}")
+        ok = ok and rv < 2e-2 and rg < 5e-2
+    return ok
+
+
 def check_st():
     from texpose_tpu.nn.fields import init_nerf_st
     from texpose_tpu.models.render import render_st_core
@@ -115,6 +165,7 @@ def check_st():
 
 if __name__ == "__main__":
     ok = check_coarse()
+    ok = check_coarse_render() and ok
     ok = check_st() and ok
     print("PARITY OK" if ok else "PARITY FAIL")
     sys.exit(0 if ok else 1)
