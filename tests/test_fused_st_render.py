@@ -32,7 +32,9 @@ def _cfg(**kernels):
                  "depth": {"param": "metric", "scale": 10, "range": [0, 3]}},
         "c2f": {"range": [0.1, 0.6], "start": 1},
         "data": {"image_size": [8, 8]},
-        "kernels": dict({"fused_trunk": False}, **kernels),
+        # st_mega ships default-OFF (lost the production A/B); the tests
+        # here exist to keep the kernel parity-covered, so force it on.
+        "kernels": dict({"fused_trunk": False, "st_mega": True}, **kernels),
     }))
 
 

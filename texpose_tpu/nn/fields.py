@@ -682,9 +682,16 @@ def use_fused_st_render(cfg, B, R, N, params):
     compute subtile (mega_layout_ok)."""
     import os
     kcfg = cfg.get("kernels", {})
+    # Default OFF: the interleaved on-TPU A/B (tools/ab_cfg.py
+    # "kernels.st_mega=false") measured the mega path +0.44 ms/step WORSE
+    # than the two-kernel route in the full texture step (5.98 vs 5.54 ms,
+    # 6/6 rounds) even though the isolated scan-chained fwd won by 0.26 ms
+    # — the raw-head-output residual handoff to the hybrid bwd costs more
+    # than the saved XLA↔Mosaic boundary.  Kept behind the knob with full
+    # parity coverage (test_fused_st_render, check_kernel_parity_tpu mega).
     knob = kcfg.get("st_mega")
     if knob is None:
-        knob = os.environ.get("TEXPOSE_ST_MEGA", "1") == "1"
+        knob = os.environ.get("TEXPOSE_ST_MEGA", "0") == "1"
     if not knob:
         return False
     if not use_fused_render(cfg, B, R, N):

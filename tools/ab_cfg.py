@@ -29,6 +29,11 @@ def build(overrides, engine="texture", tag="a"):
         generate_fixture(cache, n_train=16, n_test=1, scene="scene_all",
                          image_scale=1.0, crop_res=128)
         open(os.path.join(cache, ".done"), "w").close()
+    if engine == "pretrain" and not os.path.exists(
+            os.path.join(cache, "splits", "lm", "ball", "scene_qual",
+                         "train.txt")):
+        generate_fixture(cache, n_train=16, n_test=1, scene="scene_qual",
+                         image_scale=1.0, crop_res=128)
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     yml = ("nerf_lm_adapt_gan.yaml" if engine == "texture"
            else "nerf_lm_pretrain.yaml")
