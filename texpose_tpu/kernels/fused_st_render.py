@@ -17,7 +17,9 @@ leaving VMEM:
             tools/probe_reshape.py) → dual-density composite →
             packed [BR,16].
             Residuals written: feat [M,256] (cdtype) + dens [M,1] (f32)
-            + raw head outputs [M,3]/[M,5] (f32, hybrid-bwd residuals).
+            + head-output channel PLANES 8×[BR,N] (f32, hybrid-bwd
+            residuals — plane form feeds fused_composite._run_bwd with
+            zero XLA extraction glue).
   backward (default, HYBRID): the existing composite-bwd and field-bwd
             kernels chained, identical math to the two-kernel path.
             Measured on v5e (tools/probe_mega_time.py, scan-chained
@@ -121,10 +123,11 @@ def _mega_fwd_kernel(skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
     bt = refs[o + nr + nt:o + nr + 2 * nt]
     w_pack = refs[o + nr + 2 * nt] if packed else None
     if raw_out:
-        packed_ref, dens_ref, feat_ref, rgb_out_ref, tr_out_ref = refs[-5:]
+        packed_ref, dens_ref, feat_ref = refs[-11:-8]
+        plane_refs = refs[-8:]
     else:
         packed_ref, dens_ref, feat_ref = refs[-3:]
-        rgb_out_ref = tr_out_ref = None
+        plane_refs = None
 
     S = enc_ref.shape[0] // subtiles
     RS = S // N
@@ -143,15 +146,18 @@ def _mega_fwd_kernel(skip, nr, nt, n_trunk, tiles_per_img, cdtype, subtiles,
         rgb_raw, trans_raw = _heads_forward(
             feat, enc_ref[sl, :], None, light, trans, wr, br, wt, bt,
             cdtype, w_pack=w_pack, split=True)
-        if raw_out:
-            # hybrid-bwd residuals: the two-kernel backward consumes the
-            # raw head outputs from HBM (fused_composite bwd recompute)
-            rgb_out_ref[sl, :] = rgb_raw.astype(jnp.float32)
-            tr_out_ref[sl, :] = trans_raw.astype(jnp.float32)
         # ---- composite: 8 complete rays per subtile, all in VMEM ----
         planes = (_planes_v(rgb_raw, 3, N) + _planes_v(trans_raw, 5, N)
                   + [dens.reshape(RS, N), dist_ref[rsl, :],
                      depth_ref[rsl, :], tri_e_v, tri_s_v])
+        if raw_out:
+            # hybrid-bwd residuals in PLANE form ([BR,N] per channel):
+            # fused_composite._run_bwd consumes channel planes, and the
+            # XLA-side [M,C]→planes extraction (strided narrow-lane
+            # slices) measured ~0.5 ms/step — emitting the planes the
+            # kernel already holds makes the hybrid bwd glue-free.
+            for c in range(8):
+                plane_refs[c][rsl, :] = planes[c].astype(jnp.float32)
         f = _forward_core(planes, min_uncert)
         packed_ref[rsl, :] = _fwd_cols(f, min_uncert)
 
@@ -184,9 +190,11 @@ def _run_fwd(enc_in, light_in, trans_in, xext, dist, depth, mm_parts,
                  jax.ShapeDtypeStruct((M, 1), jnp.float32),
                  jax.ShapeDtypeStruct((M, F), cdtype))
     if raw_out:
-        out_specs = out_specs + (_row_spec(tile, 3), _row_spec(tile, 5))
-        out_shape = out_shape + (jax.ShapeDtypeStruct((M, 3), jnp.float32),
-                                 jax.ShapeDtypeStruct((M, 5), jnp.float32))
+        out_specs = out_specs + tuple(
+            pl.BlockSpec((TRt, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM) for _ in range(8))
+        out_shape = out_shape + tuple(
+            jax.ShapeDtypeStruct((BR, N), jnp.float32) for _ in range(8))
     return pl.pallas_call(
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
@@ -332,7 +340,8 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, N, min_uncert,
     re-interleave serialize on tiny [8,64] tiles inside the row-streamed
     kernel.  Default is the HYBRID: mega fwd (one XLA↔Mosaic boundary,
     −0.26 ms vs two-kernel fwd) + the existing composite-bwd and
-    field-bwd kernels chained (raw head outputs saved as residuals)."""
+    field-bwd kernels chained (head-output channel planes saved as
+    residuals so the composite bwd needs no XLA-side extraction)."""
 
     def prep(heads, light_rows, trans_rows, pts, ray_enc):
         F = heads["rgb_w"][0].shape[0] - ray_enc.shape[1] - 3 \
@@ -383,16 +392,17 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, N, min_uncert,
                         trunk, aux3, dist, depth, raw_out=not full_bwd)
         if full_bwd:
             packed_out, dens, feat = outs
-            raw_rgb = raw_tr = None
+            raw_planes = None
         else:
-            packed_out, dens, feat, raw_rgb, raw_tr = outs
+            packed_out, dens, feat = outs[:3]
+            raw_planes = tuple(outs[3:])
         res = (heads, light_rows, trans_rows, pts, ray_enc, feat, dens,
-               raw_rgb, raw_tr, dist, depth, trunk, aux3)
+               raw_planes, dist, depth, trunk, aux3)
         return packed_out, res
 
     def op_bwd(res, g):
         (heads, light_rows, trans_rows, pts, ray_enc, feat, dens,
-         raw_rgb, raw_tr, dist, depth, trunk, aux3) = res
+         raw_planes, dist, depth, trunk, aux3) = res
         if full_bwd:
             enc_in, light_in, trans_in, rgb_wc, tr_wc, w_l, w_t, pack = \
                 prep(heads, light_rows, trans_rows, pts, ray_enc)
@@ -404,18 +414,15 @@ def _make_op(skip, L3, tile_fwd, tile_bwd, rows_per_img, N, min_uncert,
                             min_uncert, cdtype, sub_bwd, packed, interpret)
         else:
             # HYBRID: composite-bwd kernel → re-interleave in XLA →
-            # field-bwd kernel (identical math to the two-kernel path)
+            # field-bwd kernel (identical math to the two-kernel path).
+            # Residuals arrive already in plane form from the fwd kernel
+            # — no XLA extraction here (only dens, a 1-column array whose
+            # [M,1]→[BR,N] reshape is layout-trivial).
             from .fused_composite import _run_bwd as _comp_bwd
             from .fused_st_field import _run_bwd as _field_bwd
             M = feat.shape[0]
             BR = M // N
-
-            def planes(x, C):
-                x = x.reshape(BR, N, C)
-                return [x[:, :, c] for c in range(C)]
-
-            pl_list = (planes(raw_rgb, 3) + planes(raw_tr, 5)
-                       + planes(dens, 1) + [dist, depth])
+            pl_list = list(raw_planes) + [dens.reshape(BR, N), dist, depth]
             grads8 = _comp_bwd(tuple(pl_list), g, N, min_uncert, 256,
                                interpret)
             d_rgb = jnp.stack(grads8[0:3], axis=-1).reshape(M, 3)
