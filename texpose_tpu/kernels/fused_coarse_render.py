@@ -13,7 +13,9 @@ packed [BR,8] buffer (cols 0-2 rgb | 3 depth | 4 opacity | 5-7 pad).
 Backward is the HYBRID proven on the ST mega (tools/probe_mega_time.py on
 v5e: fused fwd −0.26 ms, fully-fused bwd +2.2 ms — the per-ray composite
 recompute serializes on tiny tiles): the mega fwd additionally writes the
-raw field outputs as residuals, and the backward chains the existing
+rgb channel PLANES (3×[BR,N]) plus dens [M,1] as residuals — the plane
+form feeds the composite-bwd kernel with zero XLA-side extraction glue —
+and the backward chains the existing
 composite-bwd (closed-form VJP incl. density, fused_composite_coarse) and
 trunk-training field-bwd (zero-residual recompute, fused_coarse_field)
 kernels — identical math to the two-kernel path.
@@ -76,10 +78,12 @@ def _mega_fwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles, enc_mode,
     wr = refs[2 * nf:2 * nf + nr]
     br = refs[2 * nf + nr:2 * nf + 2 * nr]
     if raw_out:
-        packed_ref, rgb_out_ref, dens_out_ref = refs[-3:]
+        packed_ref = refs[-5]
+        plane_refs = refs[-4:-1]
+        dens_out_ref = refs[-1]
     else:
         packed_ref = refs[-1]
-        rgb_out_ref = dens_out_ref = None
+        plane_refs = dens_out_ref = None
 
     S = pts_ref.shape[0] // subtiles
     RS = S // N
@@ -101,15 +105,20 @@ def _mega_fwd_kernel(L3, skip, nf, nr, has_view, cdtype, subtiles, enc_mode,
             rgb_raw, dens_raw = _field_forward(
                 pts, enc_view, aux3_ref, wf, bf, wr, br, skip, L3, cdtype,
                 x_pre=enc_extra[sl, :] if enc_mode == "outside" else None)
-        if raw_out:
-            # hybrid-bwd residuals: the two-kernel backward consumes the
-            # raw field outputs from HBM (composite-bwd recompute)
-            rgb_out_ref[sl, :] = rgb_raw.astype(jnp.float32)
-            dens_out_ref[sl, :] = dens_raw.astype(jnp.float32)
         # ---- composite: complete rays per subtile, all in VMEM ----
         planes = (_planes_v(rgb_raw, 3, N)
                   + [dens_raw.reshape(RS, N), dist_ref[rsl, :],
                      depth_ref[rsl, :], tri_e_v, tri_s_v])
+        if raw_out:
+            # hybrid-bwd residuals: rgb in PLANE form ([BR,N] per channel
+            # — fused_composite_coarse._run_bwd consumes channel planes,
+            # so emitting the planes the kernel already holds removes the
+            # XLA-side strided extraction; see fused_st_render), density
+            # as [M,1] (its [M,1]→[BR,N] reshape is layout-trivial and
+            # the field-bwd kernel wants the row form anyway).
+            for c in range(3):
+                plane_refs[c][rsl, :] = planes[c].astype(jnp.float32)
+            dens_out_ref[sl, :] = dens_raw.astype(jnp.float32)
         f = _forward_core(planes)
 
         def rsum(x):
@@ -142,9 +151,13 @@ def _run_fwd(pts, enc_in, aux3, dist, depth, enc_extra, mm_parts,
                               memory_space=pltpu.VMEM),)
     out_shape = (jax.ShapeDtypeStruct((BR, N_OUT), jnp.float32),)
     if raw_out:
-        out_specs = out_specs + (_row_spec(tile, 3), _row_spec(tile, 1))
-        out_shape = out_shape + (jax.ShapeDtypeStruct((M, 3), jnp.float32),
-                                 jax.ShapeDtypeStruct((M, 1), jnp.float32))
+        out_specs = out_specs + tuple(
+            pl.BlockSpec((TRt, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM) for _ in range(3)
+        ) + (_row_spec(tile, 1),)
+        out_shape = out_shape + tuple(
+            jax.ShapeDtypeStruct((BR, N), jnp.float32) for _ in range(3)
+        ) + (jax.ShapeDtypeStruct((M, 1), jnp.float32),)
     return pl.pallas_call(
         kernel, grid=(M // tile,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
@@ -200,22 +213,25 @@ def _make_op(skip, L3, tile, N, cdtype, has_view, interpret, sub_fwd,
         return fwd_only(trunk, rgb, pts, ray_enc, aux3, dist, depth)[0]
 
     def op_fwd(trunk, rgb, pts, ray_enc, aux3, dist, depth):
-        packed_out, raw_rgb, raw_dens = fwd_only(
+        outs = fwd_only(
             trunk, rgb, pts, ray_enc, aux3, dist, depth, raw_out=True)
-        res = (trunk, rgb, pts, ray_enc, aux3, raw_rgb, raw_dens, dist,
+        packed_out = outs[0]
+        raw_planes = tuple(outs[1:4])
+        raw_dens = outs[4]
+        res = (trunk, rgb, pts, ray_enc, aux3, raw_planes, raw_dens, dist,
                depth)
         return packed_out, res
 
     def op_bwd(res, g):
-        (trunk, rgb, pts, ray_enc, aux3, raw_rgb, raw_dens, dist,
+        (trunk, rgb, pts, ray_enc, aux3, raw_planes, raw_dens, dist,
          depth) = res
         # HYBRID: composite-bwd kernel → field-bwd kernel (identical math
-        # to the two-kernel path; see module docstring)
-        M = raw_rgb.shape[0]
+        # to the two-kernel path; see module docstring).  rgb residuals
+        # arrive already in plane form from the fwd kernel — no XLA
+        # extraction here.
+        M = raw_dens.shape[0]
         BR = M // N
-        r3 = raw_rgb.reshape(BR, N, 3)
-        planes = (r3[:, :, 0], r3[:, :, 1], r3[:, :, 2],
-                  raw_dens.reshape(BR, N), dist, depth)
+        planes = raw_planes + (raw_dens.reshape(BR, N), dist, depth)
         grads4 = _comp_bwd(planes, g, N, 256, interpret)
         d_rgb = jnp.stack(grads4[0:3], axis=-1).reshape(M, 3)
         d_dens = grads4[3].reshape(M, 1)
