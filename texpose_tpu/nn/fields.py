@@ -683,12 +683,17 @@ def use_fused_st_render(cfg, B, R, N, params):
     import os
     kcfg = cfg.get("kernels", {})
     # Default OFF: the interleaved on-TPU A/B (tools/ab_cfg.py
-    # "kernels.st_mega=false") measured the mega path +0.44 ms/step WORSE
-    # than the two-kernel route in the full texture step (5.98 vs 5.54 ms,
-    # 6/6 rounds) even though the isolated scan-chained fwd won by 0.26 ms
-    # — the raw-head-output residual handoff to the hybrid bwd costs more
-    # than the saved XLA↔Mosaic boundary.  Kept behind the knob with full
-    # parity coverage (test_fused_st_render, check_kernel_parity_tpu mega).
+    # "kernels.st_mega=true") measured the mega path WORSE than the
+    # two-kernel route in the full texture step twice — +0.44 ms/step with
+    # raw [M,3]/[M,5] head-output residuals (5.98 vs 5.54, 6/6 rounds) and
+    # +0.48 ms/step with the residuals emitted as channel PLANES straight
+    # from the fwd kernel (6.01 vs 5.53, 6/6 rounds) — even though the
+    # isolated scan-chained fwd won by 0.26 ms.  The hybrid-bwd residual
+    # handoff costs more than the saved XLA↔Mosaic boundary REGARDLESS of
+    # residual layout: the fwd kernel paying 8 extra f32 output streams is
+    # the cost, not the XLA-side extraction.  Kept behind the knob with
+    # full parity coverage (test_fused_st_render, check_kernel_parity_tpu
+    # mega).
     knob = kcfg.get("st_mega")
     if knob is None:
         knob = os.environ.get("TEXPOSE_ST_MEGA", "0") == "1"
