@@ -329,8 +329,8 @@ def test_fused_st_sinext_matches_plain(key, monkeypatch):
 
 @pytest.mark.skipif(not fused_st_available(), reason="no pallas")
 def test_fused_st_xext_matches_plain(key, monkeypatch):
-    """"xext" enc mode (pts folded into the streamed sin-band block) (streamed XLA sin bands, no in-kernel angle
-    matmul): outputs + head/latent grads match; trunk grads stay zero."""
+    """"xext" enc mode (pts folded into the streamed sin-band block):
+    outputs + head/latent grads match; trunk grads stay zero."""
     monkeypatch.setenv("TEXPOSE_ST_POSENC", "xext")
     cfg = st_cfg()
     params = init_nerf_st(key, cfg)

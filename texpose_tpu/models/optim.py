@@ -79,6 +79,11 @@ def latent_schedule(cfg, max_iter, steps_per_epoch):
 
 
 def make_generator_optimizer(cfg, max_iter, steps_per_epoch):
+    # RESTORE COMPATIBILITY: setting optim.lr_latent switches the optimizer
+    # from plain adam to optax.multi_transform, which CHANGES the opt-state
+    # pytree structure — a --resume across a toggle of this knob cannot
+    # restore the saved Adam moments (restore_checkpoint raises on the
+    # structure mismatch).  Keep the knob constant across a run's resumes.
     head_opt = optax.adam(generator_schedule(cfg, max_iter, steps_per_epoch))
     if not cfg.optim.get("lr_latent"):
         return head_opt

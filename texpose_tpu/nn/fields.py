@@ -710,6 +710,13 @@ def use_fused_st_render(cfg, B, R, N, params):
         return False
     if kcfg.get("st_trunk_fullblock") or kcfg.get("st_trunk_ilp"):
         return False
+    # the mega hybrid bwd chains fused_st_field._run_bwd without the
+    # fullblock variants — with the mega on, those knobs would silently
+    # no-op and an A/B of them would be a false wash, so they gate the
+    # mega off like trunk_fullblock/ilp above (env-only knobs)
+    if os.environ.get("TEXPOSE_ST_BWD_FULLBLOCK", "0") == "1" \
+            or os.environ.get("TEXPOSE_ST_HEADS_FULLBLOCK", "0") == "1":
+        return False
     if len(params.get("mlp_rgb", ())) < 2 \
             or len(params.get("mlp_trans", ())) < 2:
         return False

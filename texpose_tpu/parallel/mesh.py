@@ -120,6 +120,12 @@ def masked_ray_indices_sharded(obj_mask, chunk, n_shards):
     idx_p, n = masked_ray_indices(obj_mask, chunk)
     unit = chunk * n_shards
     total = -(-len(idx_p) // unit) * unit
+    # edge-padding DUPLICATES ray indices; the downstream
+    # scatter_masked_st .at[idx].set is only well-defined because eval
+    # rendering is per-ray deterministic (fixed key, no stratified
+    # sampling) so every duplicate writes the same value.  A stochastic
+    # eval path would make this scatter nondeterministic — pad with a
+    # sentinel row instead if that ever lands.
     idx_p = np.pad(idx_p, (0, total - len(idx_p)), mode="edge")
     return idx_p, n
 
