@@ -80,9 +80,37 @@ def field_flops_per_step(cfg):
     return M * (t + h + 3 * h)               # fwd + (recompute+dW+dX) bwd
 
 
+def _cycled_test_split(cache, n_frames):
+    """Derived scene dir whose test.txt cycles the fixture's test entries
+    to n_frames lines — every index still pays the full per-frame
+    disk→device→render→metrics→PNG pipeline (same trick as
+    tools/bench_eval_envelope.py)."""
+    import shutil
+    split_src = os.path.join(cache, "splits", "lm", "ball", "scene_all")
+    scene = f"scene_e2e{n_frames}"
+    split_dst = os.path.join(cache, "splits", "lm", "ball", scene)
+    os.makedirs(split_dst, exist_ok=True)
+    test_lines = [ln for ln in open(os.path.join(split_src, "test.txt"))
+                  if ln.strip()]
+    with open(os.path.join(split_dst, "test.txt"), "w") as f:
+        for i in range(n_frames):
+            f.write(test_lines[i % len(test_lines)])
+    for name in ("train.txt", "val.txt"):
+        shutil.copy(os.path.join(split_src, name),
+                    os.path.join(split_dst, name))
+    return scene
+
+
 def eval_views_per_sec(cache, here, reps=5):
-    """480x640 novel-view synthesis throughput (views/s) via the masked
-    bucketed full-frame render (BASELINE.md second headline metric)."""
+    """480x640 novel-view synthesis throughput: (render-only views/s,
+    end-to-end views/s, e2e frame count).
+
+    Render-only repeats the masked full-frame render of one cached device
+    frame (the kernel-envelope number).  End-to-end streams an
+    N-frame cycled split through evaluate_full — disk load, device
+    transfer, render, on-device metrics, PNG export — the number a user
+    of the reference's eval workload (README.md:49-64) actually sees
+    (VERDICT r4: these differed by 13×; bench.py must carry both)."""
     import jax
     import jax.numpy as jnp
     from texpose_tpu.utils.config import process_options
@@ -114,7 +142,72 @@ def eval_views_per_sec(cache, here, reps=5):
         out = eng._render_frame_st(frame, lt, ll, masked=True)
         jax.block_until_ready(out["rgb_static"])
         times.append(time.perf_counter() - t0)
-    return 1.0 / float(np.median(times))
+    render_only = 1.0 / float(np.median(times))
+
+    # ---- end-to-end sweep on the SAME engine (render jits stay warm) ----
+    n_e2e = int(os.environ.get("BENCH_EVAL_E2E_N", "64"))
+    e2e = None
+    if n_e2e > 0:
+        eng.cfg.data.scene = _cycled_test_split(cache, n_e2e)
+        eng.eval_data = eng.make_dataset("test")
+        eng._eval_cache = (None, None)
+        # compile the metrics jit off the clock
+        raw_hw = getattr(eng.eval_data, "raw_hw", None)
+        mfn = eng._eval_metrics_fn(raw_hw)
+        jax.block_until_ready(mfn(out["rgb_static"], frame["image"],
+                                  frame["obj_mask"])[0])
+        t0 = time.perf_counter()
+        eng.evaluate_full()
+        e2e = n_e2e / (time.perf_counter() - t0)
+    return render_only, e2e, n_e2e
+
+
+def pretrain_rays_per_sec(here):
+    """Geometry-pretrain train-step throughput (rays/s) at the reference
+    envelope (options/nerf_lm_pretrain.yaml:26-30: 2048 rays × 64 samples),
+    same scan-fused blocking-read timing as the texture metric."""
+    import jax
+    from texpose_tpu.data.fixture import generate_fixture
+    from texpose_tpu.utils.config import load_yaml, process_options
+    from texpose_tpu.models.pretrain import PretrainEngine
+
+    cache = os.path.join(tempfile.gettempdir(), "texpose_qual_fixture_v3")
+    if not os.path.exists(os.path.join(cache, ".done")):
+        os.makedirs(cache, exist_ok=True)
+        generate_fixture(cache, n_train=16, n_test=2, scene="scene_qual",
+                         image_scale=1.0, crop_res=128, fixed_light=False)
+        open(os.path.join(cache, ".done"), "w").close()
+    cfg = load_yaml(os.path.join(here, "configs", "nerf_lm_pretrain.yaml"))
+    cfg.yaml = "configs/nerf_lm_pretrain.yaml"
+    cfg.data.root = cache
+    cfg.data.splits_root = os.path.join(cache, "splits")
+    cfg.data.object = "ball"
+    cfg.data.scene = "scene_qual"
+    cfg.data.pose_source = "gt"
+    cfg.nerf.depth.box_source = "gt_box"
+    cfg.output_root = os.path.join(tempfile.gettempdir(),
+                                   "texpose_bench_pre_out")
+    cfg.max_iter = 100000
+    if os.environ.get("BENCH_SCAN_STEPS"):
+        cfg.scan_steps = int(os.environ["BENCH_SCAN_STEPS"])
+    cfg = process_options(cfg)
+
+    eng = PretrainEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+    K = eng.scan_k()
+    for _ in range(3):
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
+    jax.block_until_ready(loss["all"])
+    chunk_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
+        jax.block_until_ready(loss["all"])
+        chunk_times.append((time.perf_counter() - t0) / (3 * K))
+    return int(cfg.nerf.rand_rays) / float(np.median(chunk_times))
 
 
 def main():
@@ -211,13 +304,32 @@ def main():
             del eng, loss
             import gc
             gc.collect()
-            vps = eval_views_per_sec(
+            vps, vps_e2e, n_e2e = eval_views_per_sec(
                 cache, here, reps=int(os.environ.get("BENCH_EVAL_REPS", "9")))
             result["views_per_sec_480x640"] = round(vps, 3)
             result["views_vs_baseline"] = round(
                 vps / A100_REFERENCE_VIEWS_PER_SEC, 3)
+            if vps_e2e is not None:
+                # end-to-end streaming evaluate_full (disk→device→render→
+                # metrics→PNG) — the user-facing number; render-only above
+                # is the kernel envelope (r4 verdict: carry both)
+                result["views_per_sec_e2e"] = round(vps_e2e, 3)
+                result["views_e2e_frames"] = n_e2e
         except Exception as e:    # noqa: BLE001
             print(f"eval views/sec bench failed: {e!r}", file=sys.stderr)
+
+    # pretrain engine throughput (BASELINE.md ≥300k bar; VERDICT r4 item 5:
+    # track per round).  Guarded like the eval metric.
+    if os.environ.get("BENCH_PRETRAIN", "1") != "0":
+        try:
+            import gc
+            gc.collect()
+            pre = pretrain_rays_per_sec(here)
+            result["pretrain_rays_per_sec"] = round(pre, 1)
+            result["pretrain_vs_baseline"] = round(
+                pre / A100_REFERENCE_RAYS_PER_SEC, 3)
+        except Exception as e:    # noqa: BLE001
+            print(f"pretrain bench failed: {e!r}", file=sys.stderr)
 
     print(json.dumps(result))
     return result

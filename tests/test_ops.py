@@ -237,3 +237,33 @@ def test_knn_gather(rng):
     out = O.knn_gather(feats, idx)
     np.testing.assert_allclose(out[0, 0, 1], feats[0, 5])
     np.testing.assert_allclose(out[0, 1, 0], feats[0, 0])
+
+
+# ----------------------------------------------------------- image resize
+
+@pytest.mark.parametrize("shapes", [((120, 160), (480, 640)),
+                                    ((480, 640), (120, 160)),
+                                    ((32, 48), (100, 100))])
+def test_resize_bilinear_matches_cv2(rng, shapes):
+    """ops.image.resize_bilinear pins cv2.resize INTER_LINEAR float
+    semantics — the device-side eval metrics path must produce the same
+    PSNR as the reference's host cv2 resize
+    (/root/reference/model/nerf_adapt_st_gan.py:341-349)."""
+    import cv2
+    from texpose_tpu.ops.image import resize_bilinear
+    (H, W), (oH, oW) = shapes
+    img = rng.random((H, W, 3)).astype(np.float32)
+    ref = cv2.resize(img, (oW, oH), interpolation=cv2.INTER_LINEAR)
+    got = np.asarray(resize_bilinear(jnp.asarray(img), (oH, oW)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # 2-D single-channel path (masks/depth)
+    img2 = rng.random((H, W)).astype(np.float32)
+    ref2 = cv2.resize(img2, (oW, oH), interpolation=cv2.INTER_LINEAR)
+    got2 = np.asarray(resize_bilinear(jnp.asarray(img2), (oH, oW)))
+    np.testing.assert_allclose(got2, ref2, atol=1e-5)
+
+
+def test_resize_bilinear_identity():
+    from texpose_tpu.ops.image import resize_bilinear
+    img = jnp.arange(12.0).reshape(2, 2, 3)
+    assert resize_bilinear(img, (2, 2)) is img

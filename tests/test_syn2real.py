@@ -136,3 +136,57 @@ def test_scene_vis_eval_export(root, tmp_path):
     # the GT dump is NOT composited -- its padded border stays black
     gt = cv2.imread(os.path.join(out_dir, syn[0]))
     assert (gt[0, 0] == 0).all()
+
+
+def test_eval_metrics_device_matches_host_reference_path(root, tmp_path):
+    """The r5 on-device metrics jit (mask → resize_bilinear upscale →
+    PSNR/SSIM/LPIPS) must reproduce the r4 host path (cv2 resize +
+    per-metric device round trips) — i.e. the reference's own eval math
+    (model/nerf_adapt_st_gan.py:341-364) — per frame."""
+    import cv2
+    import jax.numpy as jnp
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+    from texpose_tpu.ops.ssim import ssim
+    from texpose_tpu.utils.metrics import mse_to_psnr
+
+    cfg = tiny_gan_cfg(root, tmp_path)
+    cfg.name = "metric_parity"
+    cfg.syn2real = True
+    cfg.data.image_size = [60, 80]
+    cfg.data.raw_size = [120, 160]
+    cfg.H, cfg.W = 60, 80
+    cfg.render.light = "mean"            # deterministic latent protocol
+    cfg.render.transient = "zero"
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset(eval_split="test", prefetch_train=False)
+    eng.build_networks()
+    eng.setup_optimizer()
+    eng.evaluate_full()
+
+    rows = []
+    with open(os.path.join(cfg.output_path, "quant.txt")) as f:
+        header = f.readline().split()[2:]
+        for line in f:
+            vals = line.split()[1:]
+            rows.append(dict(zip(header, (float(v) for v in vals))))
+
+    tab = eng._host_latents_table()
+    ll = tab["light"].mean(axis=0, keepdims=True)
+    lt = np.zeros((1, cfg.nerf.N_latent_trans), np.float32)
+    for i in range(len(eng.eval_data)):
+        frame = eng.eval_frame(i)
+        out = eng._render_frame_st(frame, lt, ll)
+        rgb = np.asarray(out["rgb_static"]).reshape(cfg.H, cfg.W, 3)
+        mask = np.asarray(frame["obj_mask"]).reshape(cfg.H, cfg.W, 1)
+        image = np.asarray(frame["image"])[0].transpose(1, 2, 0) * mask
+        rgb = cv2.resize(rgb, (160, 120), interpolation=cv2.INTER_LINEAR)
+        image = cv2.resize(image, (160, 120), interpolation=cv2.INTER_LINEAR)
+        p = float(mse_to_psnr(jnp.mean((jnp.asarray(rgb) -
+                                        jnp.asarray(image)) ** 2)))
+        rgb_t = jnp.asarray(rgb.transpose(2, 0, 1))[None]
+        img_t = jnp.asarray(image.transpose(2, 0, 1))[None]
+        s = float(ssim(rgb_t, img_t))
+        lp = eng.lpips(rgb_t, img_t)
+        assert abs(rows[i]["psnr"] - p) < 2e-3, (i, rows[i]["psnr"], p)
+        assert abs(rows[i]["ssim"] - s) < 2e-4, (i, rows[i]["ssim"], s)
+        assert abs(rows[i][eng.lpips_key] - lp) < 2e-4

@@ -132,6 +132,24 @@ class Engine:
             self._eval_cache = (i, frame)
         return self._eval_cache[1]
 
+    def eval_frames(self, indices=None, depth=2):
+        """Iterate (i, frame, host_sample) over eval frames with a
+        background prefetch thread: frame i+1 loads from disk and
+        device_puts while frame i renders (the overlap the reference gets
+        from DataLoader workers, /root/reference/data/base.py:33-41).
+
+        The size-1 eval_frame cache is kept coherent: as each frame is
+        yielded it becomes the cached slot, so interleaved eval_frame(i)
+        calls reuse the prefetched device copy.  Device memory stays
+        O(depth frames).
+        """
+        from ..utils.pipeline import EvalPrefetcher
+        with EvalPrefetcher(self.eval_data, indices=indices,
+                            depth=depth) as pf:
+            for i, frame, sample in pf:
+                self._eval_cache = (i, frame)
+                yield i, frame, sample
+
     # ------------------------------------------------------- persist/restore
 
     def save_checkpoint(self, it):
@@ -278,6 +296,13 @@ class Engine:
         otherwise deterministic random features (calibration pending —
         flagged once via log).
         """
+        self._ensure_lpips()
+        return float(np.asarray(
+            self._lpips_fn(rgb * 2 - 1, image * 2 - 1)).mean())
+
+    def _ensure_lpips(self):
+        """Lazy LPIPS param load; returns (params, metric_key).  Shared by
+        the host lpips() path and the fully on-device eval metrics jit."""
         if not hasattr(self, "_lpips_params"):
             from ..nn.lpips import init_lpips, load_lpips_npz, lpips_distance
             path = self.cfg.get("lpips_weights")
@@ -293,8 +318,7 @@ class Engine:
                          "the column lpips_uncal")
             self._lpips_fn = jax.jit(
                 lambda x, y: lpips_distance(self._lpips_params, x, y))
-        return float(np.asarray(
-            self._lpips_fn(rgb * 2 - 1, image * 2 - 1)).mean())
+        return self._lpips_params, self.lpips_key
 
     # ------------------------------------------------------------ interface
 

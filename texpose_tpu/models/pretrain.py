@@ -291,33 +291,76 @@ class PretrainEngine(Engine):
 
     # ------------------------------------------------------------ evaluation
 
+    def _eval_metrics_fn(self):
+        """Device-side per-frame metrics + PNG payloads in one jit (see
+        texture_gan._eval_metrics_fn — same pipeline rationale: only
+        scalars + uint8 images cross the tunnel per frame)."""
+        if hasattr(self, "_eval_metrics_jit"):
+            return self._eval_metrics_jit
+        cfg = self.cfg
+        lpips_params, _ = self._ensure_lpips()
+        from ..nn.lpips import lpips_distance
+
+        @jax.jit
+        def fn(rgb_flat, opac_flat, image, obj_mask):
+            rgb = rgb_flat.reshape(cfg.H, cfg.W, 3)
+            opac = opac_flat.reshape(cfg.H, cfg.W)
+            # raw mask values (matches the pre-pipeline host path exactly;
+            # dataset masks are {0,1} floats)
+            mask = obj_mask.reshape(cfg.H, cfg.W, 1).astype(jnp.float32)
+            img = image.reshape(3, cfg.H, cfg.W).transpose(1, 2, 0) * mask
+            p = mse_to_psnr(jnp.mean((rgb - img) ** 2))
+            rgb_t = rgb.transpose(2, 0, 1)[None]
+            img_t = img.transpose(2, 0, 1)[None]
+            s = ssim(rgb_t, img_t)
+            lp = jnp.mean(lpips_distance(lpips_params, rgb_t * 2 - 1,
+                                         img_t * 2 - 1))
+            png = (jnp.clip(rgb, 0.0, 1.0) * 255.0
+                   ).astype(jnp.uint8)[..., ::-1]
+            png_op = (jnp.clip(opac, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            return p, s, lp, png, png_op
+
+        self._eval_metrics_jit = fn
+        return fn
+
     def evaluate_full(self):
         """Render every eval frame, metric it, export PNGs + quant.txt
-        (reference model/nerf_pretrain.py:172-239)."""
+        (reference model/nerf_pretrain.py:172-239).  Pipelined like
+        texture_gan.evaluate_full: prefetch thread + on-device metrics +
+        writer-thread PNG encodes, results materialized one frame behind."""
+        from collections import deque
+        from ..utils.pipeline import AsyncWriter
         cfg = self.cfg
         rgb_dir = os.path.join(cfg.output_path, "rgb")
         op_dir = os.path.join(cfg.output_path, "opacity")
         os.makedirs(rgb_dir, exist_ok=True)
         os.makedirs(op_dir, exist_ok=True)
-        rows = []
-        for i in range(len(self.eval_data)):
-            frame = self.eval_frame(i)
-            out = self._render_frame(self.state["params"]["nerf"], frame)
-            rgb = np.asarray(out["rgb"]).reshape(cfg.H, cfg.W, 3)
-            opac = np.asarray(out["opacity"]).reshape(cfg.H, cfg.W)
-            mask = np.asarray(frame["obj_mask"]).reshape(cfg.H, cfg.W, 1)
-            image = np.asarray(frame["image"])[0].transpose(1, 2, 0) * mask
-            p = float(mse_to_psnr(jnp.mean((rgb - image) ** 2)))
-            rgb_t = jnp.asarray(rgb.transpose(2, 0, 1))[None]
-            img_t = jnp.asarray(image.transpose(2, 0, 1))[None]
-            s = float(ssim(rgb_t, img_t))
-            lp = self.lpips(rgb_t, img_t)
-            rows.append({"psnr": p, "ssim": s, self.lpips_key: lp})
-            fi = int(np.asarray(frame["frame_index"])[0])
-            cv2.imwrite(os.path.join(rgb_dir, f"{fi:06d}.png"),
-                        (np.clip(rgb, 0, 1) * 255)[..., ::-1].astype(np.uint8))
-            cv2.imwrite(os.path.join(op_dir, f"{fi:06d}.png"),
-                        (np.clip(opac, 0, 1) * 255).astype(np.uint8))
+        metrics_fn = self._eval_metrics_fn()
+        rows = [None] * len(self.eval_data)
+        pending = deque()
+
+        def _flush_one(writer):
+            i, fi, res = pending.popleft()
+            p, s, lp, png, png_op = jax.device_get(res)
+            rows[i] = {"psnr": float(p), "ssim": float(s),
+                       self.lpips_key: float(lp)}
+            writer.submit(cv2.imwrite,
+                          os.path.join(rgb_dir, f"{fi:06d}.png"),
+                          np.ascontiguousarray(png))
+            writer.submit(cv2.imwrite,
+                          os.path.join(op_dir, f"{fi:06d}.png"),
+                          np.ascontiguousarray(png_op))
+
+        with AsyncWriter() as writer:
+            for i, frame, sample in self.eval_frames():
+                out = self._render_frame(self.state["params"]["nerf"], frame)
+                res = metrics_fn(out["rgb"], out["opacity"], frame["image"],
+                                 frame["obj_mask"])
+                pending.append((i, int(sample["frame_index"]), res))
+                if len(pending) >= 2:
+                    _flush_one(writer)
+            while pending:
+                _flush_one(writer)
         mean_psnr = float(np.mean([r["psnr"] for r in rows]))
         mean_ssim = float(np.mean([r["ssim"] for r in rows]))
         log.info(f"PSNR: {mean_psnr:8.2f}")

@@ -34,7 +34,7 @@ OUT_JSON = os.environ.get("EVAL_JSON", os.path.join(
 
 def _mem_mb():
     """Device memory in use (MB) — TPU backends report memory_stats;
-    CPU returns None (the assertion degrades to wall-clock only)."""
+    CPU returns None (the O(1) check then falls back to host RSS)."""
     import jax
     stats = jax.local_devices()[0].memory_stats() or {}
     b = stats.get("bytes_in_use")
@@ -46,6 +46,20 @@ def _peak_mb():
     stats = jax.local_devices()[0].memory_stats() or {}
     b = stats.get("peak_bytes_in_use")
     return None if b is None else b / 1e6
+
+
+def _rss_mb():
+    """Host resident-set size (MB) — the fallback memory signal when the
+    backend reports no device stats (r4 verdict: `o1_frame_memory: true`
+    with every memory field null asserted nothing)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1e3  # kB → MB
+    except OSError:
+        pass
+    return None
 
 
 def main():
@@ -108,18 +122,29 @@ def main():
     jax.block_until_ready(eng._render_frame_st(frame, lt, ll)["rgb_static"])
     eng._eval_cache = (None, None)
 
-    m0 = _mem_mb()
+    m0, r0 = _mem_mb(), _rss_mb()
     t0 = time.perf_counter()
     res = eng.evaluate_full()
     wall = time.perf_counter() - t0
-    m1 = _mem_mb()
+    m1, r1 = _mem_mb(), _rss_mb()
     peak = _peak_mb()
 
     views_s = n / wall
     delta = None if (m0 is None or m1 is None) else m1 - m0
-    # O(1 frame): the whole sweep may not grow device memory by more than
-    # a generous multiple of one 480x640 frame (~7.4 MB) + jit workspace
-    o1 = delta is None or delta < 512.0
+    rss_delta = None if (r0 is None or r1 is None) else r1 - r0
+    # O(1 frame): the whole sweep may not grow memory by more than a
+    # generous multiple of one 480x640 frame (~7.4 MB) + jit workspace.
+    # Preference order: device stats (HBM, 512 MB budget) → host RSS
+    # (noisier: allocator slack + jit caches; 1536 MB budget) → null
+    # (UNMEASURED — never reported as a pass).
+    if delta is not None:
+        o1 = bool(delta < 512.0)
+        o1_basis = "hbm"
+    elif rss_delta is not None:
+        o1 = bool(rss_delta < 1536.0)
+        o1_basis = "host_rss"
+    else:
+        o1, o1_basis = None, "unmeasured"
     out = {"frames": n, "hw": list(HW), "wall_s": round(wall, 2),
            "views_per_s": round(views_s, 3),
            "psnr": round(float(res["psnr"]), 3),
@@ -127,12 +152,17 @@ def main():
            "mem_after_mb": m1 and round(m1, 1),
            "hbm_delta_mb": delta and round(delta, 1),
            "peak_hbm_mb": peak and round(peak, 1),
-           "o1_frame_memory": bool(o1)}
+           "rss_before_mb": r0 and round(r0, 1),
+           "rss_after_mb": r1 and round(r1, 1),
+           "rss_delta_mb": rss_delta and round(rss_delta, 1),
+           "o1_frame_memory": o1, "o1_basis": o1_basis}
     print(json.dumps(out), flush=True)
     with open(OUT_JSON, "w") as f:
         json.dump(out, f, indent=1)
     shutil.rmtree(out_root, ignore_errors=True)
-    assert o1, f"device memory grew {delta} MB over the sweep"
+    assert o1 is not False, (
+        f"memory grew over the sweep ({o1_basis}: hbm_delta={delta} MB, "
+        f"rss_delta={rss_delta} MB)")
 
 
 if __name__ == "__main__":
