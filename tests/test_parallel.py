@@ -309,3 +309,90 @@ def test_engine_full_render_routes_through_mesh(tmp_path, tmp_path_factory):
     # the engine-surface eval also runs end-to-end on the mesh
     res = e_mesh.validate(0)
     assert all(np.isfinite(v) for v in res.values())
+
+
+@pytest.mark.parametrize("case", ["wrap", "just_under_half", "single_pixel",
+                                  "last_pixel"])
+def test_sharded_masked_render_adversarial_masks(case):
+    """Adversarial coverages for the sharded masked route (VERDICT r4
+    item 7): padding that wraps around n_shards, coverage just under the
+    0.5 routing threshold, and single-pixel masks — each must (a) match
+    the single-chip bucketed render exactly, (b) keep the padded index set
+    chunk·n_shards-divisible, and (c) stay strictly cheaper than the
+    full-frame H·W shard (parallel/mesh.py:127-136 contract)."""
+    from texpose_tpu.parallel import (masked_ray_indices_sharded,
+                                      render_masked_nerf_st_sharded)
+    from texpose_tpu.models.render import (masked_ray_indices,
+                                           render_rays_masked_st,
+                                           scatter_masked_st)
+    cfg = st_cfg()
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = init_nerf_st(k1, cfg)
+    B = 1
+    pose = jnp.broadcast_to(
+        jnp.concatenate([jnp.eye(3), jnp.array([[0.], [0.], [4.]])], -1)[None],
+        (B, 3, 4))
+    f = 20.0
+    intr = jnp.broadcast_to(jnp.array(
+        [[f, 0, cfg.W / 2], [0, f, cfg.H / 2], [0, 0, 1.0]])[None], (B, 3, 3))
+    HW = cfg.H * cfg.W
+    z_near = jnp.full((B, HW), 2.0)
+    z_far = jnp.full((B, HW), 6.0)
+    lt = jax.random.normal(k2, (B, cfg.nerf.N_latent_trans)) * 0.1
+    ll = jax.random.normal(k3, (B, cfg.nerf.N_latent_light)) * 0.1
+    mesh = make_mesh()
+    n_dev = mesh.shape["dp"]
+    chunk = 8
+    unit = chunk * n_dev                       # 64 at 8 devices × chunk 8
+
+    m = np.zeros((HW,), np.float32)
+    if case == "wrap":
+        # one more valid ray than the shard unit → the edge-pad must wrap
+        # a second unit and duplicate indices across shards
+        m[3:3 + unit + 1] = 1.0
+        expect_valid = unit + 1
+    elif case == "just_under_half":
+        m[:HW // 2 - 1] = 1.0                  # 127/256 ≈ 0.496 coverage
+        expect_valid = HW // 2 - 1
+    elif case == "single_pixel":
+        m[HW // 3] = 1.0
+        expect_valid = 1
+    else:                                      # last_pixel
+        m[HW - 1] = 1.0
+        expect_valid = 1
+    obj_mask_full = jnp.asarray(m[None])
+
+    idx_s, n_valid_s = masked_ray_indices_sharded(m, chunk, n_dev)
+    assert n_valid_s == expect_valid
+    assert len(idx_s) % unit == 0              # equal chunked shard slices
+    # the "strictly cheaper than full-frame" contract: the padded object
+    # index set must stay below the per-frame ray count
+    assert len(idx_s) < HW, (case, len(idx_s), HW)
+    assert len(idx_s) >= n_valid_s
+
+    out_s = jax.jit(lambda p, idx: render_masked_nerf_st_sharded(
+        mesh, p, cfg, pose, intr, z_near, z_far, lt, ll,
+        jax.random.PRNGKey(0), idx, chunk=chunk))(params, jnp.asarray(idx_s))
+    full_s = scatter_masked_st(cfg, out_s, jnp.asarray(idx_s), n_valid_s,
+                               (obj_mask_full > 0).astype(jnp.float32))
+
+    idx_1, n_valid_1 = masked_ray_indices(m, chunk)
+    assert n_valid_1 == expect_valid
+    out_1 = render_rays_masked_st(params, cfg, pose, intr,
+                                  jnp.asarray(idx_1), z_near, z_far, lt, ll,
+                                  jax.random.PRNGKey(0), chunk=chunk)
+    full_1 = scatter_masked_st(cfg, out_1, jnp.asarray(idx_1), n_valid_1,
+                               (obj_mask_full > 0).astype(jnp.float32))
+    assert set(full_s) == set(full_1)
+    for k in full_s:
+        np.testing.assert_allclose(np.asarray(full_s[k]),
+                                   np.asarray(full_1[k]),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"{case}:{k}")
+    # background defaults intact everywhere outside the mask
+    bg = ~(m > 0)
+    np.testing.assert_allclose(
+        np.asarray(full_s["rgb_static"])[0, bg], 0.0, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(full_s["uncert"])[0, bg], cfg.nerf.min_uncert, atol=1e-7)
