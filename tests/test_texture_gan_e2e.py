@@ -278,7 +278,8 @@ def test_val_light_topk_mean(fixture_root, tmp_path):
     eng.setup_optimizer()
     calls = []
     orig = eng._topk_latents
-    eng._topk_latents = lambda pose, k=None: calls.append(1) or orig(pose, k)
+    eng._topk_latents = (lambda pose, k=None, tab=None:
+        calls.append(1) or orig(pose, k, tab=tab))
     mean = eng.validate(0)
     assert calls, "val_light=topk_mean must route through _topk_latents"
     assert np.isfinite(mean["PSNR"])
@@ -290,8 +291,10 @@ def test_val_light_topk_mean(fixture_root, tmp_path):
     eng2.setup_optimizer()
     calls2 = []
     orig2 = eng2._topk_latents
+    cfg2.render.drift_monitor = False      # isolate the val-path routing
     eng2._topk_latents = (
-        lambda pose, k=None: calls2.append(1) or orig2(pose, k))
+        lambda pose, k=None, tab=None: calls2.append(1) or orig2(pose, k,
+                                                                 tab=tab))
     mean2 = eng2.validate(0)
     assert not calls2 and np.isfinite(mean2["PSNR"])
 
@@ -398,3 +401,81 @@ def test_direct_table_sampling_matches_gather(fixture_root, tmp_path):
     for a, b in zip(pa, pb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_latent_nbr_reg_and_drift_monitor(fixture_root, tmp_path):
+    """r5 drift work: the pose-aware latent_nbr_reg loss trains (finite,
+    shrinks the latent spread at a heavy weight) and monitor_latent_drift
+    emits per-protocol PSNR + norm telemetry and fires on an inflated
+    latent row."""
+    import json
+    import jax.numpy as jnp
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    cfg = tiny_gan_cfg(fixture_root, tmp_path)
+    cfg.name = "nbr_reg"
+    cfg.max_iter = 6
+    cfg.loss_weight.latent_nbr_reg = 2     # heavy (10^2) to see the pull
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+
+    # neighbor table: self is its own nearest pose, shape [N, k]
+    nbr = eng._pose_neighbor_table(3)
+    assert nbr.shape == (len(eng.train_data), 3)
+    np.testing.assert_array_equal(nbr[:, 0], np.arange(len(eng.train_data)))
+
+    def spread(latents):
+        t = np.asarray(latents["light"])
+        return float(((t - t.mean(0)) ** 2).sum())
+
+    s0 = spread(eng.state["latents"])
+    loss = None
+    for _ in range(6):
+        eng.state, loss = eng.step_fn(eng.state, eng.train_batch)
+    host = {k: float(np.asarray(v)) for k, v in loss.items()}
+    assert "latent_nbr_reg" in host and np.isfinite(host["latent_nbr_reg"])
+    assert spread(eng.state["latents"]) < s0   # the pull is real
+
+    # ---- drift monitor: healthy table → no alarm; inflated row → alarm
+    rec = eng.monitor_latent_drift(0)
+    for f in ("latent_light_z_max", "psnr_anchor", "psnr_topk3",
+              "psnr_topk8", "psnr_mean"):
+        assert f in rec and np.isfinite(rec[f]), f
+    assert rec["drift_alarm"] == 0.0
+
+    # alarm needs >=8 rows (MAD is noise below); build a 16-row table with
+    # one inflated latent — the failure mode the monitor exists for
+    r = np.random.default_rng(0)
+    lat = {"trans": jnp.asarray(r.normal(size=(16, 8)).astype(np.float32)),
+           "light": jnp.asarray(r.normal(size=(16, 12)).astype(np.float32))}
+    lat["light"] = lat["light"].at[2].mul(100.0)
+    eng.state["latents"] = lat
+    rec2 = eng.monitor_latent_drift(1)
+    assert rec2["latent_light_z_max"] > 6.0
+    assert rec2["drift_alarm"] == 1.0
+
+    # telemetry landed in metrics.jsonl under the drift split
+    recs = [json.loads(l) for l in
+            open(os.path.join(cfg.output_path, "metrics.jsonl"))]
+    drift = [r for r in recs if r["split"] == "drift"]
+    assert len(drift) >= 2 and "psnr_topk8" in drift[-1]
+
+
+def test_drift_monitor_psnr_slope_alarm(fixture_root, tmp_path):
+    """The topk8 val-PSNR slope alarm fires when the protocol falls >1 dB
+    below its best-so-far (the r2/r3 long-horizon decline signature)."""
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    cfg = tiny_gan_cfg(fixture_root, tmp_path)
+    cfg.name = "drift_slope"
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+    eng._drift_psnr_hist = [20.0, 20.5]
+    rec = eng.monitor_latent_drift(2)
+    if rec["psnr_topk8"] < 19.5:           # untrained render is far below
+        assert rec["drift_alarm"] == 1.0
+    assert eng._drift_psnr_hist[-1] == rec["psnr_topk8"]
