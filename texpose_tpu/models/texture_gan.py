@@ -439,6 +439,16 @@ class TextureGANEngine(Engine):
         # for shapes where the frame gather dominates
         table_keys = ("image", "image_syn", "obj_mask", "mask_syn",
                       "nocs_pred", "normal_pred", "z_near", "z_far")
+        # timing-only ablation knobs (env, never config): used by
+        # tools/ab_cfg.py --env:... to price step stages IN SITU (the r3
+        # lesson: isolated probes and cross-process deltas mislead at
+        # <0.3 ms).  Both change training semantics — A/B timing only.
+        #   TEXPOSE_DEBUG_PREGATHER=1  fixed first-B batch, no per-step
+        #                              random choice + whole-split gather
+        #   TEXPOSE_DEBUG_NO_OPT=1     generator grads computed but the
+        #                              Adam/schedule update skipped
+        dbg_pregather = os.environ.get("TEXPOSE_DEBUG_PREGATHER") == "1"
+        dbg_no_opt = os.environ.get("TEXPOSE_DEBUG_NO_OPT") == "1"
 
         def step(state, batch_all):
             # key/it live in the state — zero per-step host transfers
@@ -457,7 +467,11 @@ class TextureGANEngine(Engine):
                           and not (k in ("z_near", "z_far") and v.ndim < 2)}
                 gathered = {k: v for k, v in batch_all.items()
                             if k not in tables}
-            batch = jax.tree_util.tree_map(lambda x: x[idx], gathered)
+            if dbg_pregather:
+                idx = jnp.arange(B, dtype=jnp.int32)
+                batch = jax.tree_util.tree_map(lambda x: x[:B], gathered)
+            else:
+                batch = jax.tree_util.tree_map(lambda x: x[idx], gathered)
             if mesh is not None:
                 # DP over the patch-batch axis: one patch render + disc
                 # column per chip; grads psum over ICI
@@ -483,9 +497,15 @@ class TextureGANEngine(Engine):
                 gen_params, trunk, state["params"].get("disc"),
                 state["sn_state"], batch, tables, idx, coords, scales,
                 k_render, progress)
-            updates, opt_nerf = self.opt_nerf.update(
-                grads, state["opt_nerf"], gen_params)
-            gen_params = optax.apply_updates(gen_params, updates)
+            if dbg_no_opt:
+                # consume grads so the bwd still runs; skip the update
+                opt_nerf = state["opt_nerf"]
+                gen_params = jax.tree_util.tree_map(
+                    lambda p, g: p + 0.0 * g, gen_params, grads)
+            else:
+                updates, opt_nerf = self.opt_nerf.update(
+                    grads, state["opt_nerf"], gen_params)
+                gen_params = optax.apply_updates(gen_params, updates)
             new_state = dict(state)
             new_state["params"] = dict(state["params"],
                                        nerf=dict(gen_params["heads"],

@@ -91,6 +91,12 @@ VARIANTS = {
     # drift is the measured 20k-decline driver)
     "latlr": {"optim.lr_latent": 1.e-4},
     "latlr3": {"optim.lr_latent": 3.e-4},
+    # r5 drift-ARREST candidate (VERDICT r4 item 4): pull each image's
+    # latents toward the stop-gradient mean of its pose-neighborhood —
+    # regularizes exactly the spread the topk_mean protocol averages over
+    # (pose-aware, unlike the global latent_reg L2 which failed)
+    "nbrreg": {"latent_nbr_reg": -2},
+    "nbrreg1": {"latent_nbr_reg": -1},
 }
 
 
@@ -284,6 +290,29 @@ def main():
                     bm[20000] >= bm[10000] - 1.0)
             proto_gates[field] = g
         out["protocol_gates"] = proto_gates
+        # per-variant per-seed 20k decline (peak-to-20k drop per seed, plus
+        # the cross-seed 20k spread) — the drift signature the r5 gate
+        # watches beyond the seed-mean (VERDICT r4 weak item 4)
+        drift = {}
+        for name, rows_by_seed in table.items():
+            per_seed = {}
+            vals_20k = []
+            for seed, rows in rows_by_seed.items():
+                d = dict(rows)
+                if 20000 not in d:
+                    continue
+                f = "psnr_topk8" if "psnr_topk8" in d[20000] else "psnr"
+                peak = max(ev[f] for ev in d.values())
+                per_seed[str(seed)] = {
+                    "psnr_20k": round(float(d[20000][f]), 4),
+                    "decline_from_peak": round(float(peak - d[20000][f]), 4)}
+                vals_20k.append(float(d[20000][f]))
+            if vals_20k:
+                drift[name] = {"per_seed": per_seed,
+                               "spread_20k": round(max(vals_20k)
+                                                   - min(vals_20k), 4),
+                               "protocol": "psnr_topk8"}
+        out["drift_20k"] = drift
         by_mark = _means(table[names[0]])
         if {2000, 10000} <= set(by_mark):
             out["gate_10k_ge_2k"] = bool(by_mark[10000] >= by_mark[2000])
