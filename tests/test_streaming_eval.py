@@ -154,6 +154,125 @@ def test_eval_frames_propagates_loader_errors(root, tmp_path):
     assert got == [0, 1]
 
 
+def test_compact_eval_matches_plain(root, tmp_path):
+    """The r5 compact eval payload (uint8 image/mask upload + host-gathered
+    object-ray z bounds + fused render/metrics/PNG jit) must reproduce the
+    plain f32 path: same metrics, same PNG files.  The payload is
+    bitwise-lossless by construction (dataset images are uint8/255 PNGs,
+    masks {0,1}, z values the same f32 map reads)."""
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    cfg = tiny_gan_cfg(root, tmp_path)
+    cfg.syn2real = True
+    cfg.data.image_size = [120, 160]
+    cfg.H, cfg.W = 120, 160
+    cfg.nerf.sample_intvs = 4
+    cfg.nerf.rand_rays = 1024
+
+    results, pngs = {}, {}
+    for mode in ("compact", "plain"):
+        cfg.name = f"cmp_{mode}"
+        cfg.render.eval_compact = mode == "compact"
+        eng = TextureGANEngine(cfg)
+        eng.load_dataset(eval_split="test", prefetch_train=False)
+        eng.build_networks()
+        eng.setup_optimizer()
+        if mode == "plain":
+            assert eng._eval_compact_transform() is None
+        else:
+            assert eng._eval_compact_transform() is not None
+        results[mode] = eng.evaluate_full()
+        out_dir = os.path.join(eng.cfg.output_path, "test_view_last")
+        pngs[mode] = {f: open(os.path.join(out_dir, f), "rb").read()
+                      for f in sorted(os.listdir(out_dir))
+                      if f.endswith(".png")}
+    assert abs(results["compact"]["psnr"] - results["plain"]["psnr"]) < 1e-3
+    assert abs(results["compact"]["ssim"] - results["plain"]["ssim"]) < 1e-4
+    assert set(pngs["compact"]) == set(pngs["plain"])
+    import cv2
+    for f in pngs["plain"]:
+        if pngs["compact"][f] == pngs["plain"][f]:
+            continue
+        a = cv2.imdecode(np.frombuffer(pngs["compact"][f], np.uint8), -1)
+        b = cv2.imdecode(np.frombuffer(pngs["plain"][f], np.uint8), -1)
+        # XLA may fuse the in-jit render+metrics graph differently from the
+        # two-dispatch plain path; allow the uint8 rounding boundary only
+        assert int(np.abs(a.astype(int) - b.astype(int)).max()) <= 1, f
+
+
+def test_compact_transform_payload(root, tmp_path):
+    """Payload invariants: uint8 image roundtrip is exact, z bounds equal
+    the map values at the padded index set, dense frames fall back."""
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+    from texpose_tpu.models.render import masked_ray_indices
+
+    cfg = tiny_gan_cfg(root, tmp_path)
+    cfg.name = "payload_test"
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset(eval_split="test", prefetch_train=False)
+    tf = eng._eval_compact_transform()
+    assert tf is not None
+    sample = eng.eval_data[0]
+    pl = tf(sample)
+    assert "image_u8" in pl
+    np.testing.assert_array_equal(
+        pl["image_u8"][0].astype(np.float32) / 255.0, sample["image"])
+    idx_p, _ = masked_ray_indices(sample["obj_mask"].reshape(-1),
+                                  int(cfg.nerf.rand_rays))
+    np.testing.assert_array_equal(pl["idx"], idx_p)
+    np.testing.assert_array_equal(
+        pl["z_near_pre"][0], sample["z_near"].reshape(-1)[idx_p])
+    np.testing.assert_array_equal(
+        pl["z_far_pre"][0], sample["z_far"].reshape(-1)[idx_p])
+    # dense frame → standard payload fallback
+    dense = dict(sample)
+    dense["obj_mask"] = np.ones_like(sample["obj_mask"])
+    pl2 = tf(dense)
+    assert "image_u8" not in pl2 and "image" in pl2
+
+
+def test_masked_st_pre_matches_gathered(root, tmp_path):
+    """render_rays_masked_st_pre (host-pre-gathered z) is bitwise-equal to
+    render_rays_masked_st (device z gather) on the same index set."""
+    import jax
+    import jax.numpy as jnp
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+    from texpose_tpu.models.render import (render_rays_masked_st,
+                                           render_rays_masked_st_pre,
+                                           masked_ray_indices)
+    from texpose_tpu.models.pretrain import _compute_dtype
+
+    cfg = tiny_gan_cfg(root, tmp_path)
+    cfg.name = "pre_test"
+    cfg.nerf.sample_intvs = 4
+    cfg.nerf.rand_rays = 256
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset(eval_split="test", prefetch_train=False)
+    eng.build_networks()
+    sample = eng.eval_data[0]
+    idx_p, _ = masked_ray_indices(sample["obj_mask"].reshape(-1), 256)
+    pose = jnp.asarray(sample["pose"], jnp.float32)[None]
+    intr = jnp.asarray(sample["intr"], jnp.float32)[None]
+    zn = jnp.asarray(sample["z_near"], jnp.float32).reshape(1, -1)
+    zf = jnp.asarray(sample["z_far"], jnp.float32).reshape(1, -1)
+    lt = jnp.zeros((1, int(cfg.nerf.N_latent_trans)))
+    ll = jnp.zeros((1, int(cfg.nerf.N_latent_light)))
+    key = jax.random.PRNGKey(0)
+    params = eng.state["params"]["nerf"]
+    a = render_rays_masked_st(params, cfg, pose, intr, jnp.asarray(idx_p),
+                              zn, zf, lt, ll, key,
+                              compute_dtype=_compute_dtype(cfg), chunk=256)
+    b = render_rays_masked_st_pre(
+        params, cfg, pose, intr, jnp.asarray(idx_p),
+        jnp.asarray(np.asarray(zn)[0][idx_p])[None],
+        jnp.asarray(np.asarray(zf)[0][idx_p])[None], lt, ll, key,
+        compute_dtype=_compute_dtype(cfg), chunk=256)
+    assert set(a.keys()) == set(b.keys())
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=0, atol=1e-6, err_msg=k)
+
+
 def test_async_writer_runs_jobs_and_reraises(tmp_path):
     from texpose_tpu.utils.pipeline import AsyncWriter
 

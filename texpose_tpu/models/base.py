@@ -132,7 +132,7 @@ class Engine:
             self._eval_cache = (i, frame)
         return self._eval_cache[1]
 
-    def eval_frames(self, indices=None, depth=2):
+    def eval_frames(self, indices=None, depth=2, transform=None):
         """Iterate (i, frame, host_sample) over eval frames with a
         background prefetch thread: frame i+1 loads from disk and
         device_puts while frame i renders (the overlap the reference gets
@@ -142,12 +142,18 @@ class Engine:
         yielded it becomes the cached slot, so interleaved eval_frame(i)
         calls reuse the prefetched device copy.  Device memory stays
         O(depth frames).
+
+        transform: optional host hook producing a COMPACT device payload
+        (see utils.pipeline.EvalPrefetcher).  Transformed payloads have an
+        engine-specific layout, so they never enter the eval_frame cache —
+        a later eval_frame(i) reloads the standard f32 frame.
         """
         from ..utils.pipeline import EvalPrefetcher
-        with EvalPrefetcher(self.eval_data, indices=indices,
-                            depth=depth) as pf:
+        with EvalPrefetcher(self.eval_data, indices=indices, depth=depth,
+                            transform=transform) as pf:
             for i, frame, sample in pf:
-                self._eval_cache = (i, frame)
+                if transform is None:
+                    self._eval_cache = (i, frame)
                 yield i, frame, sample
 
     # ------------------------------------------------------- persist/restore

@@ -42,7 +42,8 @@ def ray_batch_sample(values, ray_idx):
     return jnp.take_along_axis(values, ray_idx[..., None], axis=1)
 
 
-def gather_rays(pose, intr, ray_idx, z_near, z_far, H, W, ndc=False):
+def gather_rays(pose, intr, ray_idx, z_near, z_far, H, W, ndc=False,
+                z_pregathered=False):
     """Centers/rays/bounds for the selected pixels.
 
     pose [B,3,4], intr [B,3,3], ray_idx [B,R], z_near/z_far [B,HW] →
@@ -52,6 +53,11 @@ def gather_rays(pose, intr, ray_idx, z_near, z_far, H, W, ndc=False):
     (reference model/nerf_pretrain.py:601-606), the selected pixel coords are
     gathered first and only R pixels are unprojected — same math (the
     unprojection is linear per pixel), R/HW× less work and memory.
+
+    z_pregathered: z_near/z_far are already per-ray [B,R] (gathered on
+    HOST from the same index set — compact eval payloads avoid shipping
+    the full [B,HW] z maps through the TPU tunnel).  Bitwise-identical to
+    the device gather: both read the same f32 map values.
     """
     B, R = ray_idx.shape
     xy = pixel_grid(H, W, pose.dtype)                           # [HW,2]
@@ -59,8 +65,11 @@ def gather_rays(pose, intr, ray_idx, z_near, z_far, H, W, ndc=False):
     grid_3D = img2cam(to_hom(xy), intr)                         # [B,R,3]
     center = cam2world(jnp.zeros_like(grid_3D), pose)
     ray = cam2world(grid_3D, pose) - center
-    near = ray_batch_sample(z_near[..., None], ray_idx)[..., 0]
-    far = ray_batch_sample(z_far[..., None], ray_idx)[..., 0]
+    if z_pregathered:
+        near, far = z_near, z_far
+    else:
+        near = ray_batch_sample(z_near[..., None], ray_idx)[..., 0]
+        far = ray_batch_sample(z_far[..., None], ray_idx)[..., 0]
     if ndc:
         center, ray = convert_NDC(center, ray, intr)
     return center, ray, near, far
@@ -172,12 +181,12 @@ def render_st_core(params, cfg, center, ray, near, far, latent_trans,
 
 def render_rays_nerf_st(params, cfg, pose, intr, ray_idx, z_near, z_far,
                         latent_trans, latent_light, key, progress=None,
-                        mode=None, compute_dtype=None):
+                        mode=None, compute_dtype=None, z_pregathered=False):
     """Static/transient/light render of selected rays → the full composite
     dict (rgb, rgb_static, rgb_transient, uncert, depth, opacities...)."""
     center, ray, near, far = gather_rays(
         pose, intr, ray_idx, z_near, z_far, cfg.H, cfg.W,
-        ndc=cfg.camera.get("ndc", False))
+        ndc=cfg.camera.get("ndc", False), z_pregathered=z_pregathered)
     out = render_st_core(params, cfg, center, ray, near, far, latent_trans,
                          latent_light, key, progress, mode, compute_dtype)
     # this function's contract is PER-RAY [B,R,C] leaves only: the scalar
@@ -296,6 +305,39 @@ def render_rays_masked_st(params, cfg, pose, intr, ray_idx, z_near, z_far,
                                   z_far, latent_trans, latent_light, key,
                                   progress, mode="eval",
                                   compute_dtype=compute_dtype)
+        return {k: v for k, v in out.items() if v.ndim == 3}
+
+    out = jax.lax.map(body, chunks)
+    return {k: jnp.moveaxis(v, 0, 1).reshape(B, P, v.shape[-1])
+            for k, v in out.items()}
+
+
+def render_rays_masked_st_pre(params, cfg, pose, intr, ray_idx, z_near_pre,
+                              z_far_pre, latent_trans, latent_light, key,
+                              progress=None, compute_dtype=None, chunk=None):
+    """render_rays_masked_st with HOST-pre-gathered z bounds.
+
+    z_near_pre/z_far_pre are [B,P] aligned with ray_idx [P] — the compact
+    eval payload gathers the object-ray subset of the z maps on host, so
+    the full [B,HW] f32 maps (2.5 MB/frame at 480×640) never cross the
+    TPU tunnel.  Values are the same f32 map reads → bitwise-identical
+    rays; returns dict of [B,P,C] like render_rays_masked_st."""
+    B = pose.shape[0]
+    chunk = chunk or cfg.nerf.rand_rays
+    P = ray_idx.shape[0]
+    NC = P // chunk
+    chunks = (ray_idx.reshape(NC, chunk),
+              jnp.moveaxis(z_near_pre.reshape(B, NC, chunk), 1, 0),
+              jnp.moveaxis(z_far_pre.reshape(B, NC, chunk), 1, 0))
+
+    def body(args):
+        ci, zn, zf = args
+        idx = jnp.broadcast_to(ci[None], (B, chunk))
+        out = render_rays_nerf_st(params, cfg, pose, intr, idx, zn, zf,
+                                  latent_trans, latent_light, key,
+                                  progress, mode="eval",
+                                  compute_dtype=compute_dtype,
+                                  z_pregathered=True)
         return {k: v for k, v in out.items() if v.ndim == 3}
 
     out = jax.lax.map(body, chunks)

@@ -945,6 +945,137 @@ class TextureGANEngine(Engine):
         self._render_jits[key] = fn
         return fn
 
+    # -------------------------------------------- compact streaming eval
+    # The remote-TPU tunnel serializes host↔device transfers with compute
+    # dispatches, so per-frame BYTES are wall-clock even with a prefetch
+    # thread (tools/probe_eval_stages r5: device_put of the 7.37 MB f32
+    # frame = 117 ms of the 268 ms/frame end-to-end eval budget).  The
+    # compact route uploads a bitwise-lossless ~1.6 MB payload instead:
+    # uint8 image/mask (dataset images ARE uint8/255 PNGs and masks {0,1},
+    # data/lmsyn2real.py:69,91) and the object-ray subset of the z maps
+    # gathered on host (render_rays_masked_st_pre) — and pulls back a
+    # sparse [P,3] uint8 PNG payload instead of the full frame.  Render +
+    # scatter + metrics + PNG payload run as ONE jit dispatch per frame.
+
+    def _eval_compact_transform(self):
+        """EvalPrefetcher transform for the compact payload, or None when
+        the compact route can't serve this engine/config (mesh sharding,
+        scene_vis export, render.eval_compact=false).  Dense/empty frames
+        (coverage outside (0,0.5)) fall back per-frame to the standard f32
+        payload — the full-frame render route needs the whole z maps."""
+        cfg = self.cfg
+        if self.mesh is not None or cfg.data.scene == "scene_vis" \
+                or not cfg.render.get("eval_compact", True):
+            return None
+        chunk = int(cfg.nerf.rand_rays)
+        from .render import masked_ray_indices
+
+        def transform(sample):
+            obj = np.asarray(sample["obj_mask"]).reshape(-1)
+            coverage = float((obj > 0).mean())
+            if not (0.0 < coverage < 0.5):
+                return {k: np.asarray(v)[None] for k, v in sample.items()}
+            idx_p, _n = masked_ray_indices(obj, chunk)
+            z_near = np.asarray(sample["z_near"], np.float32).reshape(-1)
+            z_far = np.asarray(sample["z_far"], np.float32).reshape(-1)
+            img = np.asarray(sample["image"])
+            return {
+                "image_u8": np.rint(img * 255.0).astype(np.uint8)[None],
+                "obj_mask_u8": (obj > 0).astype(np.uint8)[None],
+                "pose": np.asarray(sample["pose"], np.float32)[None],
+                "intr": np.asarray(sample["intr"], np.float32)[None],
+                "idx": idx_p,
+                "z_near_pre": z_near[idx_p][None],
+                "z_far_pre": z_far[idx_p][None],
+            }
+        return transform
+
+    def _eval_compact_fn(self, raw_hw, P):
+        """ONE jitted dispatch per eval frame: masked render from host-pre-
+        gathered z bounds, scatter, PSNR/SSIM/LPIPS, and the PNG payload —
+        sparse [P,3] uint8 object-ray colors when no raw-res resize is
+        needed (the background is 0 by the reference's mask defaults,
+        model/nerf_adapt_st_gan.py:655-667), else the full resized frame."""
+        key = ("evalcompact", raw_hw, P)
+        if not hasattr(self, "_render_jits"):
+            self._render_jits = {}
+        if key in self._render_jits:
+            return self._render_jits[key]
+        cfg = self.cfg
+        need = raw_hw is not None and tuple(raw_hw) != (cfg.H, cfg.W)
+        lpips_params, _ = self._ensure_lpips()
+        chunk = int(cfg.nerf.rand_rays)
+        from ..ops.image import resize_bilinear
+        from ..nn.lpips import lpips_distance
+        from .render import render_rays_masked_st_pre
+
+        @jax.jit
+        def fn(params, pose, intr, zn, zf, lt, ll, idx, image_u8, mask_u8):
+            out = render_rays_masked_st_pre(
+                params, cfg, pose, intr, idx, zn, zf, lt, ll,
+                jax.random.PRNGKey(0), progress=jnp.asarray(1.0),
+                compute_dtype=_compute_dtype(cfg), chunk=chunk)
+            vals = out["rgb_static"][0]                        # [P,3]
+            mask = mask_u8.reshape(cfg.H * cfg.W, 1) > 0
+            rgb = jnp.zeros((cfg.H * cfg.W, 3)).at[idx].set(vals)
+            rgb = jnp.where(mask, rgb, 0.0).reshape(cfg.H, cfg.W, 3)
+            maskf = mask_u8.reshape(cfg.H, cfg.W, 1).astype(jnp.float32)
+            img = image_u8.reshape(3, cfg.H, cfg.W).transpose(1, 2, 0) \
+                .astype(jnp.float32) / 255.0 * maskf
+            if need:
+                rgb = resize_bilinear(rgb, tuple(raw_hw))
+                img = resize_bilinear(img, tuple(raw_hw))
+            p = mse_to_psnr(jnp.mean((rgb - img) ** 2))
+            rgb_t = rgb.transpose(2, 0, 1)[None]
+            img_t = img.transpose(2, 0, 1)[None]
+            s = ssim(rgb_t, img_t)
+            lp = jnp.mean(lpips_distance(lpips_params, rgb_t * 2 - 1,
+                                         img_t * 2 - 1))
+            if need:
+                png = (jnp.clip(rgb, 0.0, 1.0) * 255.0
+                       ).astype(jnp.uint8)[..., ::-1]
+            else:
+                png = (jnp.clip(vals, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            return p, s, lp, png
+
+        self._render_jits[key] = fn
+        return fn
+
+    def _eval_compact_dispatch(self, frame, lt, ll, raw_hw):
+        """Dispatch the compact per-frame jit on an uploaded compact
+        payload; returns the unpulled device result tuple."""
+        fn = self._eval_compact_fn(raw_hw, frame["idx"].shape[0])
+        return fn(self.state["params"]["nerf"], frame["pose"],
+                  frame["intr"], frame["z_near_pre"], frame["z_far_pre"],
+                  jnp.asarray(lt), jnp.asarray(ll), frame["idx"],
+                  frame["image_u8"], frame["obj_mask_u8"])
+
+    def warm_eval(self, i=0):
+        """Compile the per-frame eval pipeline for eval frame i off the
+        clock (bench tools time steady-state; the remote compile otherwise
+        lands inside the first measured frame — the r4 envelope's 71 s
+        wall at N=100 carried a ~45 s in-loop metrics compile)."""
+        cfg = self.cfg
+        sample = self.eval_data[i]
+        raw_hw = getattr(self.eval_data, "raw_hw", None)
+        lt = np.zeros((1, int(cfg.nerf.N_latent_trans)), np.float32)
+        ll = np.asarray(self.state["latents"]["light"][0:1])
+        transform = self._eval_compact_transform()
+        payload = transform(sample) if transform is not None else None
+        if payload is not None and "image_u8" in payload:
+            frame = jax.device_put(payload)
+            jax.block_until_ready(
+                self._eval_compact_dispatch(frame, lt, ll, raw_hw))
+            return
+        frame = self.eval_frame(i)
+        out = self._render_frame_st(frame, lt, ll,
+                                    obj_host=sample["obj_mask"])
+        jax.block_until_ready(out["rgb_static"])
+        if cfg.data.scene != "scene_vis":
+            mfn = self._eval_metrics_fn(raw_hw)
+            jax.block_until_ready(mfn(out["rgb_static"], frame["image"],
+                                      frame["obj_mask"]))
+
     def _eval_frame_vis(self, frame, out, raw_hw, test_path, writer):
         """Paper-visual export (reference :349-371): 256-px center crop,
         render composited on WHITE inside the object mask, plus
@@ -1024,21 +1155,32 @@ class TextureGANEngine(Engine):
         vis_mode = cfg.data.scene == "scene_vis"
         tab = self._host_latents_table()
         zero_lt = np.zeros((1, int(cfg.nerf.N_latent_trans)), np.float32)
-        metrics_fn = None if vis_mode else self._eval_metrics_fn(raw_hw)
         rows = [None] * len(self.eval_data)
         pending = deque()
+        need = raw_hw is not None and tuple(raw_hw) != (cfg.H, cfg.W)
+        transform = None if vis_mode else self._eval_compact_transform()
+
+        def _write_sparse_png(path, idx_p, vals):
+            # reconstruct the full BGR frame from the sparse object-ray
+            # payload (background 0 = the reference's mask default)
+            full = np.zeros((cfg.H * cfg.W, 3), np.uint8)
+            full[idx_p] = vals
+            cv2.imwrite(path, np.ascontiguousarray(
+                full.reshape(cfg.H, cfg.W, 3)[..., ::-1]))
 
         def _flush_one(writer):
-            i, fi, res = pending.popleft()
+            i, fi, idx_p, res = pending.popleft()
             p, s, lp, png = jax.device_get(res)
             rows[i] = {"psnr": float(p), "ssim": float(s),
                        self.lpips_key: float(lp)}
-            writer.submit(cv2.imwrite,
-                          os.path.join(test_path, f"{fi:06d}.png"),
-                          np.ascontiguousarray(png))
+            path = os.path.join(test_path, f"{fi:06d}.png")
+            if idx_p is not None:
+                writer.submit(_write_sparse_png, path, idx_p, png)
+            else:
+                writer.submit(cv2.imwrite, path, np.ascontiguousarray(png))
 
         with AsyncWriter() as writer:
-            for i, frame, sample in self.eval_frames():
+            for i, frame, sample in self.eval_frames(transform=transform):
                 pose_gt = np.asarray(sample["pose"])
                 if light_mode == "mean":
                     # mean train latent: robust when per-image lighting
@@ -1054,15 +1196,29 @@ class TextureGANEngine(Engine):
                     lt = tab["trans"][li:li + 1]
                 if cfg.render.transient == "zero":
                     lt = zero_lt
+                if "image_u8" in frame:
+                    # compact route: ONE fused render+metrics+PNG dispatch.
+                    # idx_p re-derives on host (~0.3 ms) — pulling
+                    # frame["idx"] back would cost a tunnel round trip.
+                    res = self._eval_compact_dispatch(frame, lt, ll, raw_hw)
+                    from .render import masked_ray_indices
+                    idx_p = None if need else masked_ray_indices(
+                        np.asarray(sample["obj_mask"]).reshape(-1),
+                        int(cfg.nerf.rand_rays))[0]
+                    pending.append((i, int(sample["frame_index"]),
+                                    idx_p, res))
+                    if len(pending) >= 2:
+                        _flush_one(writer)
+                    continue
                 out = self._render_frame_st(frame, lt, ll,
                                             obj_host=sample["obj_mask"])
                 if vis_mode:
                     rows[i] = self._eval_frame_vis(frame, out, raw_hw,
                                                    test_path, writer)
                     continue
-                res = metrics_fn(out["rgb_static"], frame["image"],
-                                 frame["obj_mask"])
-                pending.append((i, int(sample["frame_index"]), res))
+                res = self._eval_metrics_fn(raw_hw)(
+                    out["rgb_static"], frame["image"], frame["obj_mask"])
+                pending.append((i, int(sample["frame_index"]), None, res))
                 if len(pending) >= 2:
                     _flush_one(writer)
             while pending:

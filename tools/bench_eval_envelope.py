@@ -116,10 +116,9 @@ def main():
     assert n == EVAL_N, (n, EVAL_N)
 
     # warm the compile caches on one frame so the sweep times steady-state
-    frame = eng.eval_frame(0)
-    lt = np.zeros((1, cfg.nerf.N_latent_trans), np.float32)
-    ll = np.asarray(eng.state["latents"]["light"][0:1])
-    jax.block_until_ready(eng._render_frame_st(frame, lt, ll)["rgb_static"])
+    # (render + metrics + PNG-payload jits — the r4 envelope left the
+    # metrics compile inside the clock: ~45 s of its 71 s wall at N=100)
+    eng.warm_eval(0)
     eng._eval_cache = (None, None)
 
     m0, r0 = _mem_mb(), _rss_mb()
