@@ -49,9 +49,11 @@ def _peak_mb():
 
 
 def _rss_mb():
-    """Host resident-set size (MB) — the fallback memory signal when the
-    backend reports no device stats (r4 verdict: `o1_frame_memory: true`
-    with every memory field null asserted nothing)."""
+    """Host resident-set size (MB) — informational on the axon backend:
+    the tunnel client retains a host copy of EVERY upload for the life of
+    the process (tools/probe_axon_leak.py — 100 raw device_puts leak their
+    exact byte count; del/.delete()/block_until_ready reclaim nothing), so
+    RSS grows by ~uploaded-bytes regardless of framework behavior."""
     try:
         with open("/proc/self/status") as f:
             for line in f:
@@ -60,6 +62,14 @@ def _rss_mb():
     except OSError:
         pass
     return None
+
+
+def _live_device_mb():
+    """Client-tracked live device-array bytes (MB) — the O(1)-frame
+    contract is about DEVICE footprint; this is the measurable signal on
+    backends whose memory_stats() is None (the axon tunnel)."""
+    import jax
+    return sum(a.size * a.dtype.itemsize for a in jax.live_arrays()) / 1e6
 
 
 def main():
@@ -121,29 +131,31 @@ def main():
     eng.warm_eval(0)
     eng._eval_cache = (None, None)
 
-    m0, r0 = _mem_mb(), _rss_mb()
+    m0, r0, lv0 = _mem_mb(), _rss_mb(), _live_device_mb()
     t0 = time.perf_counter()
     res = eng.evaluate_full()
     wall = time.perf_counter() - t0
-    m1, r1 = _mem_mb(), _rss_mb()
+    m1, r1, lv1 = _mem_mb(), _rss_mb(), _live_device_mb()
     peak = _peak_mb()
 
     views_s = n / wall
     delta = None if (m0 is None or m1 is None) else m1 - m0
     rss_delta = None if (r0 is None or r1 is None) else r1 - r0
-    # O(1 frame): the whole sweep may not grow memory by more than a
-    # generous multiple of one 480x640 frame (~7.4 MB) + jit workspace.
-    # Preference order: device stats (HBM, 512 MB budget) → host RSS
-    # (noisier: allocator slack + jit caches; 1536 MB budget) → null
-    # (UNMEASURED — never reported as a pass).
+    live_delta = lv1 - lv0
+    # O(1 frame): the whole sweep may not grow DEVICE memory by more than
+    # a generous multiple of one 480x640 frame (~7.4 MB) + jit workspace.
+    # Preference order: device stats (HBM, 512 MB budget) → client-tracked
+    # live device-array bytes (512 MB budget — the axon backend reports no
+    # memory_stats).  Host RSS is recorded but NOT the gate: the axon
+    # client retains every upload's host copy for the process lifetime
+    # (tools/probe_axon_leak.py), so RSS grows ~uploaded-bytes/frame on
+    # any backend-honest streaming sweep.
     if delta is not None:
         o1 = bool(delta < 512.0)
         o1_basis = "hbm"
-    elif rss_delta is not None:
-        o1 = bool(rss_delta < 1536.0)
-        o1_basis = "host_rss"
     else:
-        o1, o1_basis = None, "unmeasured"
+        o1 = bool(live_delta < 512.0)
+        o1_basis = "live_device_bytes"
     out = {"frames": n, "hw": list(HW), "wall_s": round(wall, 2),
            "views_per_s": round(views_s, 3),
            "psnr": round(float(res["psnr"]), 3),
@@ -151,17 +163,23 @@ def main():
            "mem_after_mb": m1 and round(m1, 1),
            "hbm_delta_mb": delta and round(delta, 1),
            "peak_hbm_mb": peak and round(peak, 1),
+           "live_device_before_mb": round(lv0, 1),
+           "live_device_after_mb": round(lv1, 1),
+           "live_device_delta_mb": round(live_delta, 1),
            "rss_before_mb": r0 and round(r0, 1),
            "rss_after_mb": r1 and round(r1, 1),
            "rss_delta_mb": rss_delta and round(rss_delta, 1),
+           "rss_note": ("axon client retains host copies of uploads "
+                        "(~payload bytes/frame; see "
+                        "tools/probe_axon_leak.py)"),
            "o1_frame_memory": o1, "o1_basis": o1_basis}
     print(json.dumps(out), flush=True)
     with open(OUT_JSON, "w") as f:
         json.dump(out, f, indent=1)
     shutil.rmtree(out_root, ignore_errors=True)
     assert o1 is not False, (
-        f"memory grew over the sweep ({o1_basis}: hbm_delta={delta} MB, "
-        f"rss_delta={rss_delta} MB)")
+        f"device memory grew over the sweep ({o1_basis}: "
+        f"hbm_delta={delta} MB, live_delta={live_delta} MB)")
 
 
 if __name__ == "__main__":
