@@ -273,6 +273,43 @@ def test_masked_st_pre_matches_gathered(root, tmp_path):
                                    rtol=0, atol=1e-6, err_msg=k)
 
 
+def test_pretrain_compact_eval_matches_plain(root, tmp_path):
+    """Pretrain engine: the compact uint8 eval payload (full-frame route,
+    z maps still f32) reproduces the plain path's metrics and PNGs."""
+    from test_pretrain_e2e import tiny_pretrain_cfg
+    from texpose_tpu.models.pretrain import PretrainEngine
+
+    results, pngs = {}, {}
+    for mode in ("compact", "plain"):
+        cfg = tiny_pretrain_cfg(root, tmp_path)
+        cfg.data.scene = "scene_all"
+        cfg.name = f"pre_cmp_{mode}"
+        cfg.max_iter = 2
+        cfg.render = {"eval_compact": mode == "compact"}
+        eng = PretrainEngine(cfg)
+        eng.load_dataset()
+        eng.build_networks()
+        eng.setup_optimizer()
+        if mode == "plain":
+            assert eng._eval_compact_transform() is None
+        else:
+            assert eng._eval_compact_transform() is not None
+        results[mode] = eng.evaluate_full()
+        out_dir = os.path.join(eng.cfg.output_path, "rgb")
+        pngs[mode] = {f: open(os.path.join(out_dir, f), "rb").read()
+                      for f in sorted(os.listdir(out_dir))}
+    assert abs(results["compact"]["psnr"] - results["plain"]["psnr"]) < 1e-3
+    assert abs(results["compact"]["ssim"] - results["plain"]["ssim"]) < 1e-4
+    assert pngs["compact"].keys() == pngs["plain"].keys()
+    import cv2
+    for f in pngs["plain"]:
+        if pngs["compact"][f] == pngs["plain"][f]:
+            continue
+        a = cv2.imdecode(np.frombuffer(pngs["compact"][f], np.uint8), -1)
+        b = cv2.imdecode(np.frombuffer(pngs["plain"][f], np.uint8), -1)
+        assert int(np.abs(a.astype(int) - b.astype(int)).max()) <= 1, f
+
+
 def test_async_writer_runs_jobs_and_reraises(tmp_path):
     from texpose_tpu.utils.pipeline import AsyncWriter
 

@@ -323,11 +323,75 @@ class PretrainEngine(Engine):
         self._eval_metrics_jit = fn
         return fn
 
+    def _eval_compact_transform(self):
+        """Compact eval payload for the full-frame pretrain eval: uint8
+        image/mask (bitwise-lossless — dataset images are uint8/255 PNGs,
+        masks {0,1}) + the f32 z maps the full-frame render reads at every
+        pixel; loss-only keys (depth_gt, erode_mask) stay on host.  ~3.7
+        vs ~8.6 MB/frame through the tunnel — and the axon client retains
+        every uploaded byte for the process lifetime
+        (tools/probe_axon_leak.py), so payload bytes are also a host-RSS
+        leak rate on long sweeps."""
+        if self.mesh is not None or not (
+                self.cfg.get("render") or {}).get("eval_compact", True):
+            return None
+
+        def transform(sample):
+            return {
+                "image_u8": np.rint(np.asarray(sample["image"]) * 255.0
+                                    ).astype(np.uint8)[None],
+                "obj_mask_u8": (np.asarray(sample["obj_mask"]) > 0
+                                ).astype(np.uint8)[None],
+                "pose": np.asarray(sample["pose"], np.float32)[None],
+                "intr": np.asarray(sample["intr"], np.float32)[None],
+                "z_near": np.asarray(sample["z_near"], np.float32)[None],
+                "z_far": np.asarray(sample["z_far"], np.float32)[None],
+                "frame_index": np.asarray(sample["frame_index"],
+                                          np.int32)[None],
+            }
+        return transform
+
+    def _eval_compact_fn(self):
+        """ONE jitted dispatch per eval frame: full-frame render + metrics
+        + PNG payloads from the compact uint8 payload (same outputs as
+        _render_frame → _eval_metrics_fn, one XLA program)."""
+        if hasattr(self, "_eval_compact_jit"):
+            return self._eval_compact_jit
+        cfg = self.cfg
+        lpips_params, _ = self._ensure_lpips()
+        from ..nn.lpips import lpips_distance
+
+        @jax.jit
+        def fn(params, pose, intr, z_near, z_far, image_u8, mask_u8):
+            out = render_full_nerf(
+                params, cfg, pose, intr, z_near, z_far,
+                jax.random.PRNGKey(0), progress=jnp.asarray(1.0),
+                compute_dtype=_compute_dtype(cfg))
+            rgb = out["rgb"].reshape(cfg.H, cfg.W, 3)
+            opac = out["opacity"].reshape(cfg.H, cfg.W)
+            mask = mask_u8.reshape(cfg.H, cfg.W, 1).astype(jnp.float32)
+            img = image_u8.reshape(3, cfg.H, cfg.W).transpose(1, 2, 0) \
+                .astype(jnp.float32) / 255.0 * mask
+            p = mse_to_psnr(jnp.mean((rgb - img) ** 2))
+            rgb_t = rgb.transpose(2, 0, 1)[None]
+            img_t = img.transpose(2, 0, 1)[None]
+            s = ssim(rgb_t, img_t)
+            lp = jnp.mean(lpips_distance(lpips_params, rgb_t * 2 - 1,
+                                         img_t * 2 - 1))
+            png = (jnp.clip(rgb, 0.0, 1.0) * 255.0
+                   ).astype(jnp.uint8)[..., ::-1]
+            png_op = (jnp.clip(opac, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            return p, s, lp, png, png_op
+
+        self._eval_compact_jit = fn
+        return fn
+
     def evaluate_full(self):
         """Render every eval frame, metric it, export PNGs + quant.txt
         (reference model/nerf_pretrain.py:172-239).  Pipelined like
         texture_gan.evaluate_full: prefetch thread + on-device metrics +
-        writer-thread PNG encodes, results materialized one frame behind."""
+        writer-thread PNG encodes, results materialized one frame behind;
+        compact uint8 payloads when the route applies."""
         from collections import deque
         from ..utils.pipeline import AsyncWriter
         cfg = self.cfg
@@ -336,6 +400,7 @@ class PretrainEngine(Engine):
         os.makedirs(rgb_dir, exist_ok=True)
         os.makedirs(op_dir, exist_ok=True)
         metrics_fn = self._eval_metrics_fn()
+        transform = self._eval_compact_transform()
         rows = [None] * len(self.eval_data)
         pending = deque()
 
@@ -352,10 +417,17 @@ class PretrainEngine(Engine):
                           np.ascontiguousarray(png_op))
 
         with AsyncWriter() as writer:
-            for i, frame, sample in self.eval_frames():
-                out = self._render_frame(self.state["params"]["nerf"], frame)
-                res = metrics_fn(out["rgb"], out["opacity"], frame["image"],
-                                 frame["obj_mask"])
+            for i, frame, sample in self.eval_frames(transform=transform):
+                if "image_u8" in frame:
+                    res = self._eval_compact_fn()(
+                        self.state["params"]["nerf"], frame["pose"],
+                        frame["intr"], frame["z_near"], frame["z_far"],
+                        frame["image_u8"], frame["obj_mask_u8"])
+                else:
+                    out = self._render_frame(self.state["params"]["nerf"],
+                                             frame)
+                    res = metrics_fn(out["rgb"], out["opacity"],
+                                     frame["image"], frame["obj_mask"])
                 pending.append((i, int(sample["frame_index"]), res))
                 if len(pending) >= 2:
                     _flush_one(writer)
