@@ -232,6 +232,80 @@ def test_topk_mean_latent_selection(fixture_root, tmp_path):
     assert np.isfinite(res["psnr"])
 
 
+def test_topk_robust_and_median_protocols(fixture_root, tmp_path):
+    """render.light=topk_robust drops drifted candidates (latent-norm
+    robust-z > render.topk_z) before averaging; topk_median is the
+    threshold-free robust aggregator.  On a clean table robust == mean
+    exactly; below 8 rows the z-filter falls back to mean (MAD is noise
+    at tiny tables)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+    from texpose_tpu.geometry.pose import se3_to_SE3
+
+    cfg = tiny_gan_cfg(fixture_root, tmp_path)
+    cfg.render.light = "topk_robust"
+    cfg.render.N_candidate = 8
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset()
+    eng.build_networks()
+    eng.setup_optimizer()
+
+    # synthetic 12-anchor pose table: rotations about z by i*0.1 rad, so a
+    # query at anchor 0 has candidates [0..7] in order
+    ang = np.arange(12, dtype=np.float32) * 0.1
+    w = np.zeros((12, 6), np.float32)
+    w[:, 2] = ang                       # se3 layout: [w(3), u(3)]
+    anchors_orig = eng.pose_anchor
+    eng.pose_anchor = np.asarray(se3_to_SE3(jnp.asarray(w)))
+    pose0 = eng.pose_anchor[0]
+
+    def tab(drift_row=None):
+        light = (np.arange(12, dtype=np.float32)[:, None]
+                 * np.ones((1, cfg.nerf.N_latent_light), np.float32))
+        trans = (np.arange(12, dtype=np.float32)[:, None]
+                 * np.ones((1, cfg.nerf.N_latent_trans), np.float32))
+        if drift_row is not None:
+            light[drift_row] = 1000.0
+        return {"light": light, "trans": trans}
+
+    # clean table: robust == mean == (0..7)/8 exactly
+    lt, ll = eng._topk_latents(pose0, tab=tab(), mode="robust")
+    np.testing.assert_allclose(np.asarray(ll)[0, 0], 3.5, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lt)[0, 0], 3.5, rtol=1e-6)
+
+    # drifted row 3 (norm z >> 6): mean is contaminated, robust rejects it,
+    # median shrugs it off
+    t = tab(drift_row=3)
+    _, ll_mean = eng._topk_latents(pose0, tab=t, mode="mean")
+    assert float(np.asarray(ll_mean)[0, 0]) > 100
+    lt_rob, ll_rob = eng._topk_latents(pose0, tab=t, mode="robust")
+    np.testing.assert_allclose(np.asarray(ll_rob)[0, 0], 25.0 / 7, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lt_rob)[0, 0], 25.0 / 7, rtol=1e-6)
+    _, ll_med = eng._topk_latents(pose0, tab=t, mode="median")
+    np.testing.assert_allclose(np.asarray(ll_med)[0, 0], 4.5, rtol=1e-6)
+
+    # < 8 rows: z-filter disabled, robust falls back to plain mean
+    small = {k: v[:6] for k, v in tab(drift_row=3).items()}
+    _, ll_small = eng._topk_latents(pose0, k=4, tab=small, mode="robust")
+    np.testing.assert_allclose(np.asarray(ll_small)[0, 0],
+                               (0 + 1 + 2 + 1000) / 4.0, rtol=1e-6)
+
+    import pytest
+    with pytest.raises(ValueError):
+        eng._topk_latents(pose0, tab=t, mode="nonsense")
+
+    # full eval path routes topk_robust (engine table is 6 rows →
+    # fallback branch, still end-to-end)
+    eng.pose_anchor = anchors_orig
+    res = eng.evaluate_full()
+    assert np.isfinite(res["psnr"])
+    # drift monitor logs the robust-protocol columns
+    rec = eng.monitor_latent_drift(0)
+    assert np.isfinite(rec["psnr_topk8med"])
+    assert np.isfinite(rec["psnr_topk8rob"])
+
+
 def test_latent_specific_lr(fixture_root, tmp_path):
     """optim.lr_latent gives the latent tables their own (lower) Adam lr;
     heads keep the G schedule (drift mitigation, default off)."""

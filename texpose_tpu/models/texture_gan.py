@@ -598,12 +598,37 @@ class TextureGANEngine(Engine):
         return {k: np.asarray(v)
                 for k, v in dict(self._eval_latents_table()).items()}
 
-    def _topk_latents(self, pose, k=None, tab=None):
-        """Mean of the top-k nearest-pose latents.  Robust extension of the
-        reference's random-pick-among-top-k (:487-502): measured on the
+    def _latent_norm_z(self, tab):
+        """Robust per-row latent-norm z-scores (median/MAD) per table —
+        the statistic the drift monitor alarms on; the topk_robust eval
+        protocol uses it to reject drifted rows before averaging.  A plain
+        z-score saturates at sqrt(N-1) for a single extreme outlier, so it
+        could NEVER flag the exact failure mode this watches for (one
+        drifted row)."""
+        out = {}
+        for name, t in tab.items():
+            norms = np.linalg.norm(np.asarray(t), axis=1)
+            med = float(np.median(norms))
+            mad = float(np.median(np.abs(norms - med)))
+            out[name] = np.abs(norms - med) / (1.4826 * mad + 1e-6)
+        return out
+
+    def _topk_latents(self, pose, k=None, tab=None, mode="mean"):
+        """Aggregate of the top-k nearest-pose latents.  Robust extension of
+        the reference's random-pick-among-top-k (:487-502): measured on the
         64-view fixed-light fixture, a single drifted per-image latent costs
         the anchor protocol ~4.6 dB at 20k steps while the averaged latent
         stays flat (CLAUDE.md, long-horizon ablations).
+
+        ``mode`` selects the aggregator (== the suffix of render.light):
+        * "mean"   — plain mean (render.light=topk_mean)
+        * "median" — per-dimension median over the k candidates; robust to
+          <k/2 drifted rows with no threshold to tune
+        * "robust" — drop candidates whose latent-norm robust-z (the drift
+          monitor's statistic) exceeds render.topk_z (default 6.0), then
+          mean the survivors.  Identical to "mean" on a clean table.  The
+          z-filter needs >=8 table rows (MAD is noise below that — a 4-row
+          random init measured z~8); smaller tables fall back to "mean".
 
         Pure host numpy; pass ``tab`` (from _host_latents_table) to amortize
         the device→host latent pull over a sweep."""
@@ -611,6 +636,19 @@ class TextureGANEngine(Engine):
         cand = np.argsort(self._anchor_distances(np.asarray(pose)))[:k]
         if tab is None:
             tab = self._host_latents_table()
+        if mode == "median":
+            ll = np.median(tab["light"][cand], axis=0, keepdims=True)
+            lt = np.median(tab["trans"][cand], axis=0, keepdims=True)
+            return lt.astype(tab["trans"].dtype), ll.astype(tab["light"].dtype)
+        if mode == "robust" and len(tab["light"]) >= 8:
+            z = self._latent_norm_z(tab)
+            zmax = np.maximum(z["light"][cand], z["trans"][cand])
+            keep = zmax <= float(self.cfg.render.get("topk_z") or 6.0)
+            if not keep.any():
+                keep = zmax == zmax.min()
+            cand = cand[keep]
+        elif mode not in ("mean", "robust"):
+            raise ValueError(f"unknown topk latent mode '{mode}'")
         ll = tab["light"][cand].mean(axis=0, keepdims=True)
         lt = tab["trans"][cand].mean(axis=0, keepdims=True)
         return lt, ll
@@ -757,8 +795,9 @@ class TextureGANEngine(Engine):
         rows = []
         for i in range(n):
             frame = self.eval_frame(i)
-            if val_light == "topk_mean":
-                lt, ll = self._topk_latents(np.asarray(frame["pose"])[0])
+            if val_light and val_light.startswith("topk_"):
+                lt, ll = self._topk_latents(np.asarray(frame["pose"])[0],
+                                            mode=val_light[5:])
             out = self._render_frame_st(frame, lt, ll)
             mask = (frame["obj_mask"] > 0).astype(jnp.float32).reshape(1, -1, 1)
             image = frame["image"].reshape(1, 3, -1).transpose(0, 2, 1)
@@ -790,14 +829,10 @@ class TextureGANEngine(Engine):
         tab = self._host_latents_table()
         rec = {}
         alarms = []
+        zs = self._latent_norm_z(tab)
         for name, t in tab.items():
             norms = np.linalg.norm(np.asarray(t), axis=1)
-            med = float(np.median(norms))
-            # robust z (median/MAD): a plain z-score saturates at
-            # sqrt(N-1) for a single extreme outlier, so it can NEVER fire
-            # on the exact failure mode we watch for (one drifted row)
-            mad = float(np.median(np.abs(norms - med)))
-            z = np.abs(norms - med) / (1.4826 * mad + 1e-6)
+            z = zs[name]
             z_max = float(z.max())
             rec[f"latent_{name}_norm_mean"] = float(norms.mean())
             rec[f"latent_{name}_norm_max"] = float(norms.max())
@@ -823,6 +858,10 @@ class TextureGANEngine(Engine):
         protocols["anchor"] = (tab["trans"][li:li + 1], tab["light"][li:li + 1])
         protocols["topk3"] = self._topk_latents(pose, k=3, tab=tab)
         protocols["topk8"] = self._topk_latents(pose, k=8, tab=tab)
+        protocols["topk8med"] = self._topk_latents(pose, k=8, tab=tab,
+                                                   mode="median")
+        protocols["topk8rob"] = self._topk_latents(pose, k=8, tab=tab,
+                                                   mode="robust")
         protocols["mean"] = (tab["trans"].mean(axis=0, keepdims=True),
                              tab["light"].mean(axis=0, keepdims=True))
         for pname, (lt, ll) in protocols.items():
@@ -1188,8 +1227,9 @@ class TextureGANEngine(Engine):
                     # arbitrary lighting); reference is "anchor" (:487-502)
                     ll = tab["light"].mean(axis=0, keepdims=True)
                     lt = tab["trans"].mean(axis=0, keepdims=True)
-                elif light_mode == "topk_mean":
-                    lt, ll = self._topk_latents(pose_gt, tab=tab)
+                elif light_mode.startswith("topk_"):
+                    lt, ll = self._topk_latents(pose_gt, tab=tab,
+                                                mode=light_mode[5:])
                 else:
                     li = self._select_light_latent(pose_gt, rng=rng)
                     ll = tab["light"][li:li + 1]

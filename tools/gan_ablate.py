@@ -182,7 +182,15 @@ def run_variant(cache, name, overrides, iters, eval_at, seed=0):
             prev_k = int(eng.cfg.render.N_candidate)
             for tag, light, k in (("anchor", "anchor", prev_k),
                                   ("mean", "mean", prev_k),
-                                  ("topk8", "topk_mean", 8)):
+                                  ("topk8", "topk_mean", 8),
+                                  # r5 drift-arrest candidates: outlier-
+                                  # robust aggregators over the same 8
+                                  # nearest-pose candidates (drift is a FEW
+                                  # bad rows — seed 2's topk8 fell 1.6 dB at
+                                  # 20k while the 64-row whole-table mean
+                                  # stayed flat, QUAL_r5.json)
+                                  ("topk8med", "topk_median", 8),
+                                  ("topk8rob", "topk_robust", 8)):
                 eng.cfg.render.light = light
                 eng.cfg.render.N_candidate = k
                 e2 = eng.evaluate_full()
@@ -235,7 +243,8 @@ def main():
                                   for rows in rows_by_seed.values()]))
                 for m in marks}
 
-    PROTOCOLS = ("psnr", "psnr_anchor", "psnr_mean", "psnr_topk8")
+    PROTOCOLS = ("psnr", "psnr_anchor", "psnr_mean", "psnr_topk8",
+                 "psnr_topk8med", "psnr_topk8rob")
 
     print("\n=== SUMMARY (psnr by real step; mean over "
           f"{len(seeds)} seed(s)) ===", flush=True)
@@ -295,23 +304,33 @@ def main():
         # watches beyond the seed-mean (VERDICT r4 weak item 4)
         drift = {}
         for name, rows_by_seed in table.items():
-            per_seed = {}
-            vals_20k = []
-            for seed, rows in rows_by_seed.items():
-                d = dict(rows)
-                if 20000 not in d:
-                    continue
-                f = "psnr_topk8" if "psnr_topk8" in d[20000] else "psnr"
-                peak = max(ev[f] for ev in d.values())
-                per_seed[str(seed)] = {
-                    "psnr_20k": round(float(d[20000][f]), 4),
-                    "decline_from_peak": round(float(peak - d[20000][f]), 4)}
-                vals_20k.append(float(d[20000][f]))
-            if vals_20k:
-                drift[name] = {"per_seed": per_seed,
-                               "spread_20k": round(max(vals_20k)
-                                                   - min(vals_20k), 4),
-                               "protocol": "psnr_topk8"}
+            by_proto = {}
+            for f in ("psnr_topk8", "psnr_topk8med", "psnr_topk8rob",
+                      "psnr"):
+                per_seed = {}
+                vals_20k = []
+                for seed, rows in rows_by_seed.items():
+                    d = dict(rows)
+                    if 20000 not in d or f not in d[20000]:
+                        continue
+                    peak = max(ev[f] for ev in d.values())
+                    per_seed[str(seed)] = {
+                        "psnr_20k": round(float(d[20000][f]), 4),
+                        "decline_from_peak": round(
+                            float(peak - d[20000][f]), 4)}
+                    vals_20k.append(float(d[20000][f]))
+                if vals_20k:
+                    by_proto[f] = {
+                        "per_seed": per_seed,
+                        "spread_20k": round(max(vals_20k) - min(vals_20k),
+                                            4)}
+                if f == "psnr_topk8" and vals_20k:
+                    # r4-compatible top-level shape (psnr_topk8 primary)
+                    drift[name] = {"per_seed": per_seed,
+                                   "spread_20k": by_proto[f]["spread_20k"],
+                                   "protocol": "psnr_topk8"}
+            if name in drift:
+                drift[name]["by_protocol"] = by_proto
         out["drift_20k"] = drift
         by_mark = _means(table[names[0]])
         if {2000, 10000} <= set(by_mark):
