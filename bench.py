@@ -148,15 +148,22 @@ def eval_views_per_sec(cache, here, reps=5):
     n_e2e = int(os.environ.get("BENCH_EVAL_E2E_N", "64"))
     e2e = None
     if n_e2e > 0:
-        eng.cfg.data.scene = _cycled_test_split(cache, n_e2e)
-        eng.eval_data = eng.make_dataset("test")
-        eng._eval_cache = (None, None)
-        # compile the full per-frame eval pipeline (compact render+metrics
-        # jit) off the clock — steady-state is the measured quantity
-        eng.warm_eval(0)
-        t0 = time.perf_counter()
-        eng.evaluate_full()
-        e2e = n_e2e / (time.perf_counter() - t0)
+        # guarded: an e2e failure must not discard the render-only metric
+        # that was already measured above
+        try:
+            eng.cfg.data.scene = _cycled_test_split(cache, n_e2e)
+            eng.eval_data = eng.make_dataset("test")
+            eng._eval_cache = (None, None)
+            # compile the full per-frame eval pipeline (compact
+            # render+metrics jit) off the clock — steady-state is the
+            # measured quantity
+            eng.warm_eval(0)
+            t0 = time.perf_counter()
+            eng.evaluate_full()
+            e2e = n_e2e / (time.perf_counter() - t0)
+        except Exception as exc:                      # noqa: BLE001
+            print(f"[bench] e2e eval sweep failed: {exc!r}",
+                  file=sys.stderr, flush=True)
     return render_only, e2e, n_e2e
 
 
@@ -165,16 +172,13 @@ def pretrain_rays_per_sec(here):
     envelope (options/nerf_lm_pretrain.yaml:26-30: 2048 rays × 64 samples),
     same scan-fused blocking-read timing as the texture metric."""
     import jax
-    from texpose_tpu.data.fixture import generate_fixture
     from texpose_tpu.utils.config import load_yaml, process_options
     from texpose_tpu.models.pretrain import PretrainEngine
 
-    cache = os.path.join(tempfile.gettempdir(), "texpose_qual_fixture_v3")
-    if not os.path.exists(os.path.join(cache, ".done")):
-        os.makedirs(cache, exist_ok=True)
-        generate_fixture(cache, n_train=16, n_test=2, scene="scene_qual",
-                         image_scale=1.0, crop_res=128, fixed_light=False)
-        open(os.path.join(cache, ".done"), "w").close()
+    # the qual fixture (ONE definition — tools/tpu_quality_check._fixture)
+    sys.path.insert(0, os.path.join(here, "tools"))
+    from tpu_quality_check import _fixture
+    cache = _fixture()
     cfg = load_yaml(os.path.join(here, "configs", "nerf_lm_pretrain.yaml"))
     cfg.yaml = "configs/nerf_lm_pretrain.yaml"
     cfg.data.root = cache

@@ -352,8 +352,8 @@ def test_val_light_topk_mean(fixture_root, tmp_path):
     eng.setup_optimizer()
     calls = []
     orig = eng._topk_latents
-    eng._topk_latents = (lambda pose, k=None, tab=None:
-        calls.append(1) or orig(pose, k, tab=tab))
+    eng._topk_latents = (lambda pose, k=None, tab=None, mode="mean":
+        calls.append(1) or orig(pose, k, tab=tab, mode=mode))
     mean = eng.validate(0)
     assert calls, "val_light=topk_mean must route through _topk_latents"
     assert np.isfinite(mean["PSNR"])
@@ -367,8 +367,8 @@ def test_val_light_topk_mean(fixture_root, tmp_path):
     orig2 = eng2._topk_latents
     cfg2.render.drift_monitor = False      # isolate the val-path routing
     eng2._topk_latents = (
-        lambda pose, k=None, tab=None: calls2.append(1) or orig2(pose, k,
-                                                                 tab=tab))
+        lambda pose, k=None, tab=None, mode="mean":
+        calls2.append(1) or orig2(pose, k, tab=tab, mode=mode))
     mean2 = eng2.validate(0)
     assert not calls2 and np.isfinite(mean2["PSNR"])
 

@@ -1015,6 +1015,11 @@ class TextureGANEngine(Engine):
             if not (0.0 < coverage < 0.5):
                 return {k: np.asarray(v)[None] for k, v in sample.items()}
             idx_p, _n = masked_ray_indices(obj, chunk)
+            # stash the host copy on the (per-call-fresh) sample dict so
+            # the consumer thread doesn't recompute the 307k-pixel nonzero
+            # per frame (and pulling frame["idx"] back would cost a tunnel
+            # round trip)
+            sample["_idx_host"] = idx_p
             z_near = np.asarray(sample["z_near"], np.float32).reshape(-1)
             z_far = np.asarray(sample["z_far"], np.float32).reshape(-1)
             img = np.asarray(sample["image"])
@@ -1238,13 +1243,11 @@ class TextureGANEngine(Engine):
                     lt = zero_lt
                 if "image_u8" in frame:
                     # compact route: ONE fused render+metrics+PNG dispatch.
-                    # idx_p re-derives on host (~0.3 ms) — pulling
-                    # frame["idx"] back would cost a tunnel round trip.
+                    # idx_p was computed on the prefetch worker thread
+                    # (transform stashes the host copy — pulling
+                    # frame["idx"] back would cost a tunnel round trip)
                     res = self._eval_compact_dispatch(frame, lt, ll, raw_hw)
-                    from .render import masked_ray_indices
-                    idx_p = None if need else masked_ray_indices(
-                        np.asarray(sample["obj_mask"]).reshape(-1),
-                        int(cfg.nerf.rand_rays))[0]
+                    idx_p = None if need else sample["_idx_host"]
                     pending.append((i, int(sample["frame_index"]),
                                     idx_p, res))
                     if len(pending) >= 2:

@@ -150,6 +150,12 @@ class AsyncWriter:
     def close(self):
         self._q.put(_Stop())
         self._thread.join(timeout=60.0)
+        if self._thread.is_alive():
+            # a silent return here would report success while queued
+            # writes are killed with the daemon thread at process exit
+            raise RuntimeError(
+                "AsyncWriter: writer thread still running after 60 s "
+                "drain timeout — queued writes may be incomplete")
         if self._err is not None:
             err, self._err = self._err, None
             raise err
