@@ -201,8 +201,11 @@ def test_compact_eval_matches_plain(root, tmp_path):
 
 
 def test_compact_transform_payload(root, tmp_path):
-    """Payload invariants: uint8 image roundtrip is exact, z bounds equal
-    the map values at the padded index set, dense frames fall back."""
+    """Payload invariants: the sparse uint8 GT pixels reproduce image*mask
+    exactly when scattered (every metric compares against image*mask), z
+    bounds equal the map values at the padded index set, the worker thread
+    stashes the host index copy for the consumer, dense frames fall
+    back."""
     from texpose_tpu.models.texture_gan import TextureGANEngine
     from texpose_tpu.models.render import masked_ray_indices
 
@@ -214,12 +217,18 @@ def test_compact_transform_payload(root, tmp_path):
     assert tf is not None
     sample = eng.eval_data[0]
     pl = tf(sample)
-    assert "image_u8" in pl
-    np.testing.assert_array_equal(
-        pl["image_u8"][0].astype(np.float32) / 255.0, sample["image"])
+    assert "image_sparse_u8" in pl and "image" not in pl
     idx_p, _ = masked_ray_indices(sample["obj_mask"].reshape(-1),
                                   int(cfg.nerf.rand_rays))
     np.testing.assert_array_equal(pl["idx"], idx_p)
+    np.testing.assert_array_equal(sample["_idx_host"], idx_p)
+    # scatter of the sparse GT == image * mask (bitwise, u8/255 source)
+    HW = sample["image"].shape[-2] * sample["image"].shape[-1]
+    recon = np.zeros((HW, 3), np.float32)
+    recon[idx_p] = pl["image_sparse_u8"].astype(np.float32) / 255.0
+    masked = (sample["image"].reshape(3, -1).T
+              * (sample["obj_mask"].reshape(-1, 1) > 0))
+    np.testing.assert_array_equal(recon, masked)
     np.testing.assert_array_equal(
         pl["z_near_pre"][0], sample["z_near"].reshape(-1)[idx_p])
     np.testing.assert_array_equal(
@@ -228,7 +237,7 @@ def test_compact_transform_payload(root, tmp_path):
     dense = dict(sample)
     dense["obj_mask"] = np.ones_like(sample["obj_mask"])
     pl2 = tf(dense)
-    assert "image_u8" not in pl2 and "image" in pl2
+    assert "image_sparse_u8" not in pl2 and "image" in pl2
 
 
 def test_masked_st_pre_matches_gathered(root, tmp_path):

@@ -989,12 +989,15 @@ class TextureGANEngine(Engine):
     # dispatches, so per-frame BYTES are wall-clock even with a prefetch
     # thread (tools/probe_eval_stages r5: device_put of the 7.37 MB f32
     # frame = 117 ms of the 268 ms/frame end-to-end eval budget).  The
-    # compact route uploads a bitwise-lossless ~1.6 MB payload instead:
-    # uint8 image/mask (dataset images ARE uint8/255 PNGs and masks {0,1},
-    # data/lmsyn2real.py:69,91) and the object-ray subset of the z maps
-    # gathered on host (render_rays_masked_st_pre) — and pulls back a
-    # sparse [P,3] uint8 PNG payload instead of the full frame.  Render +
-    # scatter + metrics + PNG payload run as ONE jit dispatch per frame.
+    # compact route uploads a bitwise-lossless sparse payload instead —
+    # everything object-ray-subset: [P,3] uint8 GT pixels (dataset images
+    # ARE uint8/255 PNGs and every metric compares against image*mask,
+    # i.e. a scatter of exactly those pixels into zeros —
+    # data/lmsyn2real.py:69,91), the [P] indices, and the [P] z bounds
+    # gathered on host (render_rays_masked_st_pre): ~15 bytes/object-ray,
+    # ~0.7 MB/frame vs the original 7.37 — and pulls back a sparse [P,3]
+    # uint8 PNG payload instead of the full frame.  Render + scatter +
+    # metrics + PNG payload run as ONE jit dispatch per frame.
 
     def _eval_compact_transform(self):
         """EvalPrefetcher transform for the compact payload, or None when
@@ -1023,9 +1026,14 @@ class TextureGANEngine(Engine):
             z_near = np.asarray(sample["z_near"], np.float32).reshape(-1)
             z_far = np.asarray(sample["z_far"], np.float32).reshape(-1)
             img = np.asarray(sample["image"])
+            # the GT goes up SPARSE: every metric compares against
+            # image*mask, which is exactly a scatter of the object pixels
+            # into zeros — uploading [P,3] uint8 instead of the full
+            # [3,H,W] image + [H*W] mask is bitwise-identical and cuts
+            # ~1.2 MB/frame of serialized tunnel transfer
+            img_u8 = np.rint(img * 255.0).astype(np.uint8)
             return {
-                "image_u8": np.rint(img * 255.0).astype(np.uint8)[None],
-                "obj_mask_u8": (obj > 0).astype(np.uint8)[None],
+                "image_sparse_u8": img_u8.reshape(3, -1).T[idx_p],
                 "pose": np.asarray(sample["pose"], np.float32)[None],
                 "intr": np.asarray(sample["intr"], np.float32)[None],
                 "idx": idx_p,
@@ -1054,18 +1062,20 @@ class TextureGANEngine(Engine):
         from .render import render_rays_masked_st_pre
 
         @jax.jit
-        def fn(params, pose, intr, zn, zf, lt, ll, idx, image_u8, mask_u8):
+        def fn(params, pose, intr, zn, zf, lt, ll, idx, img_sparse_u8):
             out = render_rays_masked_st_pre(
                 params, cfg, pose, intr, idx, zn, zf, lt, ll,
                 jax.random.PRNGKey(0), progress=jnp.asarray(1.0),
                 compute_dtype=_compute_dtype(cfg), chunk=chunk)
             vals = out["rgb_static"][0]                        # [P,3]
-            mask = mask_u8.reshape(cfg.H * cfg.W, 1) > 0
-            rgb = jnp.zeros((cfg.H * cfg.W, 3)).at[idx].set(vals)
-            rgb = jnp.where(mask, rgb, 0.0).reshape(cfg.H, cfg.W, 3)
-            maskf = mask_u8.reshape(cfg.H, cfg.W, 1).astype(jnp.float32)
-            img = image_u8.reshape(3, cfg.H, cfg.W).transpose(1, 2, 0) \
-                .astype(jnp.float32) / 255.0 * maskf
+            # idx is exactly the object-mask pixel set (padded with in-set
+            # duplicates), so scattering into zeros reproduces image*mask
+            # and the masked render bitwise — no full-frame GT/mask upload
+            rgb = jnp.zeros((cfg.H * cfg.W, 3)).at[idx].set(vals) \
+                .reshape(cfg.H, cfg.W, 3)
+            img = jnp.zeros((cfg.H * cfg.W, 3)).at[idx].set(
+                img_sparse_u8.astype(jnp.float32) / 255.0) \
+                .reshape(cfg.H, cfg.W, 3)
             if need:
                 rgb = resize_bilinear(rgb, tuple(raw_hw))
                 img = resize_bilinear(img, tuple(raw_hw))
@@ -1092,7 +1102,7 @@ class TextureGANEngine(Engine):
         return fn(self.state["params"]["nerf"], frame["pose"],
                   frame["intr"], frame["z_near_pre"], frame["z_far_pre"],
                   jnp.asarray(lt), jnp.asarray(ll), frame["idx"],
-                  frame["image_u8"], frame["obj_mask_u8"])
+                  frame["image_sparse_u8"])
 
     def warm_eval(self, i=0):
         """Compile the per-frame eval pipeline for eval frame i off the
@@ -1106,7 +1116,7 @@ class TextureGANEngine(Engine):
         ll = np.asarray(self.state["latents"]["light"][0:1])
         transform = self._eval_compact_transform()
         payload = transform(sample) if transform is not None else None
-        if payload is not None and "image_u8" in payload:
+        if payload is not None and "image_sparse_u8" in payload:
             frame = jax.device_put(payload)
             jax.block_until_ready(
                 self._eval_compact_dispatch(frame, lt, ll, raw_hw))
@@ -1241,7 +1251,7 @@ class TextureGANEngine(Engine):
                     lt = tab["trans"][li:li + 1]
                 if cfg.render.transient == "zero":
                     lt = zero_lt
-                if "image_u8" in frame:
+                if "image_sparse_u8" in frame:
                     # compact route: ONE fused render+metrics+PNG dispatch.
                     # idx_p was computed on the prefetch worker thread
                     # (transform stashes the host copy — pulling
