@@ -200,6 +200,64 @@ def test_compact_eval_matches_plain(root, tmp_path):
         assert int(np.abs(a.astype(int) - b.astype(int)).max()) <= 1, f
 
 
+class _DenseAt:
+    """eval_data proxy: truncates to n frames and makes frame `i` dense
+    (full mask) so it exceeds the compact route's coverage bound and takes
+    the per-frame f32 fallback mid-sweep."""
+
+    def __init__(self, ds, i, n):
+        self._ds, self._i, self._n = ds, i, n
+
+    def __getattr__(self, k):
+        return getattr(self._ds, k)
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, j):
+        s = self._ds[j]
+        if j == self._i:
+            s["obj_mask"] = np.ones_like(s["obj_mask"])
+        return s
+
+
+def test_compact_eval_mixed_fallback_sweep(root, tmp_path):
+    """A dense frame mid-sweep falls back to the plain f32 route INSIDE one
+    evaluate_full while its neighbors stay on the sparse compact route;
+    per-frame metrics match an all-plain sweep on the same frames."""
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    def read_quant(path):
+        lines = open(os.path.join(path, "quant.txt")).read().splitlines()
+        keys = lines[0].split()[2:]      # "# frame psnr ssim ..."
+        return [dict(zip(keys, map(float, ln.split()[1:])))
+                for ln in lines[1:] if ln.strip()]
+
+    cfg = tiny_gan_cfg(root, tmp_path)
+    cfg.syn2real = True
+    cfg.data.image_size = [120, 160]
+    cfg.H, cfg.W = 120, 160
+    cfg.nerf.sample_intvs = 4
+    cfg.nerf.rand_rays = 1024
+
+    rows = {}
+    for mode in ("compact", "plain"):
+        cfg.name = f"mix_{mode}"
+        cfg.render.eval_compact = mode == "compact"
+        eng = TextureGANEngine(cfg)
+        eng.load_dataset(eval_split="test", prefetch_train=False)
+        eng.build_networks()
+        eng.setup_optimizer()
+        eng.eval_data = _DenseAt(eng.eval_data, 1, 3)
+        res = eng.evaluate_full()
+        assert np.isfinite(res["psnr"])
+        rows[mode] = read_quant(eng.cfg.output_path)
+    assert len(rows["compact"]) == 3
+    for rc, rp in zip(rows["compact"], rows["plain"]):
+        assert abs(rc["psnr"] - rp["psnr"]) < 1e-3, (rc, rp)
+        assert abs(rc["ssim"] - rp["ssim"]) < 1e-4, (rc, rp)
+
+
 def test_compact_transform_payload(root, tmp_path):
     """Payload invariants: the sparse uint8 GT pixels reproduce image*mask
     exactly when scattered (every metric compares against image*mask), z
