@@ -40,6 +40,54 @@ def test_syn2real_dataset(root, tmp_path):
     assert (s["z_near"][m] < 4.5).all() and (s["z_far"][m] > 3.5).all()
 
 
+def test_syn2real_frame0_gt_pose_anchor(root, tmp_path):
+    """Predicted-pose syn2real training pins image 0 to its GT pose — the
+    reference's gauge anchor (data/lmsyn2real.py:322
+    `... if idx != 0 else pose_gt`); other frames ride the noisy
+    predictions."""
+    cfg = tiny_gan_cfg(root, tmp_path)
+    cfg.data.image_size = [60, 80]
+    cfg.data.raw_size = [120, 160]
+    cfg.H, cfg.W = 60, 80
+    assert cfg.data.pose_source == "predicted"
+    ds = LineMODSyn2RealDataset(cfg, split="train",
+                                splits_root=cfg.data.splits_root)
+    _, gt0, init0 = ds.get_camera(0)
+    np.testing.assert_array_equal(init0, gt0)
+    _, gt1, init1 = ds.get_camera(1)
+    assert np.abs(init1 - gt1).max() > 0      # fixture preds carry noise
+
+
+def test_val_on_test_and_val_sub(root, tmp_path):
+    """data.val_on_test routes the eval split to "test" (reference
+    model/base.py:36-37) and data.val_sub truncates the eval split even
+    when it is "test" (reference passes subset=opt.data.val_sub
+    unconditionally, :38); validate() loops the whole subset."""
+    from texpose_tpu.models.texture_gan import TextureGANEngine
+
+    cfg = tiny_gan_cfg(root, tmp_path)
+    cfg.data.val_on_test = True
+    cfg.data.val_sub = 2
+    eng = TextureGANEngine(cfg)
+    eng.load_dataset()                     # eval_split="val" → overridden
+    assert eng.eval_data.split == "test" and len(eng.eval_data) == 2
+    eng.build_networks()
+    eng.setup_optimizer()
+    calls = []
+    orig = eng.eval_frame
+    eng.eval_frame = lambda i: calls.append(i) or orig(i)
+    cfg.render.drift_monitor = False
+    mean = eng.validate(0)
+    assert calls == [0, 1] and np.isfinite(mean["PSNR"])
+    # val_sub truncates the test split too
+    cfg2 = tiny_gan_cfg(root, tmp_path / "b")
+    cfg2.data.val_on_test = True
+    cfg2.data.val_sub = 1
+    eng2 = TextureGANEngine(cfg2)
+    eng2.load_dataset()
+    assert len(eng2.eval_data) == 1
+
+
 def test_syn2real_eval_export(root, tmp_path):
     """Train briefly at crop size, then evaluate syn2real full-frame with a
     fresh engine sharing the checkpoint-free state (reference runs this as

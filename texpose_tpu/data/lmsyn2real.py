@@ -149,7 +149,10 @@ class LineMODSyn2RealDataset:
         pose_gt = bop.parse_pose(self.meta["scene_gt"][str(frame)][obj_scene_id],
                                  zscale)
         if self.split == "train" and cfg.data.pose_source == "predicted" \
-                and "scene_pred" in self.meta:
+                and "scene_pred" in self.meta and idx != 0:
+            # idx 0 stays on its GT pose — the reference pins image 0 as
+            # the gauge anchor for pose-noisy syn2real training
+            # (data/lmsyn2real.py:322 `... if idx != 0 else pose_gt`)
             pose_init = bop.parse_pose(
                 self.meta["scene_pred"][str(frame)][obj_scene_id], zscale)
         else:

@@ -85,9 +85,17 @@ class Engine:
 
     # ------------------------------------------------------------------ data
 
+    def _split_subset(self, split):
+        """Reference subset semantics: train truncates by data.train_sub,
+        every eval split by data.val_sub — even when the eval split is
+        "test" (reference model/base.py:38 passes subset=opt.data.val_sub
+        unconditionally)."""
+        d = self.cfg.data
+        return d.get("train_sub") if split == "train" else d.get("val_sub")
+
     def make_dataset(self, split):
         return LineMODDataset(self.cfg, split=split,
-                              subset=self.cfg.data.get(f"{split}_sub"),
+                              subset=self._split_subset(split),
                               multi_obj=self.cfg.data.get("multi_obj", False),
                               splits_root=self.cfg.data.get("splits_root",
                                                             "splits"))
@@ -97,6 +105,8 @@ class Engine:
         evaluation only needs the train split's length (latent tables) and
         camera poses (light-latent anchors)."""
         cfg = self.cfg
+        if cfg.data.get("val_on_test"):
+            eval_split = "test"        # reference model/base.py:36-37
         log.info(f"loading dataset {cfg.data.dataset}/{cfg.data.object} "
                  f"scene={cfg.data.scene}...")
         self.train_data = self.make_dataset("train")

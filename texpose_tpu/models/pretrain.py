@@ -210,12 +210,9 @@ class PretrainEngine(Engine):
         return self._render_jit(params, frame["pose"], frame["intr"],
                                 frame["z_near"], frame["z_far"], progress)
 
-    def _frame(self, batch, i):
-        return {k: v[i:i + 1] for k, v in batch.items()}
-
     def validate(self, it):
         cfg = self.cfg
-        n = min(len(self.eval_data), cfg.get("val_sub") or 1)
+        n = min(len(self.eval_data), cfg.data.get("val_sub") or 1)
         progress = it / self.max_iter() if cfg.get("c2f") is not None else 1.0
         losses = []
         for i in range(n):

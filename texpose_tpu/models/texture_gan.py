@@ -168,7 +168,7 @@ class TextureGANEngine(Engine):
             from ..data.lmsyn2real import LineMODSyn2RealDataset
             return LineMODSyn2RealDataset(
                 self.cfg, split=split,
-                subset=self.cfg.data.get(f"{split}_sub"),
+                subset=self._split_subset(split),
                 multi_obj=self.cfg.data.get("multi_obj", False),
                 splits_root=self.cfg.data.get("splits_root", "splits"))
         return super().make_dataset(split)
@@ -541,7 +541,6 @@ class TextureGANEngine(Engine):
                     state["params"]["disc"], dupd)
                 new_state["opt_disc"] = opt_disc
                 new_state["sn_state"] = sn2
-                dloss = {f"{k}": v for k, v in dloss.items()}
 
             new_state["key"] = key
             new_state["it"] = it + 1
@@ -774,30 +773,34 @@ class TextureGANEngine(Engine):
             frame["z_near"], frame["z_far"], latent_trans, latent_light,
             obj_mask)
 
-    def _frame(self, batch, i):
-        return {k: v[i:i + 1] for k, v in batch.items()}
-
     def validate(self, it):
         """Full-frame validation with the main loss suite (reference
         validate → compute_loss(mode='val') :712-777 + val PSNR :241-245;
         latents of image 0, like the reference's render val path :595).
 
-        ``cfg.render.val_light="topk_mean"`` (default off — reference
-        parity) switches the val latents to the eval protocol's
-        pose-proximity averaged latents so the val curve tracks the same
-        quantity the quality gate measures (per-image latent drift is
-        invisible to the image-0 protocol)."""
+        ``cfg.render.val_light`` (default off — reference parity) switches
+        the val latents to an eval protocol — any ``topk_*`` aggregator or
+        ``mean`` — so the val curve tracks the same quantity the quality
+        gate measures (per-image latent drift is invisible to the image-0
+        protocol).  Unknown values raise."""
         cfg = self.cfg
         n = min(len(self.eval_data), cfg.data.get("val_sub") or 1)
         val_light = cfg.render.get("val_light")
+        if val_light not in (None, "mean") \
+                and not str(val_light).startswith("topk_"):
+            raise ValueError(f"unknown render.val_light '{val_light}'")
         lt = self.state["latents"]["trans"][0:1]
         ll = self.state["latents"]["light"][0:1]
+        tab = self._host_latents_table() if val_light else None
+        if val_light == "mean":
+            lt = tab["trans"].mean(axis=0, keepdims=True)
+            ll = tab["light"].mean(axis=0, keepdims=True)
         rows = []
         for i in range(n):
             frame = self.eval_frame(i)
             if val_light and val_light.startswith("topk_"):
                 lt, ll = self._topk_latents(np.asarray(frame["pose"])[0],
-                                            mode=val_light[5:])
+                                            tab=tab, mode=val_light[5:])
             out = self._render_frame_st(frame, lt, ll)
             mask = (frame["obj_mask"] > 0).astype(jnp.float32).reshape(1, -1, 1)
             image = frame["image"].reshape(1, 3, -1).transpose(0, 2, 1)
