@@ -86,3 +86,17 @@ def test_resolve_yaml_bare_name(tmp_path, monkeypatch):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         resolve_yaml("no_such_config")
+
+
+def test_setdefault_and_update_wrap_nested_dicts():
+    """C-level dict.setdefault/update bypass __setitem__ — the overrides
+    must wrap nested plain dicts so dot access keeps working."""
+    from texpose_tpu.utils.config import Config
+
+    cfg = Config({"a": 1})
+    got = cfg.setdefault("data", {"image_size": [480, 640]})
+    assert got.image_size == [480, 640]
+    assert cfg.data.image_size == [480, 640]
+    assert cfg.setdefault("data", {"other": 1}).image_size == [480, 640]
+    cfg.update({"render": {"light": "topk_mean"}}, seed=3)
+    assert cfg.render.light == "topk_mean" and cfg.seed == 3

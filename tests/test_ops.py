@@ -267,3 +267,20 @@ def test_resize_bilinear_identity():
     from texpose_tpu.ops.image import resize_bilinear
     img = jnp.arange(12.0).reshape(2, 2, 3)
     assert resize_bilinear(img, (2, 2)) is img
+
+
+def test_masked_psnr_counts_broadcast_elements(rng):
+    """psnr with a channel-less [H,W,1] mask must not inflate MSE by the
+    channel count: equal to psnr over the pre-masked arrays' nonzero
+    region computed with an explicitly broadcast mask."""
+    import jax.numpy as jnp
+    from texpose_tpu.utils.metrics import psnr
+
+    pred = jnp.asarray(rng.random((8, 8, 3), np.float32))
+    tgt = jnp.asarray(rng.random((8, 8, 3), np.float32))
+    mask = jnp.asarray((rng.random((8, 8, 1)) > 0.5).astype(np.float32))
+    got = float(psnr(pred, tgt, mask))
+    m3 = jnp.broadcast_to(mask, pred.shape)
+    mse = float((((pred - tgt) ** 2) * m3).sum() / m3.sum())
+    want = -10.0 * np.log10(mse + 1e-10)
+    np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -392,3 +392,31 @@ def test_async_writer_runs_jobs_and_reraises(tmp_path):
     with pytest.raises(ValueError, match="write failed"):
         with AsyncWriter() as w:
             w.submit(boom)
+
+
+def test_prefetcher_next_after_exhaustion_raises(root):
+    """next() after StopIteration (or after a re-raised worker error) must
+    raise immediately, not block forever on the drained queue."""
+    from texpose_tpu.utils.pipeline import EvalPrefetcher
+
+    class DS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return {"x": np.zeros((2,), np.float32)}
+
+    with EvalPrefetcher(DS(), depth=1) as pf:
+        assert len(list(pf)) == 2
+        with pytest.raises(StopIteration):
+            next(pf)
+
+    class Boom(DS):
+        def __getitem__(self, i):
+            raise RuntimeError("disk error")
+
+    with EvalPrefetcher(Boom(), depth=1) as pf:
+        with pytest.raises(RuntimeError):
+            next(pf)
+        with pytest.raises(StopIteration):
+            next(pf)

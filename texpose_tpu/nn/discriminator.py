@@ -164,7 +164,10 @@ def apply_discriminator(params, state, cfg, x, scales=None, progress=None,
     untouched."""
     if not normalized:
         params, state = sn_normalize_disc(params, state, training)
-    ndf = 64
+    # ndf from the params (the second-to-last main conv always emits
+    # ndf*8, _main_spec) — a hardcoded 64 here would silently disagree
+    # with a non-default init_discriminator(ndf=...)
+    ndf = params["main"][-2]["w"].shape[-1] // 8
     nc = disc_channels(cfg)
     final_dim = ndf if cfg.gan.scale_conditional else 1
     spec = _main_spec(cfg.patch_size, nc, ndf, final_dim)

@@ -87,11 +87,8 @@ def _c2f_band_weights(cfg, L, progress):
     c2f_range, c2f_start = _c2f(cfg)
     if c2f_range is None or progress is None:
         return jnp.ones((L,), jnp.float32)
-    import numpy as np
-    start, end = c2f_range
-    alpha = (progress - start) / (end - start) * L
-    k = jnp.arange(L, dtype=jnp.float32) - c2f_start
-    return (1 - jnp.cos(np.pi * jnp.clip(alpha - k, 0.0, 1.0))) / 2
+    from ..ops.posenc import c2f_band_weights
+    return c2f_band_weights(L, progress, c2f_range, c2f_start)
 
 
 def _use_fused_trunk(cfg):
@@ -131,10 +128,8 @@ def run_trunk(layers, cfg, points, progress=None, mode=None, density_key=None,
         feat, density = fused_trunk_forward(
             flat, c2f_w, ws, bs, tuple(cfg.arch.skip), L,
             compute_dtype=compute_dtype)
-        noise = cfg.nerf.get("density_noise_reg")
-        if noise and mode == "train" and density_key is not None:
-            density = density + jax.random.normal(
-                density_key, density.shape, density.dtype) * noise
+        # no density-noise branch here: this path is gated on
+        # mode != "train" and noise is train-only
         density = DENSITY_ACTIVATIONS[cfg.arch.density_activ](density)
         return (feat.reshape(*shape, feat.shape[-1]),
                 density.reshape(shape))
@@ -507,7 +502,13 @@ def _use_fused_st(cfg, B, R, N, tile=1024):
 
 
 def _fit_tile(tile, rows):
-    """Largest power-of-two ≤ tile that divides rows."""
+    """Largest power-of-two ≤ tile that divides rows.  The Pallas kernels
+    tile the row axis in multiples of 8 (f32 sublane), so rows must be a
+    multiple of 8 — raise rather than hand the grid a tile that silently
+    misprocesses the tail."""
+    if rows % 8:
+        raise ValueError(
+            f"fused-kernel row count must be a multiple of 8, got {rows}")
     t = min(tile, rows)
     while rows % t:
         t //= 2

@@ -38,12 +38,24 @@ def positional_encoding(x, L, progress=None, c2f_range=None, c2f_start=0):
     spectrum = x[..., None] * freq                                  # [...,D,L]
     enc = jnp.stack([jnp.sin(spectrum), jnp.cos(spectrum)], axis=-2)  # [...,D,2,L]
     if c2f_range is not None:
-        start, end = c2f_range
-        alpha = (progress - start) / (end - start) * L
-        k = jnp.arange(L, dtype=x.dtype) - c2f_start
-        weight = (1 - jnp.cos(np.pi * jnp.clip(alpha - k, 0.0, 1.0))) / 2
+        weight = c2f_band_weights(L, progress, c2f_range, c2f_start,
+                                  dtype=x.dtype)
         enc = enc * weight                                          # bcast over [L]
     return enc.reshape(*shape[:-1], shape[-1] * 2 * L)
+
+
+def c2f_band_weights(L, progress, c2f_range, c2f_start=0,
+                     dtype=jnp.float32):
+    """Per-frequency BARF coarse-to-fine window w_k as an [L] vector
+    (reference layers/nerf.py:138-154): alpha ramps with progress over
+    c2f_range, band k fades in as (1-cos(π·clip(alpha-k,0,1)))/2.  The
+    ONE definition of the window — the fused-kernel path (nn/fields) and
+    the plain XLA path both call this, so an anneal tweak cannot diverge
+    them."""
+    start, end = c2f_range
+    alpha = (progress - start) / (end - start) * L
+    k = jnp.arange(L, dtype=dtype) - c2f_start
+    return (1 - jnp.cos(np.pi * jnp.clip(alpha - k, 0.0, 1.0))) / 2
 
 
 def posenc_with_identity(x, L, progress=None, c2f_range=None, c2f_start=0):

@@ -88,6 +88,8 @@ def interpolate(faces, face_id, bary, attrs):
     """Per-vertex attrs [V,C] interpolated at rasterized pixels →
     [H,W,C] (0 at background)."""
     lib = load_library()
+    if lib is None:
+        raise RuntimeError("native rasterizer unavailable (no g++?)")
     faces = np.ascontiguousarray(faces, np.int32)
     face_id = np.ascontiguousarray(face_id, np.int32)
     bary = np.ascontiguousarray(bary, np.float32)

@@ -43,6 +43,18 @@ class Config(dict):
     def __setitem__(self, k, v):
         super().__setitem__(k, Config._wrap(v))
 
+    # C-level dict methods bypass __setitem__ — wrap here too, or a
+    # cfg.setdefault("data", {...}) would store a plain dict whose keys
+    # then fail dot access
+    def setdefault(self, k, default=None):
+        if k not in self:
+            self[k] = default
+        return self[k]
+
+    def update(self, *args, **kwargs):
+        for k, v in dict(*args, **kwargs).items():
+            self[k] = v
+
     def __setattr__(self, k, v):
         self[k] = v
 

@@ -20,9 +20,14 @@ import jax.numpy as jnp
 
 
 def psnr(pred, target, mask=None):
-    """−10·log10(MSE). With mask, MSE over masked pixels only."""
+    """−10·log10(MSE). With mask, MSE over masked elements only; the mask
+    broadcasts against pred (e.g. [H,W,1] against [H,W,3]), and the
+    denominator counts the BROADCAST elements so a channel-less mask does
+    not inflate the MSE by the channel count."""
     if mask is not None:
-        mse = ((pred - target) ** 2 * mask).sum() / (mask.sum() + 1e-10)
+        m = jnp.broadcast_to(mask, jnp.broadcast_shapes(jnp.shape(mask),
+                                                        jnp.shape(pred)))
+        mse = ((pred - target) ** 2 * m).sum() / (m.sum() + 1e-10)
     else:
         mse = ((pred - target) ** 2).mean()
     return -10.0 * jnp.log10(mse + 1e-10)

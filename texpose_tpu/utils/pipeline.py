@@ -100,10 +100,17 @@ class EvalPrefetcher:
         return self
 
     def __next__(self):
+        # the worker enqueues exactly ONE terminal item (_Stop or the
+        # first exception); without this latch a next() after exhaustion
+        # would block forever on an empty queue
+        if getattr(self, "_done", False):
+            raise StopIteration
         item = self._q.get()
         if isinstance(item, _Stop):
+            self._done = True
             raise StopIteration
         if isinstance(item, BaseException):
+            self._done = True
             raise item
         return item
 
