@@ -145,7 +145,12 @@ def eval_views_per_sec(cache, here, reps=5):
     render_only = 1.0 / float(np.median(times))
 
     # ---- end-to-end sweep on the SAME engine (render jits stay warm) ----
-    n_e2e = int(os.environ.get("BENCH_EVAL_E2E_N", "64"))
+    # N=256: at N=64 the sweep's fixed overhead (evaluate_full setup,
+    # prefetcher spin-up, final aggregation ≈ 5 s) dominated the ~50 ms/frame
+    # steady state and read 7.66 views/s where the standalone 1869-frame
+    # envelope (EVAL_ENVELOPE.json) measures 19.9; 256 frames amortize the
+    # fixed cost to <30% while keeping the sweep under ~30 s of bench wall
+    n_e2e = int(os.environ.get("BENCH_EVAL_E2E_N", "256"))
     e2e = None
     if n_e2e > 0:
         # guarded: an e2e failure must not discard the render-only metric
